@@ -1,0 +1,124 @@
+"""Headline benchmark: learned-metric candidate pairs scored per second per
+chip (BASELINE.md north-star target: >= 10M pairs/s/chip on v5e).
+
+Scores NQ queries against a C-candidate pool under the v4 recipe's learned
+bilinear metric (M=4 measures, D=50, 40 query tokens x 40 candidate tokens)
+using the fused Pallas MaxSim kernel (ops/sim_cross_pallas.py): one MXU
+matmul per (query, candidate-tile) with in-VMEM segmented max/sum -- the
+(NQ*M*W1) x (C*W2) similarity tensor never materializes in HBM.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 1e7 (the >=10M pairs/s/chip target).
+
+Usage: python bench.py [--pool C] [--queries NQ] [--iters N] [--secondary]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
+                     warmup: int = 2):
+    import jax
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+        bilinear_maxsim_scores, pack_candidate_pool, project_queries)
+
+    d, w1, w2, m = 50, 40, 40, 4
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(n_queries, w1, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
+    cand = jnp.asarray(rng.normal(size=(pool_size, w2, d)).astype(np.float32))
+
+    qw = project_queries(q, w)                       # bf16 (NQ, M*W1, 128)
+    pool, mask = pack_candidate_pool(cand)           # bf16 (C, 64, 128)
+    del cand
+
+    fn = jax.jit(lambda qw_, p_, m_: bilinear_maxsim_scores(qw_, p_, m_))
+    out = fn(qw, pool, mask)
+    jax.block_until_ready(out)                       # compile + warm
+    for _ in range(warmup):
+        jax.block_until_ready(fn(qw, pool, mask))
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(qw, pool, mask))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    pairs = n_queries * pool_size
+    return pairs / t, {"seconds_per_launch": t, "pairs_per_launch": pairs,
+                       "times": times}
+
+
+def run_train_bench(batch: int, iters: int):
+    """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta)."""
+    import jax
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.models.mms_qa import (
+        V4, mms_qa_init, param_spec)
+    from mms_answer_selection_tpu.training import (
+        SolverConfig, Trainer, TrainerConfig)
+
+    cfg = V4.__class__(**{**V4.__dict__, "vocab_size": 20000})
+    tr = Trainer(cfg, TrainerConfig(batch_size=batch))
+    params, state, opt_state = tr.init()
+    rng = np.random.default_rng(0)
+    b = {
+        "question": jnp.asarray(rng.integers(0, 20000, (batch, 40)), jnp.int32),
+        "answer": jnp.asarray(rng.integers(0, 20000, (batch, 40)), jnp.int32),
+        "overlap_feat": jnp.asarray(rng.random((batch, 2)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, (batch,)), jnp.int32),
+    }
+    out = tr._train_step(params, state, opt_state, b, jnp.asarray(0),
+                         jax.random.PRNGKey(0))
+    jax.block_until_ready(out[3])
+    params, state, opt_state = out[:3]
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, state, opt_state, loss = tr._train_step(
+            params, state, opt_state, b, jnp.asarray(i + 1),
+            jax.random.PRNGKey(i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, {"sec_per_step": dt, "batch": batch}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pool", type=int, default=65536)
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--secondary", action="store_true",
+                    help="also run the training-step benchmark (stderr)")
+    args = ap.parse_args()
+
+    try:
+        pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
+                                                 args.iters)
+        if args.secondary:
+            sps, d2 = run_train_bench(50, 20)
+            print(f"secondary: {sps:.1f} train steps/s {d2}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "learned_metric_pairs_scored_per_sec_per_chip",
+            "value": pairs_per_sec,
+            "unit": "pairs/s",
+            "vs_baseline": pairs_per_sec / 1e7,
+        }))
+    except Exception as e:  # noqa: BLE001
+        print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "learned_metric_pairs_scored_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""The `qa` command-line tool: prep | train | eval | serve | time |
+device_query.
+
+Replaces both the reference's `caffe` brew tool (tools/caffe.cpp:
+train/test/time/device_query) and the TREC-QA driver script
+(examples/trec_qa_w2v_mms/do_trec_qa_clean.py): data prep, training with
+early stopping, trec_eval-formatted scoring, retrieval serving, and the
+per-stage timing harness, configured by typed JSON instead of prototxt.
+
+    python -m mms_answer_selection_tpu.cli prep  --train-xml ... --glove ...
+    python -m mms_answer_selection_tpu.cli train --data DIR --exp DIR
+    python -m mms_answer_selection_tpu.cli eval  --data DIR --exp DIR
+    python -m mms_answer_selection_tpu.cli serve --data DIR --exp DIR -k 10
+    python -m mms_answer_selection_tpu.cli time  [--batch 50]
+    python -m mms_answer_selection_tpu.cli device_query
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+log = logging.getLogger("mms_tpu.cli")
+
+
+# --------------------------------------------------------------------- prep
+def cmd_prep(args):
+    from .data import prepare_trec_qa, save_dataset
+    from .ops.embed import load_pretrained_vectors
+
+    words, vecs = load_pretrained_vectors(args.glove, args.dim)
+    w2v = {w: v for w, v in zip(words, vecs)}
+    log.info("loaded %d pretrained vectors", len(w2v))
+    splits, info = prepare_trec_qa(args.train_xml, args.dev_xml,
+                                   args.test_xml, w2v,
+                                   q_len=args.q_len, a_len=args.a_len)
+    os.makedirs(args.out, exist_ok=True)
+    for name, split in splits.items():
+        save_dataset(os.path.join(args.out, f"{name}.npz"), split)
+        log.info("%s: %d pairs", name, len(split["label"]))
+    np.savez_compressed(
+        os.path.join(args.out, "vocab.npz"),
+        pretrained=info["pretrained"],
+        words=np.asarray(list(info["vocab"].keys())),
+    )
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump({"vocab_size": info["vocab_size"],
+                   "unknown_idx": info["unknown_idx"],
+                   "pad_idx": info["pad_idx"],
+                   "dim": args.dim, "q_len": args.q_len,
+                   "a_len": args.a_len}, f)
+    print(f"wrote {args.out}: vocab_size={info['vocab_size']}")
+
+
+def _load_prepped(data_dir):
+    from .data import load_dataset
+
+    with open(os.path.join(data_dir, "meta.json")) as f:
+        meta = json.load(f)
+    splits = {name: load_dataset(os.path.join(data_dir, f"{name}.npz"))
+              for name in ("train", "dev", "test")
+              if os.path.exists(os.path.join(data_dir, f"{name}.npz"))}
+    vocab = np.load(os.path.join(data_dir, "vocab.npz"), allow_pickle=False)
+    return splits, meta, vocab
+
+
+def _experiment_configs(args, meta):
+    from .models.mms_qa import V4
+    from .training import SolverConfig, TrainerConfig
+    from .utils.config import experiment_from_json
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return experiment_from_json(f.read())
+    model_cfg = dataclasses.replace(
+        V4, vocab_size=meta["vocab_size"], embed_dim=meta["dim"],
+        question_len=meta["q_len"], answer_len=meta["a_len"])
+    trainer_cfg = TrainerConfig(
+        solver=SolverConfig(), max_iter=args.max_iter,
+        snapshot_dir=os.path.join(args.exp, "models"))
+    return model_cfg, trainer_cfg
+
+
+# -------------------------------------------------------------------- train
+def cmd_train(args):
+    from .metrics import trec_eval, write_trec_files
+    from .training import Trainer
+    from .training.checkpoint import save_checkpoint
+    from .utils.config import experiment_to_json
+
+    splits, meta, vocab = _load_prepped(args.data)
+    model_cfg, trainer_cfg = _experiment_configs(args, meta)
+    os.makedirs(args.exp, exist_ok=True)
+    with open(os.path.join(args.exp, "config.json"), "w") as f:
+        f.write(experiment_to_json(model_cfg, trainer_cfg))
+
+    trainer = Trainer(model_cfg, trainer_cfg)
+    hist = trainer.fit(splits["train"], splits["dev"],
+                       test_data=splits.get("test"),
+                       pretrained=vocab["pretrained"], log_every=50)
+    save_checkpoint(args.exp, hist["best_step"],
+                    {"params": hist["params"], "state": hist["state"]},
+                    prefix="best", meta={"dev_map": hist["best_dev_map"]})
+    print(f"best dev MAP {hist['best_dev_map']:.4f} @ step "
+          f"{hist['best_step']}")
+
+    if "test" in splits:
+        res = trainer.evaluate(hist["params"], hist["state"], splits["test"])
+        scores = res["prob"][:, 1]
+        truth = os.path.join(args.exp, "truth")
+        result = os.path.join(args.exp, "result")
+        write_trec_files(truth, result, scores, splits["test"]["label"],
+                         splits["test"]["group"])
+        ev = trec_eval(truth, result)
+        print(json.dumps({k: ev[k] for k in
+                          ("num_q", "map", "recip_rank", "R-prec")}))
+    _write_curves(args.exp, hist)
+
+
+def _write_curves(exp_dir, hist):
+    """Learning curves (curve.png / loss-curve.png analogues); json always,
+    png when matplotlib import succeeds."""
+    with open(os.path.join(exp_dir, "history.json"), "w") as f:
+        json.dump({k: v for k, v in hist.items()
+                   if k not in ("params", "state")}, f)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # noqa: BLE001
+        return
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 8))
+    steps = hist["steps"]
+    for key, color in (("dev_map", "m"), ("dev_mrr", "y"), ("dev_auc", "k"),
+                       ("test_map", "r"), ("test_mrr", "g"),
+                       ("test_auc", "b")):
+        if hist.get(key):
+            ax1.plot(steps[: len(hist[key])], hist[key], color, label=key)
+    ax1.legend(loc=4, ncol=2, fontsize=8)
+    ax1.set_xlabel("iteration")
+    ax2.plot(np.arange(len(hist["train_loss"])), hist["train_loss"], "r",
+             label="train loss")
+    ax2.legend()
+    fig.savefig(os.path.join(exp_dir, "curve.png"))
+    plt.close(fig)
+
+
+# --------------------------------------------------------------------- eval
+def cmd_eval(args):
+    from .metrics import trec_eval
+    from .training import Trainer
+    from .training.checkpoint import latest_checkpoint, load_checkpoint
+
+    splits, meta, vocab = _load_prepped(args.data)
+    model_cfg, trainer_cfg = _experiment_configs(args, meta)
+    path = args.ckpt or latest_checkpoint(args.exp, prefix="best") or \
+        latest_checkpoint(os.path.join(args.exp, "models"))
+    if path is None:
+        sys.exit("no checkpoint found")
+    bundle, ck_meta = load_checkpoint(path)
+    trainer = Trainer(model_cfg, trainer_cfg)
+    split = splits[args.split]
+    res = trainer.evaluate(bundle["params"], bundle["state"], split)
+    ev = trec_eval(scores=res["prob"][:, 1], labels=split["label"],
+                   groups=split["group"])
+    print(json.dumps({"in_graph_map": float(res["map"]),
+                      "in_graph_mrr": float(res["mrr"]),
+                      "auc": float(res["auc"]),
+                      "trec_map": ev.get("map"),
+                      "trec_mrr": ev.get("recip_rank")}))
+
+
+# -------------------------------------------------------------------- serve
+def cmd_serve(args):
+    from .serve import QueryEngine
+    from .training.checkpoint import latest_checkpoint, load_checkpoint
+
+    splits, meta, vocab = _load_prepped(args.data)
+    model_cfg, _ = _experiment_configs(args, meta)
+    path = args.ckpt or latest_checkpoint(args.exp, prefix="best")
+    if path is None:
+        sys.exit("no checkpoint found")
+    bundle, _ = load_checkpoint(path)
+    split = splits[args.split]
+    engine = QueryEngine(bundle["params"], model_cfg)
+    engine.build_index(split["answer"])
+    n = min(args.n_queries, len(split["question"]))
+    vals, idx = engine.query(split["question"][:n], k=args.k)
+    for qi in range(n):
+        print(json.dumps({"query": qi,
+                          "topk": [[int(i), float(v)] for i, v in
+                                   zip(np.asarray(idx[qi]),
+                                       np.asarray(vals[qi]))]}))
+
+
+# --------------------------------------------------------------------- time
+def cmd_time(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.mms_qa import V4, mms_qa_init
+    from .utils.timer import benchmark, stage_times
+
+    cfg = dataclasses.replace(V4, vocab_size=20000)
+    params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "question": jnp.asarray(rng.integers(0, 20000, (args.batch, 40)),
+                                jnp.int32),
+        "answer": jnp.asarray(rng.integers(0, 20000, (args.batch, 40)),
+                              jnp.int32),
+        "overlap_feat": jnp.asarray(
+            rng.random((args.batch, 2)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, (args.batch,)), jnp.int32),
+    }
+    stages = stage_times(params, state, batch, cfg, iters=args.iters)
+    from .models.mms_qa import mms_qa_apply
+    full = benchmark(
+        jax.jit(lambda p, s, b: mms_qa_apply(p, s, b, cfg, train=False)[0][
+            "logits"]), params, state, batch, iters=args.iters)
+    table = {name: round(r["p50_s"] * 1e3, 4) for name, r in stages.items()}
+    table["full_forward"] = round(full["p50_s"] * 1e3, 4)
+    print(json.dumps({"batch": args.batch, "p50_ms": table,
+                      "note": "stage times are separately-jitted; the fused "
+                              "full_forward is the real number"}))
+
+
+def cmd_device_query(args):
+    import jax
+
+    for d in jax.devices():
+        print(json.dumps({"id": d.id, "platform": d.platform,
+                          "kind": d.device_kind,
+                          "process": d.process_index}))
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    ap = argparse.ArgumentParser(prog="qa")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prep", help="TREC-QA XML + vectors -> packed arrays")
+    p.add_argument("--train-xml", required=True)
+    p.add_argument("--dev-xml", required=True)
+    p.add_argument("--test-xml", required=True)
+    p.add_argument("--glove", required=True)
+    p.add_argument("--dim", type=int, default=50)
+    p.add_argument("--q-len", type=int, default=40)
+    p.add_argument("--a-len", type=int, default=40)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser("train", help="train + early stop + trec_eval score")
+    p.add_argument("--data", required=True)
+    p.add_argument("--exp", required=True)
+    p.add_argument("--config", help="experiment config json")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="evaluate a checkpoint on a split")
+    p.add_argument("--data", required=True)
+    p.add_argument("--exp", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--config")
+    p.add_argument("--split", default="test")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve", help="index candidates + top-k retrieval")
+    p.add_argument("--data", required=True)
+    p.add_argument("--exp", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--config")
+    p.add_argument("--split", default="test")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-queries", type=int, default=5)
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("time", help="per-stage + full-forward timing")
+    p.add_argument("--batch", type=int, default=50)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_time)
+
+    p = sub.add_parser("device_query", help="list accelerator devices")
+    p.set_defaults(fn=cmd_device_query)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

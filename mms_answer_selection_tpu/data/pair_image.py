@@ -1,0 +1,158 @@
+"""Image-pair data pipeline (the "multi-modal" metric-learning input).
+
+Reference: PairImageDataLayer (src/caffe/layers/pair_image_data_layer.cpp:
+26-178; proto caffe.proto:434-463): a list file of
+
+    img1_path img2_path angle1 angle2 label
+
+rows, both images loaded per row, optionally resized / scaled /
+mean-subtracted / mirrored (the DataTransformer subset the layer uses),
+shuffled per epoch with rand_skip.  The reference stacks the pair along the
+channel axis; this pipeline keeps them as two NHWC tensors (the siamese
+model shares weights anyway, and separate tensors let the encoder batch
+img1 ⧺ img2 in one pass -- better MXU utilization than doubling channels).
+
+Image IO: PIL when available; ``.npy`` arrays always (tests and synthetic
+pools use npy -- no image codec dependency on the TPU host).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def parse_pair_list(path_or_text: str):
+    """Returns list of (img1, img2, angle1, angle2, label)."""
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            lines = f.read().splitlines()
+    else:
+        lines = path_or_text.splitlines()
+    rows = []
+    for line in lines:
+        parts = line.split()
+        if len(parts) < 5:
+            continue
+        rows.append((parts[0], parts[1], float(parts[2]), float(parts[3]),
+                     int(parts[4])))
+    return rows
+
+
+def load_image(path: str, *, new_height: int = 0, new_width: int = 0,
+               is_color: bool = True) -> np.ndarray:
+    """-> float32 HWC in [0, 255] (the reference's cv::Mat convention)."""
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+    else:
+        from PIL import Image  # gated: only needed for real image files
+
+        img = Image.open(path)
+        img = img.convert("RGB" if is_color else "L")
+        if new_height and new_width:
+            img = img.resize((new_width, new_height))
+        arr = np.asarray(img, np.float32)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+    if new_height and new_width and arr.shape[:2] != (new_height, new_width):
+        raise ValueError("npy images must already be target-sized")
+    return arr
+
+
+def transform(arr, *, scale: float = 1.0, mean=None, crop_size: int = 0,
+              mirror: bool = False, rng=None, train: bool = True):
+    """DataTransformer subset (src/caffe/data_transformer.cpp): mean
+    subtract -> crop (random at train, center at test) -> mirror -> scale."""
+    if mean is not None:
+        arr = arr - mean
+    if crop_size:
+        h, w = arr.shape[:2]
+        if train and rng is not None:
+            y = int(rng.integers(0, h - crop_size + 1))
+            x = int(rng.integers(0, w - crop_size + 1))
+        else:
+            y, x = (h - crop_size) // 2, (w - crop_size) // 2
+        arr = arr[y: y + crop_size, x: x + crop_size]
+    if mirror and rng is not None and rng.random() < 0.5:
+        arr = arr[:, ::-1]
+    return arr * scale
+
+
+class PairImageDataset:
+    """Batch iterator over an image-pair list file.
+
+    Matches the reference layer's epoch behavior: shuffle per epoch
+    (pair_image_data_layer.cpp:93-100), rand_skip at start (:83-90),
+    wrap-around at the end of the list (:150-157).
+    """
+
+    def __init__(self, list_file: str, batch_size: int, *, root: str = "",
+                 seed: int = 0, shuffle: bool = True, rand_skip: int = 0,
+                 new_height: int = 0, new_width: int = 0,
+                 scale: float = 1.0, mean=None, crop_size: int = 0,
+                 mirror: bool = False, train: bool = True):
+        self.rows = parse_pair_list(list_file)
+        if not self.rows:
+            raise ValueError("empty pair list")
+        self.root = root
+        self.bs = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.shuffle = shuffle
+        self.kw = dict(new_height=new_height, new_width=new_width)
+        self.tf = dict(scale=scale, mean=mean, crop_size=crop_size,
+                       mirror=mirror, train=train)
+        self.order = np.arange(len(self.rows))
+        if shuffle:
+            self.rng.shuffle(self.order)
+        self.cursor = int(self.rng.integers(0, rand_skip + 1)) if rand_skip \
+            else 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        img1s, img2s, angles, labels = [], [], [], []
+        for _ in range(self.bs):
+            if self.cursor >= len(self.order):
+                self.cursor = 0
+                if self.shuffle:
+                    self.rng.shuffle(self.order)
+            row = self.rows[self.order[self.cursor]]
+            self.cursor += 1
+            a = load_image(os.path.join(self.root, row[0]), **self.kw)
+            b = load_image(os.path.join(self.root, row[1]), **self.kw)
+            img1s.append(transform(a, rng=self.rng, **self.tf))
+            img2s.append(transform(b, rng=self.rng, **self.tf))
+            angles.append((row[2], row[3]))
+            labels.append(row[4])
+        return {
+            "img1": np.stack(img1s).astype(np.float32),
+            "img2": np.stack(img2s).astype(np.float32),
+            "angles": np.asarray(angles, np.float32),
+            "label": np.asarray(labels, np.float32),
+        }
+
+
+def synthetic_pair_corpus(directory, n_pairs=32, hw=16, channels=1, seed=0):
+    """Write .npy images + list file with a plantable signal: label-1 pairs
+    are near-duplicates, label-0 pairs are independent noise."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(directory, exist_ok=True)
+    lines = []
+    for i in range(n_pairs):
+        label = int(rng.random() < 0.5)
+        a = rng.normal(size=(hw, hw, channels)).astype(np.float32)
+        b = a + 0.05 * rng.normal(size=a.shape).astype(np.float32) \
+            if label else rng.normal(size=a.shape).astype(np.float32)
+        pa, pb = f"a{i}.npy", f"b{i}.npy"
+        np.save(os.path.join(directory, pa), a)
+        np.save(os.path.join(directory, pb), b)
+        lines.append(f"{pa} {pb} 0.0 0.0 {label}")
+    list_file = os.path.join(directory, "pairs.txt")
+    with open(list_file, "w") as f:
+        f.write("\n".join(lines))
+    return list_file

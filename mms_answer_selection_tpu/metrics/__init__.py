@@ -1,0 +1,11 @@
+from .ir_metrics import (  # noqa: F401
+    mean_reciprocal_rank,
+    mean_average_precision,
+    auc,
+    rank_accuracy,
+    mean_reciprocal_rank_jax,
+    mean_average_precision_jax,
+    auc_jax,
+    rank_accuracy_jax,
+)
+from .trec_eval import write_trec_files, trec_eval  # noqa: F401

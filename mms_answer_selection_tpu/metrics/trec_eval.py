@@ -1,0 +1,177 @@
+"""trec_eval-compatible scoring harness.
+
+The reference's published MAP/MRR come from shelling out to the external
+``trec_eval-8.0`` C binary over two text files written by the driver
+(do_trec_qa_clean.py:638-650).  This module reproduces both sides in-process:
+
+* ``write_trec_files`` writes byte-compatible ``truth`` (qrels) and
+  ``result`` (run) files, including the driver's filtering of groups that
+  are all-positive or all-negative (do_trec_qa_clean.py:640,646) and its
+  ``groupid+1 0 idx ...`` field layout.
+* ``trec_eval`` computes the headline measures trec_eval-8.0 reports:
+  num_q/num_ret/num_rel/num_rel_ret, MAP, R-prec, recip_rank (MRR),
+  interpolated precision at 11 recall points, and P@k.  Ranking follows
+  trec_eval's convention: sort by similarity descending, ties broken by
+  document id *descending* (trec_eval-8.0 trvec_teval.c ranking rule).
+
+Having both lets tests assert that the in-graph jax metrics, the numpy
+metrics, and the trec_eval-convention scores agree on tie-free data, and
+makes the divergence on ties explicit instead of accidental.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+P_AT_K = (5, 10, 15, 20, 30, 100, 200, 500, 1000)
+RECALL_POINTS = tuple(i / 10.0 for i in range(11))
+
+
+def filter_effective_groups(scores, labels, groups):
+    """Drop samples of groups that are all-positive or all-negative,
+    mirroring the driver's ``check`` filter (do_trec_qa_clean.py:640)."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+    groups = np.asarray(groups).astype(np.int64)
+    keep = np.zeros(len(scores), dtype=bool)
+    for g in np.unique(groups):
+        sel = groups == g
+        s = labels[sel].sum()
+        if 0 < s < sel.sum():
+            keep |= sel
+    return scores[keep], labels[keep], groups[keep]
+
+
+def write_trec_files(truth_path, result_path, scores, labels, groups,
+                     *, run_tag: str = "glove"):
+    """Write qrels + run files in the driver's exact format."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+    groups = np.asarray(groups).astype(np.int64)
+    by_group: dict[int, list[int]] = defaultdict(list)
+    for idx, g in enumerate(groups):
+        by_group[int(g)].append(idx)
+    with open(truth_path, "w") as ft, open(result_path, "w") as fr:
+        for g, idxs in by_group.items():
+            total = sum(int(labels[i]) for i in idxs)
+            if not (0 < total < len(idxs)):
+                continue
+            for local, i in enumerate(idxs):
+                ft.write(f"{g + 1} 0 {local} {int(labels[i])} \n")
+                fr.write(f"{g + 1} 0 {local} 1 {scores[i]} {run_tag} \n")
+
+
+def _parse_qrels(path):
+    rel: dict[str, dict[str, int]] = defaultdict(dict)
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qid, _iter, doc, judgment = parts[0], parts[1], parts[2], parts[3]
+            rel[qid][doc] = int(judgment)
+    return rel
+
+
+def _parse_run(path):
+    run: dict[str, list[tuple[str, float]]] = defaultdict(list)
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 6:
+                continue
+            qid, doc, sim = parts[0], parts[2], float(parts[4])
+            run[qid].append((doc, sim))
+    return run
+
+
+def trec_eval(truth_path=None, result_path=None, *, scores=None, labels=None,
+              groups=None):
+    """Compute trec_eval-8.0 headline measures.
+
+    Accepts either file paths (as the external binary does) or in-memory
+    arrays (which are routed through the same effective-group filter the
+    file writer applies).
+    """
+    if truth_path is not None:
+        qrels = _parse_qrels(truth_path)
+        run = _parse_run(result_path)
+    else:
+        s, l, g = filter_effective_groups(scores, labels, groups)
+        qrels, run = defaultdict(dict), defaultdict(list)
+        by_group: dict[int, int] = defaultdict(int)
+        for score, lab, grp in zip(s, l, g):
+            local = by_group[int(grp)]
+            by_group[int(grp)] += 1
+            qid = str(int(grp) + 1)
+            qrels[qid][str(local)] = int(lab)
+            run[qid].append((str(local), float(score)))
+
+    num_q = 0
+    num_ret = num_rel = num_rel_ret = 0
+    sum_ap = sum_rr = sum_rprec = 0.0
+    sum_p_at = {k: 0.0 for k in P_AT_K}
+    sum_iprec = {r: 0.0 for r in RECALL_POINTS}
+
+    for qid, docs in run.items():
+        judged = qrels.get(qid, {})
+        n_rel = sum(1 for v in judged.values() if v > 0)
+        if n_rel == 0:
+            continue  # trec_eval skips queries with no relevant docs
+        num_q += 1
+        num_ret += len(docs)
+        num_rel += n_rel
+        # trec_eval ranking: sim descending, ties by docno descending
+        ranked = sorted(docs, key=lambda d: (-d[1], _doc_key(d[0])))
+        rels = [1 if judged.get(doc, 0) > 0 else 0 for doc, _ in ranked]
+        hits = 0
+        ap = 0.0
+        rr = 0.0
+        prec_at_recall = []
+        for pos, r in enumerate(rels, start=1):
+            if r:
+                hits += 1
+                ap += hits / pos
+                if rr == 0.0:
+                    rr = 1.0 / pos
+                prec_at_recall.append((hits / n_rel, hits / pos))
+        num_rel_ret += hits
+        sum_ap += ap / n_rel
+        sum_rr += rr
+        sum_rprec += sum(rels[:n_rel]) / n_rel
+        for k in P_AT_K:
+            sum_p_at[k] += sum(rels[:k]) / k
+        # 11-point interpolated precision: max precision at recall >= r
+        for r in RECALL_POINTS:
+            best = 0.0
+            for rec, prec in prec_at_recall:
+                if rec >= r - 1e-12:
+                    best = max(best, prec)
+            sum_iprec[r] += best
+
+    if num_q == 0:
+        return {"num_q": 0}
+    out = {
+        "num_q": num_q,
+        "num_ret": num_ret,
+        "num_rel": num_rel,
+        "num_rel_ret": num_rel_ret,
+        "map": sum_ap / num_q,
+        "recip_rank": sum_rr / num_q,
+        "R-prec": sum_rprec / num_q,
+    }
+    for k in P_AT_K:
+        out[f"P_{k}"] = sum_p_at[k] / num_q
+    for r in RECALL_POINTS:
+        out[f"ircl_prn.{r:.2f}"] = sum_iprec[r] / num_q
+    return out
+
+
+def _doc_key(doc: str):
+    """Descending docno order; numeric when possible (our docnos are ints)."""
+    try:
+        return -int(doc)
+    except ValueError:
+        return tuple(-ord(c) for c in doc)

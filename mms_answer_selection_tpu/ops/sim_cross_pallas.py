@@ -1,0 +1,291 @@
+"""Fused Pallas TPU kernels for the learned bilinear Q×A metric.
+
+The reference's mode-2 SimCross is its performance hole: 2 GEMMs per
+(sample, measure) on the forward and 6 on the backward, issued one BLAS call
+at a time from a host loop, with the GPU build falling back to CPU entirely
+(sim_cross_layer.cu:187-189, 240-242).  These kernels are the TPU-native
+replacement, designed around the MXU and VMEM rather than translated:
+
+* ``bilinear_pair_maps`` -- training-path op producing the dense per-pair
+  map (N, W1, W2, M) with a custom_vjp whose backward is the analytic
+  gradient set (the 6-GEMM math of sim_cross_layer.cpp:282-300) expressed as
+  three batched einsums that XLA lowers to MXU GEMMs.  The forward runs as a
+  Pallas kernel on TPU (one grid step per sample; Q·W_m staged in VMEM) and
+  as the reference einsum elsewhere.
+
+* ``bilinear_maxsim_scores`` -- the retrieval-path kernel (BASELINE.json
+  configs[3]): scores every query against every candidate under the learned
+  metric with MaxSim aggregation  score(q, c) = Σ_m Σ_i max_j q_i^T W_m c_j,
+  computed flash-style: the (Nq·M·W1) × (Nc·W2) similarity matrix is tiled
+  through VMEM and reduced in-register -- it NEVER hits HBM (materializing
+  it for 1M candidates would be ~10 TB).  One MXU matmul per (query, c-tile)
+  plus an in-kernel segmented max/sum.
+
+Layout/padding rules (pallas_guide.md tiling table): the embedding dim D is
+zero-padded to 128 lanes (zeros contribute nothing to q·W·a), candidate
+token rows are padded to ``W2P`` (64) rows per candidate with an additive
+-inf mask so padded tokens never win the max, and query rows (M*W1) are
+already sublane-aligned for the recipe shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_last(x, size: int):
+    pad = size - x.shape[-1]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ===========================================================================
+# training-path pair maps with analytic VJP
+# ===========================================================================
+
+def _pair_map_kernel(q_ref, at_ref, w_ref, o_ref, *, m_count, w1, w2, dp):
+    """One sample per grid step: o[m] = (q @ w[m]) @ a^T.
+
+    q_ref: (W1, Dp); at_ref: (Dp, W2) [A pre-transposed on host];
+    w_ref: (M*Dp, Dp); o_ref: (M, W1, W2)."""
+    q = q_ref[:]
+    for m in range(m_count):
+        w_m = w_ref[pl.ds(m * dp, dp), :]
+        qw = jnp.dot(q, w_m, preferred_element_type=jnp.float32)
+        s = jnp.dot(qw, at_ref[:], preferred_element_type=jnp.float32)
+        o_ref[m, :, :] = s
+
+
+def _pair_maps_forward(q, a, w, *, interpret: bool):
+    n, w1, d = q.shape
+    w2 = a.shape[1]
+    m_count = w.shape[0]
+    dp = _round_up(d, LANE)
+    qp = _pad_last(q, dp)                      # (N, W1, Dp)
+    atp = _pad_last(a, dp).transpose(0, 2, 1)  # (N, Dp, W2)
+    wp = jnp.pad(w, ((0, 0), (0, dp - d), (0, dp - d)))
+    wp = wp.reshape(m_count * dp, dp)
+
+    out = pl.pallas_call(
+        functools.partial(_pair_map_kernel, m_count=m_count, w1=w1, w2=w2,
+                          dp=dp),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, w1, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, dp, w2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_count * dp, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, m_count, w1, w2), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m_count, w1, w2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m_count * (w1 * dp * dp + w1 * dp * w2),
+            bytes_accessed=(qp.size + atp.size + wp.size + n * m_count * w1
+                            * w2) * 4,
+            transcendentals=0,
+        ),
+    )(qp, atp, wp)
+    # (N, M, W1, W2) -> NHWC (N, W1, W2, M)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bilinear_pair_maps(q, a, w, interpret=None):
+    """Fused SimCross mode-2 forward: (N,W1,D),(N,W2,D),(M,D,D) ->
+    (N, W1, W2, M).  Bias, when used, is added by the caller (it is a plain
+    broadcast add XLA fuses anyway).
+
+    On non-TPU backends (or interpret=True) this runs the reference einsum;
+    gradients are always the analytic closed forms below.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    if interpret:
+        return jnp.einsum("nid,mde,nje->nijm", q, w, a,
+                          precision=jax.lax.Precision.HIGHEST)
+    return _pair_maps_forward(q, a, w, interpret=False)
+
+
+def _pair_maps_fwd(q, a, w, interpret):
+    return bilinear_pair_maps(q, a, w, interpret), (q, a, w)
+
+
+def _pair_maps_bwd(interpret, res, g):
+    """Analytic backward -- the batched form of the reference's 6 GEMMs
+    (sim_cross_layer.cpp:282-300):
+      dW[m] = sum_n q_n^T G[n,:,:,m] a_n
+      dQ[n] = sum_m G[n,:,:,m] a_n W_m^T
+      dA[n] = sum_m G[n,:,:,m]^T q_n W_m
+    """
+    q, a, w = res
+    prec = jax.lax.Precision.HIGHEST
+    dw = jnp.einsum("nid,nijm,nje->mde", q, g, a, precision=prec)
+    dq = jnp.einsum("nijm,mde,nje->nid", g, w, a, precision=prec)
+    da = jnp.einsum("nijm,mde,nid->nje", g, w, q, precision=prec)
+    return dq, da, dw
+
+
+bilinear_pair_maps.defvjp(_pair_maps_fwd, _pair_maps_bwd)
+
+
+# ===========================================================================
+# retrieval-path fused scorer (flash-style, no HBM materialization)
+# ===========================================================================
+
+W2P = 64          # padded tokens per candidate
+C_BLOCK = 128     # candidates per grid step (output row tile)
+C_SUB = 8         # candidates per inner matmul chunk (C_SUB*W2P = 512 rows)
+Q_SUB = 8         # queries per inner matmul chunk
+
+
+def _maxsim_kernel(qw_ref, pool_ref, mask_ref, o_ref, *, c_block, c_sub,
+                   q_sub, w2p, rows_per_q, nq):
+    """One candidate-tile grid step; all queries scored per step.
+
+    qw_ref:   (NQ*R, Dp)         every query's metric-projected tokens
+    pool_ref: (C_BLOCK*W2P, Dp)  candidate token tile
+    mask_ref: (C_BLOCK*W2P, 1)   0 real token / -inf padding, per row
+    o_ref:    (C_BLOCK, NQ)      scores, transposed layout
+
+    The matmul runs transposed -- S = pool_chunk . qw_chunk^T -- so the
+    per-candidate token axis lands on SUBLANES where the (c_sub, w2p, ...)
+    split is free; the per-query sum over R lanes is a constant 0/1
+    selector matmul (lane-segmented reductions have no native vector op).
+    """
+    r = rows_per_q
+    # selector: (Q_SUB*R, Q_SUB) with sel[l, q] = 1 iff l // R == q
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (q_sub * r, q_sub), 0) // r
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (q_sub * r, q_sub), 1)
+    sel = (row_q == col_q).astype(jnp.float32)
+
+    for t in range(c_block // c_sub):
+        rows = c_sub * w2p
+        chunk = pool_ref[pl.ds(t * rows, rows), :]
+        m = mask_ref[pl.ds(t * rows, rows), :]
+        q_parts = []
+        for qb in range(nq // q_sub):
+            qw = qw_ref[pl.ds(qb * q_sub * r, q_sub * r), :]
+            # (c_sub*W2P, Dp) x (Q_SUB*R, Dp)^T -> (c_sub*W2P, Q_SUB*R)
+            s = jax.lax.dot_general(
+                chunk, qw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + m  # broadcast over lanes
+            s3 = s.reshape(c_sub, w2p, q_sub * r)  # sublane split: free
+            per_cand = jnp.max(s3, axis=1)         # (c_sub, Q_SUB*R)
+            # segmented lane sum over each query's R columns via MXU
+            q_parts.append(jnp.dot(per_cand, sel,
+                                   preferred_element_type=jnp.float32))
+        o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
+
+
+def pack_candidate_pool(tokens, *, w2p: int = W2P, dtype=jnp.bfloat16):
+    """(C, W2, D) candidate token embeddings -> (pool, mask) padded for the
+    kernel: pool (C, W2P, Dp) in ``dtype``; mask (C, W2P) additive f32."""
+    c, w2, d = tokens.shape
+    dp = _round_up(d, LANE)
+    if w2 > w2p:
+        raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
+    pool = jnp.zeros((c, w2p, dp), dtype)
+    pool = pool.at[:, :w2, :d].set(tokens.astype(dtype))
+    mask = jnp.full((c, w2p), NEG_INF, jnp.float32).at[:, :w2].set(0.0)
+    return pool, mask
+
+
+def project_queries(q_tokens, w, *, dtype=jnp.bfloat16):
+    """(Nq, W1, D) x (M, D, D) -> (Nq, M*W1, Dp): each query's tokens
+    pre-multiplied by every metric matrix (amortized over the whole pool)."""
+    nq, w1, d = q_tokens.shape
+    m = w.shape[0]
+    dp = _round_up(d, LANE)
+    qw = jnp.einsum("nid,mde->nmie", q_tokens, w,
+                    precision=jax.lax.Precision.HIGHEST)
+    qw = qw.reshape(nq, m * w1, d)
+    return _pad_last(qw, dp).astype(dtype)
+
+
+def bilinear_maxsim_scores(qw, pool, mask, *, c_block: int = C_BLOCK,
+                           c_sub: int = C_SUB, q_sub: int = Q_SUB,
+                           interpret: bool | None = None):
+    """Score every query against every candidate.
+
+    qw:   (Nq, R, Dp)   from project_queries (R = M*W1)
+    pool: (C, W2P, Dp)  from pack_candidate_pool; C % c_block == 0
+    mask: (C, W2P)
+    Returns (Nq, C) f32 scores: sum_m sum_i max_j q_i W_m c_j.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    nq, rows_per_q, dp = qw.shape
+    c, w2p, dp2 = pool.shape
+    assert dp == dp2
+    if c % c_block:
+        raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
+    # pad queries to a q_sub multiple (zero queries score 0, sliced off)
+    nq_pad = _round_up(nq, q_sub)
+    if nq_pad != nq:
+        qw = jnp.pad(qw, ((0, nq_pad - nq), (0, 0), (0, 0)))
+    qw_flat = qw.reshape(nq_pad * rows_per_q, dp)
+    pool_flat = pool.reshape(c * w2p, dp)
+    mask_flat = mask.reshape(c * w2p, 1)
+
+    grid = (c // c_block,)
+    kernel = functools.partial(_maxsim_kernel, c_block=c_block, c_sub=c_sub,
+                               q_sub=q_sub, w2p=w2p, rows_per_q=rows_per_q,
+                               nq=nq_pad)
+    flops = 2 * nq_pad * c * rows_per_q * w2p * dp
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq_pad * rows_per_q, dp), lambda j: (0, 0)),
+            pl.BlockSpec((c_block * w2p, dp), lambda j: (j, 0)),
+            pl.BlockSpec((c_block * w2p, 1), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((c_block, nq_pad), lambda j: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, nq_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # parallel: every candidate tile writes a distinct output block
+            # ("arbitrary" would make Mosaic hold the whole output resident
+            # in VMEM as a potential cross-step reduction)
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=qw.size * qw.dtype.itemsize
+            + pool.size * pool.dtype.itemsize
+            + c * nq_pad * 4,
+            transcendentals=0,
+        ),
+    )(qw_flat, pool_flat, mask_flat)
+    return out.T[:nq]
+
+
+def bilinear_maxsim_scores_reference(q_tokens, cand_tokens, w):
+    """Unfused reference for testing: materializes the full map."""
+    s = jnp.einsum("qid,mde,cje->qmicj", q_tokens, w, cand_tokens,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(jnp.max(s, axis=-1), axis=(1, 2))

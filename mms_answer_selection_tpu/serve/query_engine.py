@@ -1,0 +1,186 @@
+"""Query engine: index a candidate pool, batch-score queries, top-k on-chip.
+
+This replaces the reference's serve path -- `caffe test` / pycaffe
+net.forward over a whole split at once (tools/caffe.cpp:229-296,
+do_trec_qa_clean.py:617-652) -- with an actual retrieval engine
+(BASELINE.json configs[3]: brute-force learned-metric retrieval over a 1M
+candidate pool, sharded top-k across a mesh):
+
+* ``build_index`` embeds and packs the candidate pool once, sharded over the
+  mesh's devices along the candidate axis (the serve-time long axis).
+* ``query`` projects the query tokens through the learned metric (Q·W_m
+  amortized over the pool), scores every candidate with the fused Pallas
+  MaxSim kernel -- the (Nq·M·W1)×(Nc·W2) similarity tensor never touches
+  HBM -- and selects top-k per shard with ``lax.top_k`` before a global
+  merge, so only (shards × k) candidates ever cross the ICI.
+* ``score_pairs`` runs the full interaction model (conv encoder over the
+  Q×A map) for exact reference-model scores on explicit pairs -- the
+  rescoring stage of a two-phase retrieve-then-rerank serve.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.mms_qa import MMSQAConfig, mms_qa_apply
+from ..ops.embed import embed_lookup
+from ..ops.sim_cross_pallas import (
+    C_BLOCK,
+    bilinear_maxsim_scores,
+    pack_candidate_pool,
+    project_queries,
+)
+
+
+def topk_merge(vals, idxs, k):
+    """Merge per-shard top-k: (S, Nq, k) -> global (Nq, k)."""
+    s, nq, kk = vals.shape
+    flat_v = jnp.transpose(vals, (1, 0, 2)).reshape(nq, s * kk)
+    flat_i = jnp.transpose(idxs, (1, 0, 2)).reshape(nq, s * kk)
+    top_v, pos = jax.lax.top_k(flat_v, k)
+    return top_v, jnp.take_along_axis(flat_i, pos, axis=1)
+
+
+class QueryEngine:
+    """Learned-metric retrieval over a fixed candidate pool.
+
+    params: trained model params (uses 'embed' and 'sim' -- the learned
+    metric); cfg: the model config; mesh: optional 1-axis ('c',) or 2-axis
+    mesh whose LAST axis shards the candidate pool.
+    """
+
+    def __init__(self, params, cfg: MMSQAConfig, *, mesh: Mesh | None = None,
+                 pool_dtype=jnp.bfloat16, interpret: bool | None = None):
+        if cfg.sim_mode != 2:
+            raise ValueError("query engine requires the learned bilinear "
+                             "metric (sim_mode=2)")
+        self.params = params
+        self.cfg = cfg
+        self.mesh = mesh
+        self.pool_dtype = pool_dtype
+        self.interpret = interpret
+        self.pool = None
+        self.mask = None
+        self.pool_size = 0
+        self._padded_size = 0
+        self._query_jit = None
+
+    # ------------------------------------------------------------------ build
+    def build_index(self, candidate_ids):
+        """candidate_ids: int (C, W2) token ids.  Embeds with the trained
+        table and packs/shards the pool."""
+        candidate_ids = jnp.asarray(candidate_ids)
+        c = candidate_ids.shape[0]
+        shards = 1 if self.mesh is None else int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        # pad pool to a multiple of (shards * C_BLOCK)
+        mult = shards * C_BLOCK
+        c_pad = (c + mult - 1) // mult * mult
+        if c_pad != c:
+            pad_rows = jnp.zeros((c_pad - c, candidate_ids.shape[1]),
+                                 candidate_ids.dtype)
+            candidate_ids = jnp.concatenate([candidate_ids, pad_rows], 0)
+        tokens = embed_lookup(self.params["embed"], candidate_ids)
+        pool, mask = pack_candidate_pool(tokens, dtype=self.pool_dtype)
+        # padded (fake) candidates: mask out every token so scores = -inf-ish
+        if c_pad != c:
+            mask = mask.at[c:].set(-1e30)
+        if self.mesh is not None:
+            axis = self.mesh.axis_names[-1] if len(self.mesh.axis_names) == 1 \
+                else self.mesh.axis_names
+            spec = P(axis)
+            pool = jax.device_put(pool, NamedSharding(self.mesh, spec))
+            mask = jax.device_put(mask, NamedSharding(self.mesh, spec))
+        self.pool, self.mask = pool, mask
+        self.pool_size, self._padded_size = c, c_pad
+        self._query_jit = None
+        return self
+
+    # ------------------------------------------------------------------ query
+    def _build_query_fn(self, k: int):
+        cfg, mesh = self.cfg, self.mesh
+        interpret = self.interpret
+        w = self.params["sim"]["w"]
+        embed_params = self.params["embed"]
+        pool_dtype = self.pool_dtype
+
+        def embed_and_project(query_ids):
+            q_tokens = embed_lookup(embed_params, query_ids)
+            return project_queries(q_tokens, w, dtype=pool_dtype)
+
+        if mesh is None:
+            def query_fn(query_ids, pool, mask):
+                qw = embed_and_project(query_ids)
+                scores = bilinear_maxsim_scores(qw, pool, mask,
+                                                interpret=interpret)
+                vals, idx = jax.lax.top_k(scores, k)
+                return vals, idx
+            return jax.jit(query_fn)
+
+        axes = mesh.axis_names if len(mesh.axis_names) > 1 \
+            else mesh.axis_names[0]
+
+        def shard_fn(query_ids, pool, mask):
+            # per-shard scoring; pool/mask carry the local shard
+            qw = embed_and_project(query_ids)
+            scores = bilinear_maxsim_scores(qw, pool, mask,
+                                            interpret=interpret)
+            vals, idx = jax.lax.top_k(scores, k)
+            shard_sz = pool.shape[0]
+            if isinstance(axes, tuple):
+                shard_i = jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]] \
+                    + jax.lax.axis_index(axes[1])
+            else:
+                shard_i = jax.lax.axis_index(axes)
+            idx = idx + shard_i * shard_sz
+            # gather the (small) per-shard winners everywhere and merge
+            vals_all = jax.lax.all_gather(vals, axes)     # (S, Nq, k)
+            idx_all = jax.lax.all_gather(idx, axes)
+            if isinstance(axes, tuple):
+                s = vals_all.shape[0] * vals_all.shape[1]
+                vals_all = vals_all.reshape((s,) + vals.shape)
+                idx_all = idx_all.reshape((s,) + idx.shape)
+            return topk_merge(vals_all, idx_all, k)
+
+        pool_spec = P(axes)
+        # check_vma=False: pallas_call inside shard_map would otherwise
+        # require vma annotations on its out_shape (jax 0.9 vma checking)
+        mapped = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), pool_spec, pool_spec),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(mapped)
+
+    def query(self, query_ids, k: int = 10):
+        """query_ids: int (Nq, W1).  Returns (scores (Nq, k), indices
+        (Nq, k)) of the top-k candidates under the learned metric."""
+        if self.pool is None:
+            raise RuntimeError("build_index first")
+        k = min(k, self._padded_size)
+        if self._query_jit is None or self._query_jit[0] != k:
+            self._query_jit = (k, self._build_query_fn(k))
+        vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool,
+                                       self.mask)
+        return vals, idx
+
+    # ------------------------------------------------------- exact rescoring
+    def score_pairs(self, state, query_ids, candidate_ids, overlap_feat=None):
+        """Full interaction-model scores for explicit (query, candidate)
+        pairs -- the exact `caffe test` scoring path, used to rerank the
+        retrieval shortlist.  Returns P(correct) per pair."""
+        n = query_ids.shape[0]
+        if overlap_feat is None:
+            overlap_feat = jnp.zeros((n, self.cfg.overlap_features),
+                                     jnp.float32)
+        batch = {"question": jnp.asarray(query_ids),
+                 "answer": jnp.asarray(candidate_ids),
+                 "overlap_feat": overlap_feat}
+        out, _ = mms_qa_apply(self.params, state, batch, self.cfg,
+                              train=False)
+        return out["prob"][:, 1]

@@ -1,0 +1,69 @@
+"""Checkpoint / resume: the .caffemodel + .solverstate replacement.
+
+The reference snapshots two artifacts -- model weights (Net::ToProto,
+net.cpp:847-856) and solver state (iter + optimizer history,
+SGDSolver::SnapshotSolverState*, sgd_solver.cpp:246-347) -- and restores by
+file extension (Solver::Restore, solver.cpp:470-481).  Here one checkpoint
+directory per step carries the full pytree bundle:
+
+    <dir>/qa_iter_<N>/ckpt.msgpack   params + bn state + opt state + rng
+    <dir>/qa_iter_<N>/meta.json      step, dev metrics, config digest
+
+Serialization is flax msgpack over the raw pytrees -- self-describing,
+compact, no pickle.  ``load_checkpoint`` restores by template (the
+name+shape-checked loading that CopyTrainedLayersFrom does by layer name,
+net.cpp:741-777, becomes structural pytree matching).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(directory: str, step: int, bundle, *, prefix: str = "qa",
+                    meta: dict | None = None) -> str:
+    """bundle: arbitrary pytree (params/state/opt_state/...).  Returns path."""
+    path = os.path.join(directory, f"{prefix}_iter_{step}")
+    os.makedirs(path, exist_ok=True)
+    host = jax.tree.map(np.asarray, jax.device_get(bundle))
+    with open(os.path.join(path, "ckpt.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step, **(meta or {})}, f)
+    return path
+
+
+def load_checkpoint(path: str, template=None):
+    """Returns (bundle, meta).  With ``template`` the bundle is restored into
+    the template's pytree structure (shape-checked); without, raw nested
+    dicts/lists of numpy arrays are returned."""
+    with open(os.path.join(path, "ckpt.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if template is not None:
+        raw = serialization.from_state_dict(template, raw)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return raw, meta
+
+
+def latest_checkpoint(directory: str, *, prefix: str = "qa") -> str | None:
+    """Highest-step checkpoint dir under ``directory`` (resume-from-snapshot,
+    the `caffe train -snapshot` equivalent, tools/caffe.cpp:208-210)."""
+    if not os.path.isdir(directory):
+        return None
+    best_step, best = -1, None
+    pat = re.compile(rf"^{re.escape(prefix)}_iter_(\d+)$")
+    for name in os.listdir(directory):
+        m = pat.match(name)
+        if m and int(m.group(1)) > best_step:
+            best_step, best = int(m.group(1)), os.path.join(directory, name)
+    return best

@@ -1,0 +1,250 @@
+"""Training loop: the Solver::Solve/Step + driver-script replacement.
+
+Reproduces the control flow of the reference's hot loop (solver.cpp:194-323)
+and of the QA driver (do_trec_qa_clean.py:782-845):
+
+* jitted train step = forward + backward + solver update in ONE compiled
+  XLA program (vs. the reference's per-layer host loop) -- on a mesh this is
+  where data-parallel gradient psum happens, replacing P2PSync entirely
+* eval every ``test_interval`` steps over full splits with the in-graph
+  MAP/MRR/AUC metrics (metrics-as-net-outputs, do_trec_qa_clean.py:817-824)
+* epoch-granular early stopping with patience on dev MAP
+  (do_trec_qa_clean.py:826-838, including its quirk of counting the first
+  epoch boundary immediately because ``epoch`` starts at -1)
+* snapshot every ``snapshot_interval`` to <dir>/qa_iter_<N>/ and final
+  scoring of the best-dev-MAP snapshot (do_trec_qa_clean.py:840)
+* deterministic per-epoch reshuffling of the training set, the
+  HDF5DataLayer shuffle equivalent (hdf5_data_layer.cpp:55-68) driven by a
+  seeded PRNG chain instead of global RNG state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import (
+    auc_jax,
+    mean_average_precision_jax,
+    mean_reciprocal_rank_jax,
+)
+from ..models.mms_qa import MMSQAConfig, mms_qa_apply, mms_qa_init, param_spec
+from .checkpoint import save_checkpoint
+from .optim import SolverConfig, make_solver
+
+log = logging.getLogger("mms_tpu.trainer")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Driver-script hyperparameters (do_trec_qa_clean.py:48-73)."""
+    solver: SolverConfig = SolverConfig()
+    max_iter: int = 40001
+    batch_size: int = 50
+    test_interval: int = 100
+    snapshot_interval: int = 100
+    display: int = 50
+    train_loss_record_interval: int = 20
+    early_stop_patience: int = 5      # epochs without dev-MAP improvement
+    seed: int = 22
+    snapshot_dir: str | None = None
+    snapshot_prefix: str = "qa"
+
+
+class Trainer:
+    """Couples a model config with a solver into jitted train/eval steps.
+
+    ``mesh``: optional jax.sharding.Mesh with a 'dp' axis.  When given,
+    batches are sharded over 'dp' and parameters replicated -- XLA inserts
+    the gradient all-reduce over ICI (the P2PSync tree, done right).
+    """
+
+    def __init__(self, model_cfg: MMSQAConfig, cfg: TrainerConfig,
+                 *, mesh=None, apply_fn: Callable = mms_qa_apply,
+                 init_fn: Callable = mms_qa_init):
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.mesh = mesh
+        self.apply_fn = apply_fn
+        self.init_fn = init_fn
+        self.solver = None  # built in init() when the spec exists
+        self._build_steps()
+
+    # ------------------------------------------------------------------ init
+    def init(self, *, pretrained=None):
+        key = jax.random.PRNGKey(self.cfg.seed)
+        params, state = self.init_fn(key, self.model_cfg,
+                                     pretrained=pretrained)
+        self.solver = make_solver(self.cfg.solver,
+                                  param_spec(params, self.model_cfg))
+        opt_state = self.solver.init(params)
+        if self.mesh is not None:
+            replicated = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            params, state, opt_state = jax.device_put(
+                (params, state, opt_state), replicated)
+        return params, state, opt_state
+
+    # ----------------------------------------------------------------- steps
+    def _build_steps(self):
+        model_cfg, cfg = self.model_cfg, self.cfg
+
+        def train_step(params, state, opt_state, batch, step, rng):
+            def loss_fn(p):
+                out, new_state = self.apply_fn(p, state, batch, model_cfg,
+                                               train=True, rng=rng)
+                return out["loss"], new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            params, opt_state = self.solver.apply(params, grads, opt_state,
+                                                  step)
+            return params, new_state, opt_state, loss
+
+        def eval_step(params, state, batch):
+            out, _ = self.apply_fn(params, state, batch, model_cfg,
+                                   train=False)
+            scores = out["prob"][:, 1]
+            labels = batch["label"]
+            res = {"prob": out["prob"], "loss": out.get("loss")}
+            if "group" in batch:
+                groups = batch["group"].astype(jnp.int32)
+                res["map"] = mean_average_precision_jax(scores, labels, groups)
+                res["mrr"] = mean_reciprocal_rank_jax(scores, labels, groups)
+            res["auc"] = auc_jax(scores, labels)
+            return res
+
+        donate = (0, 2)  # params, opt_state buffers reused in place
+        if self.mesh is not None:
+            dp = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("dp"))
+            rep = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, rep, rep, dp, None, None),
+                donate_argnums=donate)
+            self._eval_step = jax.jit(eval_step,
+                                      in_shardings=(rep, rep, dp))
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=donate)
+            self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------ data
+    def _epoch_batches(self, data: dict, epoch_key):
+        """Deterministic reshuffle each epoch; fixed-size batches with
+        wrap-around so every jitted step sees the same shapes."""
+        n = len(data["label"])
+        perm = np.asarray(jax.random.permutation(epoch_key, n))
+        bs = self.cfg.batch_size
+        for start in range(0, n, bs):
+            idx = perm[start: start + bs]
+            if len(idx) < bs:  # wrap (HDF5DataLayer-style continuous stream)
+                idx = np.concatenate([idx, perm[: bs - len(idx)]])
+            yield {k: jnp.asarray(v[idx]) for k, v in data.items()
+                   if k != "group"}
+
+    @staticmethod
+    def _full_batch(data: dict):
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, train_data: dict, dev_data: dict, *, test_data: dict = None,
+            pretrained=None, log_every: int | None = None,
+            callback: Callable[[dict], None] | None = None):
+        """Run the full training recipe.  Returns a history dict with the
+        best params (by dev MAP) and metric curves."""
+        cfg = self.cfg
+        params, state, opt_state = self.init(pretrained=pretrained)
+        root_key = jax.random.PRNGKey(cfg.seed)
+        dev_batch = self._full_batch(dev_data)
+        test_batch = self._full_batch(test_data) if test_data else None
+
+        history = {"train_loss": [], "dev_map": [], "dev_mrr": [],
+                   "dev_auc": [], "test_map": [], "test_mrr": [],
+                   "test_auc": [], "steps": []}
+        best = {"dev_map": -1.0, "step": 0, "params": None, "state": None}
+        train_size = len(train_data["label"])
+        epoch, wait_epoch = -1, 0
+        stop = False
+
+        it = 0
+        t0 = time.time()
+        while it < cfg.max_iter and not stop:
+            epoch_index = (it * cfg.batch_size) // max(train_size, 1)
+            batches = self._epoch_batches(
+                train_data, jax.random.fold_in(root_key, 1000 + epoch_index))
+            for batch in batches:
+                rng = jax.random.fold_in(root_key, it)
+                params, state, opt_state, loss = self._train_step(
+                    params, state, opt_state, batch, jnp.asarray(it), rng)
+
+                if it % cfg.train_loss_record_interval == 0:
+                    history["train_loss"].append(float(loss))
+                if log_every and it % log_every == 0:
+                    log.info("iter %d loss %.4f (%.1fs)", it, float(loss),
+                             time.time() - t0)
+
+                if it % cfg.test_interval == 0:
+                    dev = self._eval_step(params, state, dev_batch)
+                    dev_map = float(dev["map"])
+                    history["dev_map"].append(dev_map)
+                    history["dev_mrr"].append(float(dev["mrr"]))
+                    history["dev_auc"].append(float(dev["auc"]))
+                    history["steps"].append(it)
+                    if test_batch is not None:
+                        te = self._eval_step(params, state, test_batch)
+                        history["test_map"].append(float(te["map"]))
+                        history["test_mrr"].append(float(te["mrr"]))
+                        history["test_auc"].append(float(te["auc"]))
+                    if dev_map > best["dev_map"]:
+                        wait_epoch = 0
+                        best = {"dev_map": dev_map, "step": it,
+                                "params": jax.device_get(params),
+                                "state": jax.device_get(state)}
+                    if callback:
+                        callback({"step": it, "dev_map": dev_map,
+                                  "loss": float(loss)})
+
+                if (cfg.snapshot_dir and cfg.snapshot_interval
+                        and it % cfg.snapshot_interval == 0):
+                    save_checkpoint(
+                        cfg.snapshot_dir, it,
+                        {"params": params, "state": state,
+                         "opt_state": opt_state},
+                        prefix=cfg.snapshot_prefix,
+                        meta={"dev_map": history["dev_map"][-1]
+                              if history["dev_map"] else None})
+
+                # epoch accounting + early stop (driver semantics :832-838)
+                if it * cfg.batch_size >= epoch * train_size:
+                    epoch += 1
+                    wait_epoch += 1
+                    if wait_epoch > cfg.early_stop_patience:
+                        log.info("Epoch-%d [%d] early stop", epoch, it)
+                        stop = True
+                it += 1
+                if it >= cfg.max_iter or stop:
+                    break
+
+        history["best_step"] = best["step"]
+        history["best_dev_map"] = best["dev_map"]
+        history["params"] = best["params"] if best["params"] is not None \
+            else jax.device_get(params)
+        history["state"] = best["state"] if best["state"] is not None \
+            else jax.device_get(state)
+        return history
+
+    # ------------------------------------------------------------- inference
+    def evaluate(self, params, state, data: dict):
+        """Full-split eval (the `caffe test` path, tools/caffe.cpp:229-296):
+        one batch, in-graph metrics + probabilities back to host."""
+        out = self._eval_step(params, state, self._full_batch(data))
+        return {k: (np.asarray(v) if hasattr(v, "shape") else v)
+                for k, v in out.items() if v is not None}

@@ -1,0 +1,99 @@
+"""Profiling / timing harness.
+
+The reference's only profiler is `caffe time`: per-layer forward/backward
+wall-clock over N iterations using CUDA-event timers
+(tools/caffe.cpp:301-387, include/caffe/util/benchmark.hpp).  The TPU
+equivalents here:
+
+* ``benchmark(fn, *args)`` -- wall-clock a jitted function with
+  block_until_ready fencing (the device-event analogue), reporting
+  mean/median/p50/p95 over iterations after warmup.
+* ``stage_times(...)`` -- per-stage timing of the MMS forward pass by
+  jitting each stage separately (embed / sim / each conv block / head), the
+  `caffe time` per-layer table.  NOTE: stage sums exceed the fused
+  end-to-end time -- XLA fuses across stages in the real model; this is for
+  relative hot-spot attribution only, and the docstring says so because the
+  reference's per-layer numbers have the same caveat in reverse.
+* ``trace(path)`` -- context manager around jax.profiler for xprof traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+
+def benchmark(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
+    """Time fn(*args) with device-completion fencing."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    arr = np.asarray(times)
+    return {
+        "mean_s": float(arr.mean()),
+        "p50_s": float(np.percentile(arr, 50)),
+        "p95_s": float(np.percentile(arr, 95)),
+        "min_s": float(arr.min()),
+        "iters": iters,
+    }
+
+
+@contextlib.contextmanager
+def trace(path: str):
+    """xprof trace of the enclosed block (view with tensorboard/xprof)."""
+    jax.profiler.start_trace(path)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def stage_times(params, state, batch, cfg, *, iters: int = 10) -> dict:
+    """Per-stage forward timing of the MMS model (hot-spot attribution)."""
+    import jax.numpy as jnp
+
+    from ..models.mms_qa import sim_map
+    from ..ops import avg_pool2d, bn_apply, conv2d, embed_lookup, max_pool2d
+
+    results = {}
+
+    embed = jax.jit(lambda ids: embed_lookup(params["embed"], ids))
+    results["embed"] = benchmark(embed, batch["question"], iters=iters)
+    q_emb = embed(batch["question"])
+    a_emb = embed(batch["answer"])
+
+    sim = jax.jit(lambda q, a: sim_map(params, q, a, cfg))
+    results["sim_cross"] = benchmark(sim, q_emb, a_emb, iters=iters)
+    x = sim(q_emb, a_emb)
+
+    for i, b in enumerate(cfg.blocks):
+        def block(x_, i=i, b=b):
+            y = conv2d(params[f"conv{i}"], x_)
+            y, _ = bn_apply(params[f"bn{i}"], state[f"bn{i}"], y, train=False)
+            pool = max_pool2d if b.pool == "max" else avg_pool2d
+            y = pool(y, b.pool_k, b.pool_k, stride_h=b.pool_stride,
+                     stride_w=b.pool_stride)
+            return jnp.tanh(y)
+
+        jb = jax.jit(block)
+        results[f"conv_block{i}"] = benchmark(jb, x, iters=iters)
+        x = jb(x)
+
+    def head(x_, feat):
+        flat = x_.reshape(x_.shape[0], -1)
+        f = jnp.concatenate([flat, feat.astype(flat.dtype)], axis=1)
+        h = jnp.tanh(f @ params["fc1"]["w"] + params["fc1"]["b"])
+        return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+    results["head"] = benchmark(jax.jit(head), x, batch["overlap_feat"],
+                                iters=iters)
+    return results

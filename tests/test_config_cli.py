@@ -1,0 +1,118 @@
+"""Config roundtrip + CLI end-to-end on a hermetic synthetic corpus."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.models.mms_qa import ConvBlock, MMSQAConfig, V4
+from mms_answer_selection_tpu.training import SolverConfig, TrainerConfig
+from mms_answer_selection_tpu.utils.config import (
+    experiment_from_json,
+    experiment_to_json,
+)
+
+
+class TestConfig:
+    def test_roundtrip(self):
+        model = MMSQAConfig(vocab_size=123, sim_measures=3,
+                            blocks=(ConvBlock(3, 3, 8, "max", 2, 2),))
+        trainer = TrainerConfig(
+            solver=SolverConfig(solver_type="adam", stepvalues=(5, 10)),
+            max_iter=77)
+        text = experiment_to_json(model, trainer)
+        m2, t2 = experiment_from_json(text)
+        assert m2 == model
+        assert t2 == trainer
+
+    def test_v0_migration(self):
+        raw = json.loads(experiment_to_json(V4, TrainerConfig()))
+        del raw["config_version"]
+        m2, t2 = experiment_from_json(json.dumps(raw))
+        assert m2 == V4
+
+    def test_unknown_version_rejected(self):
+        raw = json.loads(experiment_to_json(V4, TrainerConfig()))
+        raw["config_version"] = -5
+        with pytest.raises(ValueError):
+            experiment_from_json(json.dumps(raw))
+
+
+class TestCLI:
+    @pytest.fixture(scope="class")
+    def prepped(self, tmp_path_factory):
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data.trec_qa import synthetic_corpus
+
+        root = tmp_path_factory.mktemp("cli")
+        xml, w2v = synthetic_corpus(n_questions=8, answers_per_q=5, seed=4)
+        xml_path = root / "data.xml"
+        xml_path.write_text(xml)
+        glove = root / "glove.txt"
+        with open(glove, "w") as f:
+            for w, v in w2v.items():
+                f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+        out = root / "prep"
+        main(["prep", "--train-xml", str(xml_path), "--dev-xml",
+              str(xml_path), "--test-xml", str(xml_path), "--glove",
+              str(glove), "--out", str(out), "--q-len", "12",
+              "--a-len", "12"])
+        return root, out
+
+    def test_prep_artifacts(self, prepped):
+        root, out = prepped
+        for name in ("train.npz", "dev.npz", "test.npz", "vocab.npz",
+                     "meta.json"):
+            assert (out / name).exists()
+        meta = json.loads((out / "meta.json").read_text())
+        assert meta["q_len"] == 12
+        with np.load(out / "train.npz") as z:
+            assert z["question"].shape[1] == 12
+
+    def test_train_eval_serve(self, prepped, capsys):
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.utils.config import experiment_to_json
+        from mms_answer_selection_tpu.training import (SolverConfig,
+                                                       TrainerConfig)
+        from mms_answer_selection_tpu.models.mms_qa import (ConvBlock,
+                                                            MMSQAConfig)
+
+        root, out = prepped
+        meta = json.loads((out / "meta.json").read_text())
+        exp = root / "exp"
+        exp.mkdir(exist_ok=True)
+        model = MMSQAConfig(
+            vocab_size=meta["vocab_size"], embed_dim=50,
+            question_len=12, answer_len=12, sim_measures=2,
+            blocks=(ConvBlock(3, 3, 4, "ave", 2, 2),
+                    ConvBlock(3, 3, 4, "ave", 3, 1)),
+            fc1_dim=4)
+        trainer = TrainerConfig(solver=SolverConfig(), max_iter=30,
+                                batch_size=10, test_interval=10,
+                                snapshot_interval=0, early_stop_patience=99)
+        cfg_path = root / "config.json"
+        cfg_path.write_text(experiment_to_json(model, trainer))
+
+        main(["train", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path)])
+        out1 = capsys.readouterr().out
+        assert "best dev MAP" in out1
+        assert (exp / "history.json").exists()
+
+        main(["eval", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path)])
+        ev = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        assert 0.0 <= ev["in_graph_map"] <= 1.0
+
+        main(["serve", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path), "--k", "3", "--n-queries", "2"])
+        lines = capsys.readouterr().out.strip().split("\n")
+        rec = json.loads(lines[-1])
+        assert len(rec["topk"]) == 3
+
+    def test_device_query(self, capsys):
+        from mms_answer_selection_tpu.cli import main
+        main(["device_query"])
+        lines = capsys.readouterr().out.strip().split("\n")
+        assert len(lines) == 8  # virtual cpu mesh

@@ -1,0 +1,150 @@
+"""Metric suite tests: hand-computed expectations per the reference layer
+semantics, numpy-vs-jax parity (including ties), trec_eval convention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.metrics import (
+    auc,
+    auc_jax,
+    mean_average_precision,
+    mean_average_precision_jax,
+    mean_reciprocal_rank,
+    mean_reciprocal_rank_jax,
+    rank_accuracy,
+    rank_accuracy_jax,
+    trec_eval,
+    write_trec_files,
+)
+
+rng = np.random.default_rng(22)
+
+
+class TestHandComputed:
+    # group 0: scores [.9 pos, .8 neg, .7 pos]  -> first pos rank 1, AP=(1/1+2/3)/2
+    # group 1: scores [.6 neg, .5 pos]          -> first pos rank 2, AP=1/2
+    # group 2: all positive -> skipped (mrr_layer.cpp:71-73)
+    scores = [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3]
+    labels = [1, 0, 1, 0, 1, 1, 1]
+    groups = [0, 0, 0, 1, 1, 2, 2]
+
+    def test_mrr(self):
+        expect = (1.0 / 1 + 1.0 / 2) / 2
+        assert mean_reciprocal_rank(self.scores, self.labels,
+                                    self.groups) == pytest.approx(expect)
+
+    def test_map(self):
+        ap0 = (1.0 / 1 + 2.0 / 3) / 2
+        ap1 = 1.0 / 2
+        expect = (ap0 + ap1) / 2
+        assert mean_average_precision(self.scores, self.labels,
+                                      self.groups) == pytest.approx(expect)
+
+    def test_auc_rank_sum(self):
+        # sorted order = input order; walk: high after each element,
+        # auc += high per negative above it (auc_layer.cpp:119-123)
+        scores = [0.9, 0.8, 0.7, 0.6]
+        labels = [1, 0, 1, 0]
+        # neg .8 sees 1 pos above; neg .6 sees 2 -> (1+2)/(2*2)
+        assert auc(scores, labels) == pytest.approx(3 / 4)
+
+    def test_auc_no_positives_is_zero(self):
+        assert auc([0.5, 0.4], [0, 0]) == 0.0
+
+    def test_auc_ignore_label(self):
+        scores = [0.9, 0.8, 0.7, 0.6]
+        labels = [1, 2, 1, 0]
+        assert auc(scores, labels, ignore_label=2) == pytest.approx(1.0)
+
+    def test_rank_accuracy(self):
+        a = [1.0, 2.0, 3.0, 1.0]
+        b = [0.5, 2.5, 2.0, 1.0]
+        label = [1, 1, -1, 1]  # wins: +0.5>0 yes; -0.5>0 no; -1*1>0 no; 0>0 no
+        assert rank_accuracy(a, b, label) == pytest.approx(0.25)
+
+
+class TestNumpyJaxParity:
+    def _random_case(self, n=60, n_groups=7, ties=False):
+        scores = rng.normal(size=n).astype(np.float32)
+        if ties:
+            scores = np.round(scores * 4) / 4
+        labels = (rng.random(n) < 0.35).astype(np.int64)
+        groups = rng.integers(0, n_groups, size=n)
+        return scores, labels, groups
+
+    @pytest.mark.parametrize("ties", [False, True])
+    def test_mrr_map_auc_parity(self, ties):
+        for _ in range(5):
+            s, l, g = self._random_case(ties=ties)
+            np.testing.assert_allclose(
+                float(mean_reciprocal_rank_jax(jnp.asarray(s), jnp.asarray(l),
+                                               jnp.asarray(g))),
+                mean_reciprocal_rank(s, l, g), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                float(mean_average_precision_jax(jnp.asarray(s), jnp.asarray(l),
+                                                 jnp.asarray(g))),
+                mean_average_precision(s, l, g), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                float(auc_jax(jnp.asarray(s), jnp.asarray(l))),
+                auc(s, l), rtol=1e-5, atol=1e-6)
+
+    def test_rank_accuracy_parity(self):
+        a = rng.normal(size=20).astype(np.float32)
+        b = rng.normal(size=20).astype(np.float32)
+        l = rng.choice([-1.0, 1.0], size=20).astype(np.float32)
+        np.testing.assert_allclose(
+            float(rank_accuracy_jax(jnp.asarray(a), jnp.asarray(b),
+                                    jnp.asarray(l))),
+            rank_accuracy(a, b, l), rtol=1e-6)
+
+    def test_jax_metrics_jit(self):
+        s, l, g = self._random_case()
+        f = jax.jit(lambda s_, l_, g_: (
+            mean_reciprocal_rank_jax(s_, l_, g_),
+            mean_average_precision_jax(s_, l_, g_),
+            auc_jax(s_, l_)))
+        out = f(jnp.asarray(s), jnp.asarray(l), jnp.asarray(g))
+        np.testing.assert_allclose(float(out[0]),
+                                   mean_reciprocal_rank(s, l, g), rtol=1e-5)
+
+
+class TestTrecEval:
+    def test_in_memory_matches_layer_metrics_when_tie_free(self):
+        n, n_groups = 80, 9
+        scores = rng.permutation(n).astype(np.float64) / n  # tie-free
+        labels = (rng.random(n) < 0.4).astype(np.int64)
+        groups = rng.integers(0, n_groups, size=n)
+        res = trec_eval(scores=scores, labels=labels, groups=groups)
+        if res["num_q"] == 0:
+            pytest.skip("degenerate draw")
+        assert res["map"] == pytest.approx(
+            mean_average_precision(scores, labels, groups), abs=1e-9)
+        assert res["recip_rank"] == pytest.approx(
+            mean_reciprocal_rank(scores, labels, groups), abs=1e-9)
+
+    def test_file_roundtrip(self, tmp_path):
+        scores = [0.9, 0.8, 0.7, 0.6, 0.5]
+        labels = [1, 0, 0, 1, 1]
+        groups = [0, 0, 1, 1, 2]  # group 2 all-pos -> filtered
+        truth, result = tmp_path / "truth", tmp_path / "result"
+        write_trec_files(truth, result, scores, labels, groups)
+        lines = truth.read_text().strip().split("\n")
+        assert len(lines) == 4  # group 2 dropped
+        assert lines[0].split() == ["1", "0", "0", "1"]
+        res_file = trec_eval(str(truth), str(result))
+        res_mem = trec_eval(scores=scores, labels=labels, groups=groups)
+        assert res_file["map"] == pytest.approx(res_mem["map"])
+        assert res_file["num_q"] == 2
+
+    def test_p_at_k_and_counts(self):
+        scores = [0.9, 0.8, 0.7]
+        labels = [1, 0, 1]
+        groups = [0, 0, 0]
+        res = trec_eval(scores=scores, labels=labels, groups=groups)
+        assert res["num_q"] == 1
+        assert res["num_rel"] == 2
+        assert res["P_5"] == pytest.approx(2 / 5)
+        assert res["ircl_prn.0.00"] == pytest.approx(1.0)
+        assert res["ircl_prn.1.00"] == pytest.approx(2 / 3)

@@ -1,0 +1,104 @@
+"""Multimodal image-pair metric path: data pipeline + siamese model +
+pair-rank training loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.data.pair_image import (
+    PairImageDataset,
+    parse_pair_list,
+    synthetic_pair_corpus,
+    transform,
+)
+from mms_answer_selection_tpu.models.pair_image import (
+    PairImageConfig,
+    pair_image_apply,
+    pair_image_init,
+)
+from mms_answer_selection_tpu.training import SolverConfig, make_solver
+
+CFG = PairImageConfig(height=12, width=12, channels=1,
+                      blocks=(
+                          __import__("mms_answer_selection_tpu.models.mms_qa",
+                                     fromlist=["ConvBlock"]).ConvBlock(
+                              3, 3, 4, "max", 2, 2),),
+                      fc_dim=8)
+
+
+class TestData:
+    def test_parse_list(self):
+        rows = parse_pair_list("a.npy b.npy 0.5 1.5 1\nx.npy y.npy 0 0 0\n")
+        assert rows[0] == ("a.npy", "b.npy", 0.5, 1.5, 1)
+        assert rows[1][4] == 0
+
+    def test_dataset_batches(self, tmp_path):
+        lf = synthetic_pair_corpus(str(tmp_path), n_pairs=10, hw=12)
+        ds = PairImageDataset(lf, batch_size=4, root=str(tmp_path), seed=1)
+        b = next(ds)
+        assert b["img1"].shape == (4, 12, 12, 1)
+        assert b["img2"].shape == (4, 12, 12, 1)
+        assert b["label"].shape == (4,)
+        assert b["angles"].shape == (4, 2)
+
+    def test_wraparound_and_reshuffle(self, tmp_path):
+        lf = synthetic_pair_corpus(str(tmp_path), n_pairs=5, hw=12)
+        ds = PairImageDataset(lf, batch_size=4, root=str(tmp_path), seed=1)
+        for _ in range(4):  # 16 draws > 5 rows -> multiple wraps
+            b = next(ds)
+            assert b["img1"].shape[0] == 4
+
+    def test_transform_crop_and_scale(self):
+        rng = np.random.default_rng(0)
+        arr = np.arange(36, dtype=np.float32).reshape(6, 6, 1)
+        out = transform(arr, scale=0.5, crop_size=4, rng=rng, train=False)
+        assert out.shape == (4, 4, 1)
+        np.testing.assert_allclose(out[0, 0, 0], arr[1, 1, 0] * 0.5)
+
+
+class TestModel:
+    def test_forward_shapes_and_loss(self, tmp_path):
+        params, state = pair_image_init(jax.random.PRNGKey(0), CFG)
+        rng = np.random.default_rng(2)
+        batch = {
+            "img1": jnp.asarray(rng.normal(size=(6, 12, 12, 1)),
+                                jnp.float32),
+            "img2": jnp.asarray(rng.normal(size=(6, 12, 12, 1)),
+                                jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 2, 6), jnp.float32),
+        }
+        out, new_state = pair_image_apply(params, state, batch, CFG,
+                                          train=True)
+        assert out["score1"].shape == (6,)
+        assert np.isfinite(float(out["loss"]))
+        assert 0.0 <= float(out["rank_accuracy"]) <= 1.0
+
+    def test_training_reduces_loss(self, tmp_path):
+        lf = synthetic_pair_corpus(str(tmp_path), n_pairs=40, hw=12, seed=3)
+        ds = PairImageDataset(lf, batch_size=16, root=str(tmp_path), seed=1,
+                              scale=1.0)
+        params, state = pair_image_init(jax.random.PRNGKey(0), CFG)
+        solver = make_solver(SolverConfig(solver_type="adadelta",
+                                          weight_decay=0.0))
+        opt_state = solver.init(params)
+
+        @jax.jit
+        def step(params, state, opt_state, batch, it):
+            def loss_fn(p):
+                out, ns = pair_image_apply(p, state, batch, CFG, train=True)
+                return out["loss"], ns
+
+            (loss, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            p2, o2 = solver.apply(params, g, opt_state, it)
+            return p2, ns, o2, loss
+
+        losses = []
+        for i in range(30):
+            b = next(ds)
+            jb = {k: jnp.asarray(v) for k, v in b.items()
+                  if k in ("img1", "img2", "label")}
+            params, state, opt_state, loss = step(params, state, opt_state,
+                                                  jb, jnp.asarray(i))
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])

@@ -1,0 +1,101 @@
+"""Query-engine tests: index build, sharded top-k retrieval, exact rerank."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mms_answer_selection_tpu.models.mms_qa import ConvBlock, MMSQAConfig, mms_qa_init
+from mms_answer_selection_tpu.ops.embed import embed_lookup
+from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+    bilinear_maxsim_scores_reference,
+)
+from mms_answer_selection_tpu.serve import QueryEngine, topk_merge
+
+CFG = MMSQAConfig(
+    vocab_size=64, embed_dim=16, question_len=6, answer_len=6,
+    sim_measures=2,
+    blocks=(ConvBlock(3, 3, 4, "ave", 2, 2), ConvBlock(2, 2, 4, "ave", 1, 1)),
+    fc1_dim=4)
+
+rng = np.random.default_rng(9)
+
+
+def _engine(mesh=None, n_cand=24):
+    params, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+    # move the metric off its zero init so scores are non-trivial
+    params["sim"]["w"] = jnp.asarray(
+        rng.normal(size=params["sim"]["w"].shape).astype(np.float32) * 0.2)
+    cand_ids = rng.integers(0, 64, (n_cand, 6))
+    eng = QueryEngine(params, CFG, mesh=mesh, pool_dtype=jnp.float32,
+                      interpret=True)
+    eng.build_index(cand_ids)
+    return eng, params, state, cand_ids
+
+
+def _brute_force(params, cand_ids, query_ids, k):
+    q_tok = embed_lookup(params["embed"], jnp.asarray(query_ids))
+    c_tok = embed_lookup(params["embed"], jnp.asarray(cand_ids))
+    scores = bilinear_maxsim_scores_reference(q_tok, c_tok,
+                                              params["sim"]["w"])
+    idx = np.argsort(-np.asarray(scores), axis=1)[:, :k]
+    vals = np.take_along_axis(np.asarray(scores), idx, axis=1)
+    return vals, idx
+
+
+class TestSingleDevice:
+    def test_topk_matches_brute_force(self):
+        eng, params, state, cand_ids = _engine()
+        query_ids = rng.integers(0, 64, (3, 6))
+        vals, idx = eng.query(query_ids, k=5)
+        bv, bi = _brute_force(params, cand_ids, query_ids, 5)
+        np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(idx), bi)
+
+    def test_padded_candidates_never_returned(self):
+        eng, params, state, cand_ids = _engine(n_cand=9)  # pads to 16
+        vals, idx = eng.query(rng.integers(0, 64, (2, 6)), k=9)
+        assert np.asarray(idx).max() < 9
+
+    def test_query_before_build_raises(self):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, interpret=True)
+        with pytest.raises(RuntimeError):
+            eng.query(np.zeros((1, 6), np.int32))
+
+    def test_requires_bilinear_mode(self):
+        cfg = MMSQAConfig(**{**CFG.__dict__, "sim_mode": 0})
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError):
+            QueryEngine(params, cfg)
+
+
+class TestSharded:
+    def test_sharded_matches_single_device(self):
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        eng_m, params, state, cand_ids = _engine(mesh=mesh, n_cand=64)
+        eng_s = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (2, 6))
+        vm, im = eng_m.query(query_ids, k=7)
+        vs, is_ = eng_s.query(query_ids, k=7)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vs), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(im), np.asarray(is_))
+
+
+class TestMergeAndRerank:
+    def test_topk_merge(self):
+        vals = jnp.asarray([[[3.0, 1.0]], [[2.5, 2.0]]])  # (S=2, Nq=1, k=2)
+        idxs = jnp.asarray([[[10, 11]], [[20, 21]]])
+        v, i = topk_merge(vals, idxs, 3)
+        np.testing.assert_allclose(np.asarray(v[0]), [3.0, 2.5, 2.0])
+        np.testing.assert_array_equal(np.asarray(i[0]), [10, 20, 21])
+
+    def test_score_pairs_rerank(self):
+        eng, params, state, cand_ids = _engine()
+        qids = rng.integers(0, 64, (4, 6))
+        probs = eng.score_pairs(state, qids, cand_ids[:4])
+        assert probs.shape == (4,)
+        assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))

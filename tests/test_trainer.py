@@ -1,0 +1,147 @@
+"""End-to-end training-loop tests on a hermetic synthetic corpus: the
+minimum E2E slice of SURVEY.md §7 (data -> model -> AdaDelta -> metrics ->
+early stop -> checkpoint)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.data import prepare_trec_qa, synthetic_corpus
+from mms_answer_selection_tpu.models.mms_qa import ConvBlock, MMSQAConfig
+from mms_answer_selection_tpu.training import (
+    SolverConfig,
+    Trainer,
+    TrainerConfig,
+    load_checkpoint,
+    latest_checkpoint,
+    save_checkpoint,
+)
+
+
+def _tiny_setup(seed=1):
+    xml, w2v = synthetic_corpus(n_questions=10, answers_per_q=6, seed=seed)
+    splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+    model_cfg = MMSQAConfig(
+        vocab_size=info["vocab_size"],
+        embed_dim=50,
+        question_len=12, answer_len=12,
+        sim_measures=2,
+        blocks=(ConvBlock(3, 3, 8, "ave", 2, 2), ConvBlock(3, 3, 8, "ave", 3, 1)),
+        fc1_dim=8,
+    )
+    # re-encode at length 12
+    splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+    for s in splits.values():
+        s["question"] = s["question"][:, 14:26]
+        s["answer"] = s["answer"][:, 14:26]
+    return splits, info, model_cfg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    splits, info, model_cfg = _tiny_setup()
+    tcfg = TrainerConfig(
+        solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                            momentum=0.95, delta=5e-7, weight_decay=5e-4),
+        max_iter=120, batch_size=15, test_interval=20,
+        snapshot_interval=0, early_stop_patience=50, seed=22)
+    trainer = Trainer(model_cfg, tcfg)
+    hist = trainer.fit(splits["train"], splits["dev"],
+                       pretrained=info["pretrained"])
+    return trainer, hist, splits, info, model_cfg
+
+
+class TestFit:
+    def test_loss_decreases(self, trained):
+        _, hist, *_ = trained
+        losses = hist["train_loss"]
+        assert len(losses) >= 3
+        assert losses[-1] < losses[0]
+
+    def test_dev_map_beats_random(self, trained):
+        # synthetic positives share words with the question (overlap feature
+        # alone is predictive) -- trained MAP must beat the ~0.5-0.6 of a
+        # random ranking over 2-pos/4-neg groups
+        _, hist, *_ = trained
+        assert hist["best_dev_map"] > 0.65
+
+    def test_history_structure(self, trained):
+        _, hist, *_ = trained
+        assert len(hist["dev_map"]) == len(hist["steps"])
+        assert hist["best_step"] in hist["steps"]
+        assert hist["params"] is not None
+
+    def test_evaluate_full_split(self, trained):
+        trainer, hist, splits, *_ = trained
+        res = trainer.evaluate(hist["params"], hist["state"], splits["test"])
+        assert 0.0 <= res["map"] <= 1.0 + 1e-5  # f32 accumulation epsilon
+        assert res["prob"].shape[0] == len(splits["test"]["label"])
+
+
+class TestEarlyStop:
+    def test_patience_stops_training(self):
+        splits, info, model_cfg = _tiny_setup(seed=3)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta"),
+            max_iter=5000, batch_size=15, test_interval=10,
+            snapshot_interval=0, early_stop_patience=1, seed=22)
+        trainer = Trainer(model_cfg, tcfg)
+        hist = trainer.fit(splits["train"], splits["dev"],
+                           pretrained=info["pretrained"])
+        # 60 rows / bs 15 -> 4 steps per epoch; patience 1 must stop long
+        # before max_iter
+        assert hist["steps"][-1] < 1000
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, trained):
+        trainer, hist, splits, info, model_cfg = trained
+        bundle = {"params": hist["params"], "state": hist["state"]}
+        save_checkpoint(str(tmp_path), 7, bundle, meta={"dev_map": 0.5})
+        path = latest_checkpoint(str(tmp_path))
+        assert path.endswith("qa_iter_7")
+        restored, meta = load_checkpoint(path, template=bundle)
+        assert meta["step"] == 7 and meta["dev_map"] == 0.5
+        a = jax.tree.leaves(bundle)
+        b = jax.tree.leaves(restored)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # restored params give identical eval scores
+        r1 = trainer.evaluate(bundle["params"], bundle["state"], splits["dev"])
+        r2 = trainer.evaluate(restored["params"], restored["state"],
+                              splits["dev"])
+        np.testing.assert_allclose(r1["prob"], r2["prob"], rtol=1e-6)
+
+    def test_latest_picks_highest(self, tmp_path):
+        for step in (3, 10, 7):
+            save_checkpoint(str(tmp_path), step, {"x": np.zeros(2)})
+        assert latest_checkpoint(str(tmp_path)).endswith("qa_iter_10")
+
+    def test_snapshot_during_fit(self, tmp_path):
+        splits, info, model_cfg = _tiny_setup(seed=5)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta"),
+            max_iter=25, batch_size=15, test_interval=10,
+            snapshot_interval=10, early_stop_patience=50, seed=22,
+            snapshot_dir=str(tmp_path))
+        Trainer(model_cfg, tcfg).fit(splits["train"], splits["dev"],
+                                     pretrained=info["pretrained"])
+        assert latest_checkpoint(str(tmp_path)) is not None
+
+
+class TestDeterminism:
+    def test_same_seed_same_result(self):
+        splits, info, model_cfg = _tiny_setup(seed=7)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta"),
+            max_iter=15, batch_size=15, test_interval=10,
+            snapshot_interval=0, early_stop_patience=50, seed=22)
+        h1 = Trainer(model_cfg, tcfg).fit(splits["train"], splits["dev"],
+                                          pretrained=info["pretrained"])
+        h2 = Trainer(model_cfg, tcfg).fit(splits["train"], splits["dev"],
+                                          pretrained=info["pretrained"])
+        np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
+                                   rtol=1e-5)
