@@ -35,19 +35,24 @@ def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
     cand = jnp.asarray(rng.normal(size=(pool_size, w2, d)).astype(np.float32))
 
     qw = project_queries(q, w)                       # bf16 (NQ, M*W1, 128)
-    pool, mask = pack_candidate_pool(cand)           # bf16 (C, 64, 128)
+    pool = pack_candidate_pool(cand)                 # bf16 (C, 64, 128)
     del cand
 
-    fn = jax.jit(lambda qw_, p_, m_: bilinear_maxsim_scores(qw_, p_, m_))
-    out = fn(qw, pool, mask)
-    jax.block_until_ready(out)                       # compile + warm
+    # the jitted fn reduces the scores to ONE scalar on-device; pulling that
+    # scalar to the host each iteration is the completion fence (a bare
+    # block_until_ready returns early for queued work on the axon tunnel,
+    # and host-indexing a large device array through the tunnel stalls)
+    fn = jax.jit(
+        lambda qw_, p_: jnp.sum(bilinear_maxsim_scores(qw_, p_)))
+
+    float(fn(qw, pool))                              # compile + warm
     for _ in range(warmup):
-        jax.block_until_ready(fn(qw, pool, mask))
+        float(fn(qw, pool))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(qw, pool, mask))
+        float(fn(qw, pool))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     pairs = n_queries * pool_size
@@ -91,7 +96,7 @@ def run_train_bench(batch: int, iters: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pool", type=int, default=65536)
-    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=128)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--secondary", action="store_true",
                     help="also run the training-step benchmark (stderr)")

@@ -103,7 +103,8 @@ def cmd_train(args):
     trainer = Trainer(model_cfg, trainer_cfg)
     hist = trainer.fit(splits["train"], splits["dev"],
                        test_data=splits.get("test"),
-                       pretrained=vocab["pretrained"], log_every=50)
+                       pretrained=vocab["pretrained"], log_every=50,
+                       handle_signals=True)
     save_checkpoint(args.exp, hist["best_step"],
                     {"params": hist["params"], "state": hist["state"]},
                     prefix="best", meta={"dev_map": hist["best_dev_map"]})

@@ -159,15 +159,22 @@ W2P = 64          # padded tokens per candidate
 C_BLOCK = 128     # candidates per grid step (output row tile)
 C_SUB = 8         # candidates per inner matmul chunk (C_SUB*W2P = 512 rows)
 Q_SUB = 8         # queries per inner matmul chunk
+Q_BLOCK = 128     # query padding on TPU (output lane alignment)
+MASK_LANE = -1    # the spare padded lane carrying the -inf token mask
 
 
-def _maxsim_kernel(qw_ref, pool_ref, mask_ref, o_ref, *, c_block, c_sub,
-                   q_sub, w2p, rows_per_q, nq):
+def _maxsim_kernel(qw_ref, pool_ref, o_ref, *, c_block, c_sub, q_sub, w2p,
+                   rows_per_q, nq):
     """One candidate-tile grid step; all queries scored per step.
 
-    qw_ref:   (NQ*R, Dp)         every query's metric-projected tokens
-    pool_ref: (C_BLOCK*W2P, Dp)  candidate token tile
-    mask_ref: (C_BLOCK*W2P, 1)   0 real token / -inf padding, per row
+    qw_ref:   (NQ*R, Dp)         metric-projected query tokens; lane Dp-1
+                                 holds the constant 1.0 that activates the
+                                 mask lane of the pool
+    pool_ref: (C_BLOCK*W2P, Dp)  candidate token tile; lane Dp-1 holds the
+                                 additive mask (0 real / -inf padding), so
+                                 masking rides the MXU contraction instead
+                                 of a separate (N, 1) operand (which would
+                                 lane-pad to 128x its size in VMEM)
     o_ref:    (C_BLOCK, NQ)      scores, transposed layout
 
     The matmul runs transposed -- S = pool_chunk . qw_chunk^T -- so the
@@ -184,15 +191,14 @@ def _maxsim_kernel(qw_ref, pool_ref, mask_ref, o_ref, *, c_block, c_sub,
     for t in range(c_block // c_sub):
         rows = c_sub * w2p
         chunk = pool_ref[pl.ds(t * rows, rows), :]
-        m = mask_ref[pl.ds(t * rows, rows), :]
         q_parts = []
         for qb in range(nq // q_sub):
             qw = qw_ref[pl.ds(qb * q_sub * r, q_sub * r), :]
-            # (c_sub*W2P, Dp) x (Q_SUB*R, Dp)^T -> (c_sub*W2P, Q_SUB*R)
+            # (c_sub*W2P, Dp) x (Q_SUB*R, Dp)^T -> (c_sub*W2P, Q_SUB*R);
+            # the mask lane adds 0/-inf per token row during the contraction
             s = jax.lax.dot_general(
                 chunk, qw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            s = s + m  # broadcast over lanes
             s3 = s.reshape(c_sub, w2p, q_sub * r)  # sublane split: free
             per_cand = jnp.max(s3, axis=1)         # (c_sub, Q_SUB*R)
             # segmented lane sum over each query's R columns via MXU
@@ -202,38 +208,45 @@ def _maxsim_kernel(qw_ref, pool_ref, mask_ref, o_ref, *, c_block, c_sub,
 
 
 def pack_candidate_pool(tokens, *, w2p: int = W2P, dtype=jnp.bfloat16):
-    """(C, W2, D) candidate token embeddings -> (pool, mask) padded for the
-    kernel: pool (C, W2P, Dp) in ``dtype``; mask (C, W2P) additive f32."""
+    """(C, W2, D) candidate token embeddings -> (C, W2P, Dp) padded pool in
+    ``dtype`` with the additive token mask (0 real / -inf pad) embedded in
+    the last lane (activated by project_queries' constant-1 lane)."""
     c, w2, d = tokens.shape
-    dp = _round_up(d, LANE)
+    dp = _round_up(d + 1, LANE)  # reserve the mask lane
     if w2 > w2p:
         raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
     pool = jnp.zeros((c, w2p, dp), dtype)
     pool = pool.at[:, :w2, :d].set(tokens.astype(dtype))
-    mask = jnp.full((c, w2p), NEG_INF, jnp.float32).at[:, :w2].set(0.0)
-    return pool, mask
+    pool = pool.at[:, w2:, dp - 1].set(NEG_INF)
+    return pool
+
+
+def mask_out_candidates(pool, start: int):
+    """Mark candidates [start:] as padding (engine pool-size alignment)."""
+    return pool.at[start:, :, -1].set(NEG_INF)
 
 
 def project_queries(q_tokens, w, *, dtype=jnp.bfloat16):
     """(Nq, W1, D) x (M, D, D) -> (Nq, M*W1, Dp): each query's tokens
-    pre-multiplied by every metric matrix (amortized over the whole pool)."""
+    pre-multiplied by every metric matrix (amortized over the whole pool);
+    the last lane is 1.0 so the pool's mask lane contributes additively."""
     nq, w1, d = q_tokens.shape
     m = w.shape[0]
-    dp = _round_up(d, LANE)
+    dp = _round_up(d + 1, LANE)
     qw = jnp.einsum("nid,mde->nmie", q_tokens, w,
                     precision=jax.lax.Precision.HIGHEST)
     qw = qw.reshape(nq, m * w1, d)
-    return _pad_last(qw, dp).astype(dtype)
+    qw = _pad_last(qw, dp)
+    return qw.at[:, :, dp - 1].set(1.0).astype(dtype)
 
 
-def bilinear_maxsim_scores(qw, pool, mask, *, c_block: int = C_BLOCK,
+def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
                            c_sub: int = C_SUB, q_sub: int = Q_SUB,
                            interpret: bool | None = None):
     """Score every query against every candidate.
 
     qw:   (Nq, R, Dp)   from project_queries (R = M*W1)
     pool: (C, W2P, Dp)  from pack_candidate_pool; C % c_block == 0
-    mask: (C, W2P)
     Returns (Nq, C) f32 scores: sum_m sum_i max_j q_i W_m c_j.
     """
     if interpret is None:
@@ -243,13 +256,16 @@ def bilinear_maxsim_scores(qw, pool, mask, *, c_block: int = C_BLOCK,
     assert dp == dp2
     if c % c_block:
         raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
-    # pad queries to a q_sub multiple (zero queries score 0, sliced off)
-    nq_pad = _round_up(nq, q_sub)
+    # pad query count: to the 128-lane output tile on TPU (so the output
+    # streams block-by-block), to q_sub under the interpreter (cheap tests).
+    # Padded queries are all-zero rows INCLUDING the mask-activation lane,
+    # so their scores are 0 and sliced off below.
+    q_align = q_sub if interpret else Q_BLOCK
+    nq_pad = _round_up(nq, q_align)
     if nq_pad != nq:
         qw = jnp.pad(qw, ((0, nq_pad - nq), (0, 0), (0, 0)))
     qw_flat = qw.reshape(nq_pad * rows_per_q, dp)
     pool_flat = pool.reshape(c * w2p, dp)
-    mask_flat = mask.reshape(c * w2p, 1)
 
     grid = (c // c_block,)
     kernel = functools.partial(_maxsim_kernel, c_block=c_block, c_sub=c_sub,
@@ -262,7 +278,6 @@ def bilinear_maxsim_scores(qw, pool, mask, *, c_block: int = C_BLOCK,
         in_specs=[
             pl.BlockSpec((nq_pad * rows_per_q, dp), lambda j: (0, 0)),
             pl.BlockSpec((c_block * w2p, dp), lambda j: (j, 0)),
-            pl.BlockSpec((c_block * w2p, 1), lambda j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((c_block, nq_pad), lambda j: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((c, nq_pad), jnp.float32),
@@ -280,7 +295,7 @@ def bilinear_maxsim_scores(qw, pool, mask, *, c_block: int = C_BLOCK,
             + c * nq_pad * 4,
             transcendentals=0,
         ),
-    )(qw_flat, pool_flat, mask_flat)
+    )(qw_flat, pool_flat)
     return out.T[:nq]
 
 

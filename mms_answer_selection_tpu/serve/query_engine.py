@@ -32,6 +32,7 @@ from ..ops.embed import embed_lookup
 from ..ops.sim_cross_pallas import (
     C_BLOCK,
     bilinear_maxsim_scores,
+    mask_out_candidates,
     pack_candidate_pool,
     project_queries,
 )
@@ -65,7 +66,6 @@ class QueryEngine:
         self.pool_dtype = pool_dtype
         self.interpret = interpret
         self.pool = None
-        self.mask = None
         self.pool_size = 0
         self._padded_size = 0
         self._query_jit = None
@@ -86,17 +86,16 @@ class QueryEngine:
                                  candidate_ids.dtype)
             candidate_ids = jnp.concatenate([candidate_ids, pad_rows], 0)
         tokens = embed_lookup(self.params["embed"], candidate_ids)
-        pool, mask = pack_candidate_pool(tokens, dtype=self.pool_dtype)
-        # padded (fake) candidates: mask out every token so scores = -inf-ish
+        pool = pack_candidate_pool(tokens, dtype=self.pool_dtype)
+        # padded (fake) candidates: mask lane set so their scores sink
         if c_pad != c:
-            mask = mask.at[c:].set(-1e30)
+            pool = mask_out_candidates(pool, c)
         if self.mesh is not None:
             axis = self.mesh.axis_names[-1] if len(self.mesh.axis_names) == 1 \
                 else self.mesh.axis_names
             spec = P(axis)
             pool = jax.device_put(pool, NamedSharding(self.mesh, spec))
-            mask = jax.device_put(mask, NamedSharding(self.mesh, spec))
-        self.pool, self.mask = pool, mask
+        self.pool = pool
         self.pool_size, self._padded_size = c, c_pad
         self._query_jit = None
         return self
@@ -114,9 +113,9 @@ class QueryEngine:
             return project_queries(q_tokens, w, dtype=pool_dtype)
 
         if mesh is None:
-            def query_fn(query_ids, pool, mask):
+            def query_fn(query_ids, pool):
                 qw = embed_and_project(query_ids)
-                scores = bilinear_maxsim_scores(qw, pool, mask,
+                scores = bilinear_maxsim_scores(qw, pool,
                                                 interpret=interpret)
                 vals, idx = jax.lax.top_k(scores, k)
                 return vals, idx
@@ -125,10 +124,10 @@ class QueryEngine:
         axes = mesh.axis_names if len(mesh.axis_names) > 1 \
             else mesh.axis_names[0]
 
-        def shard_fn(query_ids, pool, mask):
-            # per-shard scoring; pool/mask carry the local shard
+        def shard_fn(query_ids, pool):
+            # per-shard scoring; pool carries the local shard
             qw = embed_and_project(query_ids)
-            scores = bilinear_maxsim_scores(qw, pool, mask,
+            scores = bilinear_maxsim_scores(qw, pool,
                                             interpret=interpret)
             vals, idx = jax.lax.top_k(scores, k)
             shard_sz = pool.shape[0]
@@ -152,7 +151,7 @@ class QueryEngine:
         # require vma annotations on its out_shape (jax 0.9 vma checking)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), pool_spec, pool_spec),
+            in_specs=(P(), pool_spec),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(mapped)
@@ -165,8 +164,7 @@ class QueryEngine:
         k = min(k, self._padded_size)
         if self._query_jit is None or self._query_jit[0] != k:
             self._query_jit = (k, self._build_query_fn(k))
-        vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool,
-                                       self.mask)
+        vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool)
         return vals, idx
 
     # ------------------------------------------------------- exact rescoring

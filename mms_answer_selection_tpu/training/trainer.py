@@ -157,9 +157,16 @@ class Trainer:
     # ------------------------------------------------------------------- fit
     def fit(self, train_data: dict, dev_data: dict, *, test_data: dict = None,
             pretrained=None, log_every: int | None = None,
-            callback: Callable[[dict], None] | None = None):
+            callback: Callable[[dict], None] | None = None,
+            handle_signals: bool = False):
         """Run the full training recipe.  Returns a history dict with the
-        best params (by dev MAP) and metric curves."""
+        best params (by dev MAP) and metric curves.
+
+        handle_signals: install SIGINT->snapshot+stop, SIGHUP->snapshot+
+        continue handlers polled once per step (the reference's
+        SignalHandler contract, util/signal_handler.cpp + solver.cpp:259-272).
+        """
+        from .signals import Action, SignalHandler
         cfg = self.cfg
         params, state, opt_state = self.init(pretrained=pretrained)
         root_key = jax.random.PRNGKey(cfg.seed)
@@ -176,6 +183,9 @@ class Trainer:
 
         it = 0
         t0 = time.time()
+        sig_ctx = SignalHandler() if handle_signals else None
+        if sig_ctx is not None:
+            sig_ctx.__enter__()
         while it < cfg.max_iter and not stop:
             epoch_index = (it * cfg.batch_size) // max(train_size, 1)
             batches = self._epoch_batches(
@@ -184,6 +194,19 @@ class Trainer:
                 rng = jax.random.fold_in(root_key, it)
                 params, state, opt_state, loss = self._train_step(
                     params, state, opt_state, batch, jnp.asarray(it), rng)
+
+                if sig_ctx is not None:
+                    action = sig_ctx.get_requested_action()
+                    if action != Action.NONE and cfg.snapshot_dir:
+                        save_checkpoint(
+                            cfg.snapshot_dir, it,
+                            {"params": params, "state": state,
+                             "opt_state": opt_state},
+                            prefix=cfg.snapshot_prefix,
+                            meta={"signal": action.name})
+                    if action == Action.STOP:
+                        log.info("SIGINT: snapshot + stop at iter %d", it)
+                        stop = True
 
                 if it % cfg.train_loss_record_interval == 0:
                     history["train_loss"].append(float(loss))
@@ -233,6 +256,8 @@ class Trainer:
                 if it >= cfg.max_iter or stop:
                     break
 
+        if sig_ctx is not None:
+            sig_ctx.__exit__(None, None, None)
         history["best_step"] = best["step"]
         history["best_dev_map"] = best["dev_map"]
         history["params"] = best["params"] if best["params"] is not None \

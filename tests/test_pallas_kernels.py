@@ -66,8 +66,8 @@ class TestMaxSimScores:
         ref = bilinear_maxsim_scores_reference(q, cand, w)
         # f32 through the kernel for an apples-to-apples numeric check
         qw = project_queries(q, w, dtype=jnp.float32)
-        pool, mask = pack_candidate_pool(cand, dtype=jnp.float32)
-        out = bilinear_maxsim_scores(qw, pool, mask, interpret=True)
+        pool = pack_candidate_pool(cand, dtype=jnp.float32)
+        out = bilinear_maxsim_scores(qw, pool, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-3, atol=1e-3)
 
@@ -81,8 +81,8 @@ class TestMaxSimScores:
         ref = bilinear_maxsim_scores_reference(q, cand, w)
         assert float(ref[0, 0]) < 0
         qw = project_queries(q, w, dtype=jnp.float32)
-        pool, mask = pack_candidate_pool(cand, dtype=jnp.float32)
-        out = bilinear_maxsim_scores(qw, pool, mask, interpret=True)
+        pool = pack_candidate_pool(cand, dtype=jnp.float32)
+        out = bilinear_maxsim_scores(qw, pool, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
@@ -93,8 +93,8 @@ class TestMaxSimScores:
         w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.1)
         ref = bilinear_maxsim_scores_reference(q, cand, w)
         qw = project_queries(q, w)  # bf16
-        pool, mask = pack_candidate_pool(cand)  # bf16
-        out = bilinear_maxsim_scores(qw, pool, mask, interpret=True)
+        pool = pack_candidate_pool(cand)  # bf16
+        out = bilinear_maxsim_scores(qw, pool, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=0.05, atol=0.5)
 
@@ -102,10 +102,10 @@ class TestMaxSimScores:
         q = jnp.zeros((1, 2, 50))
         w = jnp.eye(50)[None]
         qw = project_queries(q, w, dtype=jnp.float32)
-        pool, mask = pack_candidate_pool(jnp.zeros((C_BLOCK + 1, 3, 50)),
-                                         dtype=jnp.float32)
+        pool = pack_candidate_pool(jnp.zeros((C_BLOCK + 1, 3, 50)),
+                                   dtype=jnp.float32)
         try:
-            bilinear_maxsim_scores(qw, pool, mask, interpret=True)
+            bilinear_maxsim_scores(qw, pool, interpret=True)
             assert False, "expected ValueError"
         except ValueError:
             pass
