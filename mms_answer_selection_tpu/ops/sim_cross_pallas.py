@@ -155,10 +155,12 @@ bilinear_pair_maps.defvjp(_pair_maps_fwd, _pair_maps_bwd)
 # retrieval-path fused scorer (flash-style, no HBM materialization)
 # ===========================================================================
 
-W2P = 64          # padded tokens per candidate
+W2P = 48          # padded tokens per candidate (25% less pad
+                  # work than 64; sublane-aligned at 8)
 C_BLOCK = 128     # candidates per grid step (output row tile)
 C_SUB = 8         # candidates per inner matmul chunk (C_SUB*W2P = 512 rows)
-Q_SUB = 8         # queries per inner matmul chunk
+Q_SUB = 16        # queries per inner matmul chunk (tuned on
+                  # v5e: 16 beats 8 by ~20% at 262k pools)
 Q_BLOCK = 128     # query padding on TPU (output lane alignment)
 MASK_LANE = -1    # the spare padded lane carrying the -inf token mask
 
@@ -242,6 +244,7 @@ def project_queries(q_tokens, w, *, dtype=jnp.bfloat16):
 
 def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
                            c_sub: int = C_SUB, q_sub: int = Q_SUB,
+                           q_block: int | None = None,
                            interpret: bool | None = None):
     """Score every query against every candidate.
 
@@ -259,9 +262,12 @@ def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
     # pad query count: to the 128-lane output tile on TPU (so the output
     # streams block-by-block), to q_sub under the interpreter (cheap tests).
     # Padded queries are all-zero rows INCLUDING the mask-activation lane,
-    # so their scores are 0 and sliced off below.
-    q_align = q_sub if interpret else Q_BLOCK
+    # so their scores are 0 and sliced off below.  For latency-critical tiny
+    # query batches pass q_block=q_sub: the sub-128-lane output stays
+    # VMEM-resident across the grid, which is fine when (C, q_block) fits.
+    q_align = q_sub if interpret else (q_block or Q_BLOCK)
     nq_pad = _round_up(nq, q_align)
+    q_sub = min(q_sub, nq_pad)  # tiny query batches shrink the inner chunk
     if nq_pad != nq:
         qw = jnp.pad(qw, ((0, nq_pad - nq), (0, 0), (0, 0)))
     qw_flat = qw.reshape(nq_pad * rows_per_q, dp)

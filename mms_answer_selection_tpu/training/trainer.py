@@ -95,14 +95,39 @@ class Trainer:
     def _build_steps(self):
         model_cfg, cfg = self.model_cfg, self.cfg
 
-        def train_step(params, state, opt_state, batch, step, rng):
-            def loss_fn(p):
-                out, new_state = self.apply_fn(p, state, batch, model_cfg,
-                                               train=True, rng=rng)
-                return out["loss"], new_state
+        iter_size = cfg.solver.iter_size
 
-            (loss, new_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+        def train_step(params, state, opt_state, batch, step, rng):
+            def loss_and_grads(state_in, batch_i, rng_i):
+                def loss_fn(p):
+                    out, new_state = self.apply_fn(p, state_in, batch_i,
+                                                   model_cfg, train=True,
+                                                   rng=rng_i)
+                    return out["loss"], new_state
+
+                return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+            if iter_size == 1:
+                (loss, new_state), grads = loss_and_grads(state, batch, rng)
+            else:
+                # gradient accumulation over iter_size micro-batches
+                # (solver.cpp:221-223); the solver's Normalize divides the
+                # summed gradient by iter_size.  BN state threads through
+                # the micro-steps sequentially, as the reference's repeated
+                # Forward calls do.
+                def body(carry, xs):
+                    state_c, acc = carry
+                    batch_i, i = xs
+                    (loss_i, state_n), g = loss_and_grads(
+                        state_c, batch_i, jax.random.fold_in(rng, i))
+                    acc = jax.tree.map(jnp.add, acc, g)
+                    return (state_n, acc), loss_i
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (new_state, grads), losses = jax.lax.scan(
+                    body, (state, zero),
+                    (batch, jnp.arange(iter_size)))
+                loss = jnp.mean(losses)
             params, opt_state = self.solver.apply(params, grads, opt_state,
                                                   step)
             return params, new_state, opt_state, loss
@@ -139,16 +164,24 @@ class Trainer:
     # ------------------------------------------------------------------ data
     def _epoch_batches(self, data: dict, epoch_key):
         """Deterministic reshuffle each epoch; fixed-size batches with
-        wrap-around so every jitted step sees the same shapes."""
+        wrap-around so every jitted step sees the same shapes.  With
+        iter_size > 1 each yield carries iter_size stacked micro-batches."""
         n = len(data["label"])
         perm = np.asarray(jax.random.permutation(epoch_key, n))
-        bs = self.cfg.batch_size
+        iter_size = self.cfg.solver.iter_size
+        bs = self.cfg.batch_size * iter_size
         for start in range(0, n, bs):
             idx = perm[start: start + bs]
             if len(idx) < bs:  # wrap (HDF5DataLayer-style continuous stream)
-                idx = np.concatenate([idx, perm[: bs - len(idx)]])
-            yield {k: jnp.asarray(v[idx]) for k, v in data.items()
-                   if k != "group"}
+                reps = np.concatenate([perm] * (bs // n + 1))
+                idx = np.concatenate([idx, reps[: bs - len(idx)]])
+            batch = {k: jnp.asarray(v[idx]) for k, v in data.items()
+                     if k != "group"}
+            if iter_size > 1:
+                batch = {k: v.reshape((iter_size, self.cfg.batch_size)
+                                      + v.shape[1:])
+                         for k, v in batch.items()}
+            yield batch
 
     @staticmethod
     def _full_batch(data: dict):
