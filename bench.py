@@ -96,7 +96,7 @@ def run_train_bench(batch: int, iters: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pool", type=int, default=262144)
-    ap.add_argument("--queries", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--secondary", action="store_true",
                     help="also run the training-step benchmark (stderr)")

@@ -1,0 +1,196 @@
+"""Stock layer zoo: the reference's generic layer vocabulary as jnp ops.
+
+Caffe ships ~70 generic layers (SURVEY.md §2.2); on TPU most are single
+fused XLA expressions, not framework components.  This module pins down the
+ones with nontrivial *semantics* (exact parameterizations cited per
+function) so recipes built from the reference's vocabulary translate
+one-to-one.  Structural layers (Flatten/Reshape/Concat/Slice/Split/Tile/
+Crop) are jnp built-ins and appear here only where Caffe adds semantics.
+
+Everything is a pure function; learnable variants (PReLU, Scale/Bias)
+take their parameter explicitly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ----------------------------------------------------------------- neurons
+
+
+def relu(x, *, negative_slope: float = 0.0):
+    """ReLULayer with leaky slope (relu_layer.cpp; negative_slope param)."""
+    return jnp.where(x > 0, x, negative_slope * x)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+def elu(x, *, alpha: float = 1.0):
+    """ELULayer: x if x>0 else alpha*(exp(x)-1) (elu_layer.cpp)."""
+    return jnp.where(x > 0, x, alpha * jnp.expm1(x))
+
+
+def prelu(x, slopes, *, channel_axis: int = -1):
+    """PReLULayer: per-channel learnable negative slopes
+    (prelu_layer.cpp; channel_shared collapses slopes to a scalar)."""
+    shape = [1] * x.ndim
+    shape[channel_axis] = -1
+    return jnp.where(x > 0, x, jnp.reshape(slopes, shape) * x)
+
+
+def bnll(x):
+    """BNLLLayer: log(1 + exp(x)), computed stably (bnll_layer.cpp uses the
+    x>0 split for overflow safety)."""
+    return jnp.maximum(x, 0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def power(x, *, power: float = 1.0, scale: float = 1.0, shift: float = 0.0):
+    """PowerLayer: (shift + scale*x)^power (power_layer.cpp)."""
+    return (shift + scale * x) ** power
+
+
+def exp(x, *, base: float = -1.0, scale: float = 1.0, shift: float = 0.0):
+    """ExpLayer: base^(shift + scale*x); base=-1 means e (exp_layer.cpp)."""
+    y = shift + scale * x
+    return jnp.exp(y) if base <= 0 else base ** y
+
+
+def log(x, *, base: float = -1.0, scale: float = 1.0, shift: float = 0.0):
+    """LogLayer: log_base(shift + scale*x) (log_layer.cpp)."""
+    y = jnp.log(shift + scale * x)
+    return y if base <= 0 else y / jnp.log(base)
+
+
+def threshold(x, *, threshold: float = 0.0):
+    """ThresholdLayer: 1 if x > t else 0 (threshold_layer.cpp)."""
+    return (x > threshold).astype(x.dtype)
+
+
+def absval(x):
+    return jnp.abs(x)
+
+
+# ------------------------------------------------------------ normalization
+
+
+def mvn(x, *, normalize_variance: bool = True, across_channels: bool = False,
+        eps: float = 1e-9, channel_axis: int = -1):
+    """MVNLayer: per-sample mean (and optionally variance) normalization
+    (mvn_layer.cpp).  across_channels=False normalizes each channel's
+    spatial field separately."""
+    axes = tuple(i for i in range(1, x.ndim)
+                 if across_channels or i != (channel_axis % x.ndim))
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    y = x - mu
+    if normalize_variance:
+        # the reference divides by stddev + eps (not sqrt(var + eps))
+        std = jnp.sqrt(jnp.mean(y * y, axis=axes, keepdims=True))
+        y = y / (std + eps)
+    return y
+
+
+def lrn_across_channels(x, *, local_size: int = 5, alpha: float = 1.0,
+                        beta: float = 0.75, k: float = 1.0):
+    """LRNLayer ACROSS_CHANNELS mode over NHWC
+    (lrn_layer.cpp): y = x / (k + alpha/n * sum_window x^2)^beta."""
+    c = x.shape[-1]
+    sq = x * x
+    pad = local_size // 2
+    padded = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    window = sum(padded[..., i: i + c] for i in range(local_size))
+    return x / (k + (alpha / local_size) * window) ** beta
+
+
+def scale(x, scale_param, bias_param=None, *, channel_axis: int = -1):
+    """ScaleLayer (+ fused bias): per-channel learned multiplier
+    (scale_layer.cpp)."""
+    shape = [1] * x.ndim
+    shape[channel_axis] = -1
+    y = x * jnp.reshape(scale_param, shape)
+    if bias_param is not None:
+        y = y + jnp.reshape(bias_param, shape)
+    return y
+
+
+# -------------------------------------------------------------- reductions
+
+
+def eltwise(inputs, *, operation: str = "sum", coeffs=None):
+    """EltwiseLayer: PROD / SUM (with coeffs) / MAX (eltwise_layer.cpp)."""
+    if operation == "prod":
+        out = inputs[0]
+        for x in inputs[1:]:
+            out = out * x
+        return out
+    if operation == "sum":
+        coeffs = coeffs or [1.0] * len(inputs)
+        out = coeffs[0] * inputs[0]
+        for c, x in zip(coeffs[1:], inputs[1:]):
+            out = out + c * x
+        return out
+    if operation == "max":
+        out = inputs[0]
+        for x in inputs[1:]:
+            out = jnp.maximum(out, x)
+        return out
+    raise ValueError(operation)
+
+
+def reduction(x, *, operation: str = "sum", axis: int = 0,
+              coeff: float = 1.0):
+    """ReductionLayer: SUM/ASUM/SUMSQ/MEAN over trailing axes starting at
+    ``axis`` (reduction_layer.cpp)."""
+    axes = tuple(range(axis, x.ndim)) if x.ndim > axis else ()
+    if operation == "sum":
+        r = jnp.sum(x, axis=axes)
+    elif operation == "asum":
+        r = jnp.sum(jnp.abs(x), axis=axes)
+    elif operation == "sumsq":
+        r = jnp.sum(x * x, axis=axes)
+    elif operation == "mean":
+        r = jnp.mean(x, axis=axes)
+    else:
+        raise ValueError(operation)
+    return coeff * r
+
+
+def argmax(x, *, top_k: int = 1, out_max_val: bool = False, axis: int = -1):
+    """ArgMaxLayer (argmax_layer.cpp): top-k indices (and optionally
+    values) along an axis."""
+    vals, idx = jax.lax.top_k(jnp.moveaxis(x, axis, -1), top_k)
+    if out_max_val:
+        return idx, vals
+    return idx
+
+
+def accuracy(scores, labels, *, top_k: int = 1,
+             ignore_label: int | None = None):
+    """AccuracyLayer (accuracy_layer.cpp): fraction of rows whose label is
+    within the top-k scores; ignore_label rows excluded."""
+    _, idx = jax.lax.top_k(scores, top_k)
+    hit = jnp.any(idx == labels[:, None].astype(idx.dtype),
+                  axis=1).astype(jnp.float32)
+    if ignore_label is not None:
+        valid = (labels != ignore_label).astype(jnp.float32)
+        return jnp.sum(hit * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.mean(hit)
+
+
+def batch_reindex(x, permutation):
+    """BatchReindexLayer: gather rows (batch_reindex_layer.cpp)."""
+    return jnp.take(x, permutation.astype(jnp.int32), axis=0)
+
+
+def filter_rows(x, selector):
+    """FilterLayer semantics need dynamic shapes; on TPU express it as a
+    mask-and-weight pattern instead.  Returns (x, weights) where weights
+    zero out filtered rows -- callers reduce with the weights (this is the
+    static-shape idiom the reference's dynamic row dropping maps to)."""
+    return x, selector.astype(x.dtype)
