@@ -310,3 +310,152 @@ def bilinear_maxsim_scores_reference(q_tokens, cand_tokens, w):
     s = jnp.einsum("qid,mde,cje->qmicj", q_tokens, w, cand_tokens,
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(jnp.max(s, axis=-1), axis=(1, 2))
+
+
+# ===========================================================================
+# int8-quantized retrieval path (2x MXU rate, half the HBM footprint)
+# ===========================================================================
+#
+# Per-row symmetric quantization: every candidate token row and every
+# projected query row carries its own f32 scale (absmax/127).  The kernel
+# contracts int8 x int8 -> int32 on the MXU (v5e runs int8 at 2x the bf16
+# rate) and rescales with a rank-1 outer product of the row scales before
+# the max/sum reductions.  The -inf token mask and the candidate scales
+# share one bf16 aux operand (lane 0 = scale, lane 1 = mask) -- a (rows, 1)
+# operand would lane-pad to the same physical footprint anyway.
+
+AUX_LANES = 128  # physical row width of the aux operand (2 lanes used)
+
+
+def _quantize_rows(x):
+    """(rows, d) f32 -> (int8 rows, f32 per-row scales)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[:, 0]
+
+
+def pack_candidate_pool_int8(tokens, *, w2p: int = W2P):
+    """(C, W2, D) -> (pool_i8 (C, W2P, Dp) int8, aux (C*W2P, AUX_LANES) bf16
+    with lane0 = per-token-row dequant scale, lane1 = additive mask)."""
+    c, w2, d = tokens.shape
+    dp = _round_up(d + 1, LANE)
+    if w2 > w2p:
+        raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
+    flat = tokens.reshape(c * w2, d)
+    q, scales = _quantize_rows(flat)
+    pool = jnp.zeros((c, w2p, dp), jnp.int8)
+    pool = pool.at[:, :w2, :d].set(q.reshape(c, w2, d))
+    aux = jnp.zeros((c, w2p, AUX_LANES), jnp.bfloat16)
+    aux = aux.at[:, :w2, 0].set(scales.reshape(c, w2).astype(jnp.bfloat16))
+    # padded token rows: scale 0 and -inf mask
+    aux = aux.at[:, w2:, 1].set(NEG_INF)
+    return pool, aux.reshape(c * w2p, AUX_LANES)
+
+
+def mask_out_candidates_int8(aux, start_row: int):
+    """Mark every token row from candidate ``start_row`` on as padding.
+    aux: (C*W2P, AUX_LANES); start_row in CANDIDATE units."""
+    return aux.at[start_row * W2P:, 1].set(NEG_INF)
+
+
+def project_queries_int8(q_tokens, w):
+    """(Nq, W1, D) x (M, D, D) -> (qw_i8 (Nq, R, Dp) int8,
+    q_scales (Nq, R) f32)."""
+    nq, w1, d = q_tokens.shape
+    m = w.shape[0]
+    dp = _round_up(d + 1, LANE)
+    qw = jnp.einsum("nid,mde->nmie", q_tokens, w,
+                    precision=jax.lax.Precision.HIGHEST)
+    qw = qw.reshape(nq * m * w1, d)
+    qi, scales = _quantize_rows(qw)
+    out = jnp.zeros((nq * m * w1, dp), jnp.int8).at[:, :d].set(qi)
+    return out.reshape(nq, m * w1, dp), scales.reshape(nq, m * w1)
+
+
+def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
+                        c_sub, q_sub, w2p, rows_per_q, nq):
+    """int8 variant of _maxsim_kernel.
+
+    qw_ref:   (NQ*R, Dp) int8;  qs_ref: (1, NQ*R) bf16 query-row scales
+    pool_ref: (C_BLOCK*W2P, Dp) int8
+    aux_ref:  (C_BLOCK*W2P, AUX_LANES) bf16 (lane0 scale, lane1 mask)
+    o_ref:    (C_BLOCK, NQ) f32
+    """
+    r = rows_per_q
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (q_sub * r, q_sub), 0) // r
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (q_sub * r, q_sub), 1)
+    sel = (row_q == col_q).astype(jnp.float32)
+
+    for t in range(c_block // c_sub):
+        rows = c_sub * w2p
+        chunk = pool_ref[pl.ds(t * rows, rows), :]
+        sc = aux_ref[pl.ds(t * rows, rows), 0:1].astype(jnp.float32)
+        msk = aux_ref[pl.ds(t * rows, rows), 1:2].astype(jnp.float32)
+        q_parts = []
+        for qb in range(nq // q_sub):
+            qw = qw_ref[pl.ds(qb * q_sub * r, q_sub * r), :]
+            sq = qs_ref[0:1, pl.ds(qb * q_sub * r, q_sub * r)].astype(
+                jnp.float32)
+            s_i32 = jax.lax.dot_general(
+                chunk, qw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = s_i32.astype(jnp.float32) * sc * sq + msk
+            s3 = s.reshape(c_sub, w2p, q_sub * r)
+            per_cand = jnp.max(s3, axis=1)
+            q_parts.append(jnp.dot(per_cand, sel,
+                                   preferred_element_type=jnp.float32))
+        o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
+
+
+def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
+                                c_block: int = C_BLOCK, c_sub: int = C_SUB,
+                                q_sub: int = Q_SUB,
+                                q_block: int | None = None,
+                                interpret: bool | None = None):
+    """int8 scoring: (Nq, C) f32 approximate scores (~1% row-quant error;
+    rerank the shortlist with score_pairs for exactness)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    nq, rows_per_q, dp = qw_i8.shape
+    c_rows, aux_lanes = aux.shape
+    c = pool_i8.shape[0]
+    w2p = pool_i8.shape[1]
+    if c % c_block:
+        raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
+    q_align = q_sub if interpret else (q_block or Q_BLOCK)
+    nq_pad = _round_up(nq, q_align)
+    q_sub = min(q_sub, nq_pad)
+    if nq_pad != nq:
+        qw_i8 = jnp.pad(qw_i8, ((0, nq_pad - nq), (0, 0), (0, 0)))
+        q_scales = jnp.pad(q_scales, ((0, nq_pad - nq), (0, 0)))
+    qw_flat = qw_i8.reshape(nq_pad * rows_per_q, dp)
+    qs_flat = q_scales.reshape(1, nq_pad * rows_per_q).astype(jnp.bfloat16)
+    pool_flat = pool_i8.reshape(c * w2p, dp)
+
+    kernel = functools.partial(_maxsim_int8_kernel, c_block=c_block,
+                               c_sub=c_sub, q_sub=q_sub, w2p=w2p,
+                               rows_per_q=rows_per_q, nq=nq_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c // c_block,),
+        in_specs=[
+            pl.BlockSpec((nq_pad * rows_per_q, dp), lambda j: (0, 0)),
+            pl.BlockSpec((1, nq_pad * rows_per_q), lambda j: (0, 0)),
+            pl.BlockSpec((c_block * w2p, dp), lambda j: (j, 0)),
+            pl.BlockSpec((c_block * w2p, aux_lanes), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((c_block, nq_pad), lambda j: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((c, nq_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq_pad * c * rows_per_q * w2p * dp,
+            bytes_accessed=qw_flat.size + pool_flat.size
+            + aux.size * 2 + c * nq_pad * 4,
+            transcendentals=0,
+        ),
+    )(qw_flat, qs_flat, pool_flat, aux)
+    return out.T[:nq]

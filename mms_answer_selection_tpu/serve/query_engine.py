@@ -31,10 +31,15 @@ from ..models.mms_qa import MMSQAConfig, mms_qa_apply
 from ..ops.embed import embed_lookup
 from ..ops.sim_cross_pallas import (
     C_BLOCK,
+    W2P,
     bilinear_maxsim_scores,
+    bilinear_maxsim_scores_int8,
     mask_out_candidates,
+    mask_out_candidates_int8,
     pack_candidate_pool,
+    pack_candidate_pool_int8,
     project_queries,
+    project_queries_int8,
 )
 
 
@@ -57,15 +62,21 @@ class QueryEngine:
 
     def __init__(self, params, cfg: MMSQAConfig, *, mesh: Mesh | None = None,
                  pool_dtype=jnp.bfloat16, interpret: bool | None = None):
+        """pool_dtype: jnp dtype for the packed pool, or the string "int8"
+        for the quantized path (half the HBM -- a 1M-candidate pool fits
+        one v5e chip -- at ~1% score error; rerank with score_pairs when
+        exactness matters)."""
         if cfg.sim_mode != 2:
             raise ValueError("query engine requires the learned bilinear "
                              "metric (sim_mode=2)")
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
-        self.pool_dtype = pool_dtype
+        self.int8 = pool_dtype == "int8"
+        self.pool_dtype = None if self.int8 else pool_dtype
         self.interpret = interpret
         self.pool = None
+        self.aux = None
         self.pool_size = 0
         self._padded_size = 0
         self._query_jit = None
@@ -86,16 +97,25 @@ class QueryEngine:
                                  candidate_ids.dtype)
             candidate_ids = jnp.concatenate([candidate_ids, pad_rows], 0)
         tokens = embed_lookup(self.params["embed"], candidate_ids)
-        pool = pack_candidate_pool(tokens, dtype=self.pool_dtype)
-        # padded (fake) candidates: mask lane set so their scores sink
-        if c_pad != c:
-            pool = mask_out_candidates(pool, c)
+        if self.int8:
+            pool, aux = pack_candidate_pool_int8(tokens)
+            if c_pad != c:
+                aux = mask_out_candidates_int8(aux, c)
+        else:
+            pool = pack_candidate_pool(tokens, dtype=self.pool_dtype)
+            aux = None
+            # padded (fake) candidates: mask lane set so their scores sink
+            if c_pad != c:
+                pool = mask_out_candidates(pool, c)
         if self.mesh is not None:
             axis = self.mesh.axis_names[-1] if len(self.mesh.axis_names) == 1 \
                 else self.mesh.axis_names
             spec = P(axis)
             pool = jax.device_put(pool, NamedSharding(self.mesh, spec))
+            if aux is not None:
+                aux = jax.device_put(aux, NamedSharding(self.mesh, spec))
         self.pool = pool
+        self.aux = aux
         self.pool_size, self._padded_size = c, c_pad
         self._query_jit = None
         return self
@@ -108,15 +128,20 @@ class QueryEngine:
         embed_params = self.params["embed"]
         pool_dtype = self.pool_dtype
 
-        def embed_and_project(query_ids):
+        use_int8 = self.int8
+
+        def score_local(query_ids, pool, aux):
             q_tokens = embed_lookup(embed_params, query_ids)
-            return project_queries(q_tokens, w, dtype=pool_dtype)
+            if use_int8:
+                qw, qs = project_queries_int8(q_tokens, w)
+                return bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                   interpret=interpret)
+            qw = project_queries(q_tokens, w, dtype=pool_dtype)
+            return bilinear_maxsim_scores(qw, pool, interpret=interpret)
 
         if mesh is None:
-            def query_fn(query_ids, pool):
-                qw = embed_and_project(query_ids)
-                scores = bilinear_maxsim_scores(qw, pool,
-                                                interpret=interpret)
+            def query_fn(query_ids, pool, aux):
+                scores = score_local(query_ids, pool, aux)
                 vals, idx = jax.lax.top_k(scores, k)
                 return vals, idx
             return jax.jit(query_fn)
@@ -124,11 +149,9 @@ class QueryEngine:
         axes = mesh.axis_names if len(mesh.axis_names) > 1 \
             else mesh.axis_names[0]
 
-        def shard_fn(query_ids, pool):
-            # per-shard scoring; pool carries the local shard
-            qw = embed_and_project(query_ids)
-            scores = bilinear_maxsim_scores(qw, pool,
-                                            interpret=interpret)
+        def shard_fn(query_ids, pool, aux):
+            # per-shard scoring; pool (and int8 aux) carry the local shard
+            scores = score_local(query_ids, pool, aux)
             vals, idx = jax.lax.top_k(scores, k)
             shard_sz = pool.shape[0]
             if isinstance(axes, tuple):
@@ -151,7 +174,9 @@ class QueryEngine:
         # require vma annotations on its out_shape (jax 0.9 vma checking)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), pool_spec),
+            # the aux slot is an empty pytree (None) on the bf16 path, so
+            # its spec is inert there
+            in_specs=(P(), pool_spec, pool_spec),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(mapped)
@@ -164,7 +189,8 @@ class QueryEngine:
         k = min(k, self._padded_size)
         if self._query_jit is None or self._query_jit[0] != k:
             self._query_jit = (k, self._build_query_fn(k))
-        vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool)
+        vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool,
+                                       self.aux)
         return vals, idx
 
     # ------------------------------------------------------- exact rescoring

@@ -1,0 +1,87 @@
+"""int8 retrieval kernel tests: quantization, score accuracy, top-k recall."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+    C_BLOCK,
+    W2P,
+    bilinear_maxsim_scores_int8,
+    bilinear_maxsim_scores_reference,
+    mask_out_candidates_int8,
+    pack_candidate_pool_int8,
+    project_queries_int8,
+    _quantize_rows,
+)
+
+rng = np.random.default_rng(41)
+
+
+class TestQuantize:
+    def test_roundtrip_error_bounded(self):
+        x = jnp.asarray(rng.normal(size=(32, 50)).astype(np.float32))
+        q, s = _quantize_rows(x)
+        deq = q.astype(jnp.float32) * s[:, None]
+        rel = float(jnp.max(jnp.abs(deq - x)) / jnp.max(jnp.abs(x)))
+        assert rel < 0.01  # 1/127 per-row symmetric quant
+
+    def test_zero_row_safe(self):
+        x = jnp.zeros((2, 8))
+        q, s = _quantize_rows(x)
+        assert np.all(np.asarray(q) == 0)
+        assert np.all(np.isfinite(np.asarray(s)))
+
+
+class TestInt8Scores:
+    def _setup(self, nq=3, c=2 * C_BLOCK, w1=5, w2=7, d=50, m=2):
+        q = jnp.asarray(rng.normal(size=(nq, w1, d)).astype(np.float32))
+        cand = jnp.asarray(rng.normal(size=(c, w2, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.1)
+        return q, cand, w
+
+    def test_close_to_f32_reference(self):
+        q, cand, w = self._setup()
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                     interpret=True))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=0.05 * scale)
+
+    def test_topk_recall_vs_f32(self):
+        q, cand, w = self._setup(nq=4, c=4 * C_BLOCK)
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                     interpret=True))
+        k = 10
+        for qi in range(4):
+            top_ref = set(np.argsort(-ref[qi])[:k])
+            top_int8 = set(np.argsort(-out[qi])[:k])
+            assert len(top_ref & top_int8) >= k - 2  # >= 80% overlap
+
+    def test_padding_mask(self):
+        # all-negative sims: padded zero rows must not win the max
+        q = jnp.ones((1, 2, 50), jnp.float32)
+        cand = -jnp.ones((C_BLOCK, 3, 50), jnp.float32)
+        w = jnp.eye(50)[None]
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        assert ref[0, 0] < 0
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                     interpret=True))
+        np.testing.assert_allclose(out, ref, atol=0.05 * abs(ref).max())
+
+    def test_mask_out_candidates(self):
+        q, cand, w = self._setup(nq=1, c=C_BLOCK)
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        aux = mask_out_candidates_int8(aux, C_BLOCK - 8)
+        out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                     interpret=True))
+        # fully masked candidates sink far below any real score
+        assert out[0, -8:].max() < out[0, : C_BLOCK - 8].min()

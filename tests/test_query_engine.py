@@ -99,3 +99,42 @@ class TestMergeAndRerank:
         probs = eng.score_pairs(state, qids, cand_ids[:4])
         assert probs.shape == (4,)
         assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
+
+
+class TestInt8Engine:
+    def test_int8_topk_close_to_f32(self):
+        mesh = None
+        eng_f, params, state, cand_ids = _engine(n_cand=64)
+        eng_i = QueryEngine(params, CFG, pool_dtype="int8",
+                            interpret=True).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (3, 6))
+        vf, idx_f = eng_f.query(query_ids, k=5)
+        vi, idx_i = eng_i.query(query_ids, k=5)
+        # quantized retrieval: top-5 overlap >= 4/5 per query
+        for qi in range(3):
+            overlap = len(set(np.asarray(idx_f[qi]).tolist())
+                          & set(np.asarray(idx_i[qi]).tolist()))
+            assert overlap >= 4
+
+    def test_int8_sharded(self):
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        eng_m, params, state, cand_ids = _engine(n_cand=64)
+        eng_i = QueryEngine(params, CFG, mesh=mesh, pool_dtype="int8",
+                            interpret=True).build_index(cand_ids)
+        eng_s = QueryEngine(params, CFG, pool_dtype="int8",
+                            interpret=True).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (2, 6))
+        vm, im = eng_i.query(query_ids, k=7)
+        vs, is_ = eng_s.query(query_ids, k=7)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(im), np.asarray(is_))
+
+    def test_int8_padded_candidates_never_returned(self):
+        _, params, state, _ = _engine(n_cand=9)
+        cand_ids = rng.integers(0, 64, (9, 6))
+        eng = QueryEngine(params, CFG, pool_dtype="int8",
+                          interpret=True).build_index(cand_ids)
+        vals, idx = eng.query(rng.integers(0, 64, (2, 6)), k=9)
+        assert np.asarray(idx).max() < 9
