@@ -232,6 +232,32 @@ def cmd_time(args):
                               "full_forward is the real number"}))
 
 
+def cmd_summarize(args):
+    """Model structure table (tools/extra/summarize.py analogue) +
+    optional history CSV export."""
+    from .utils.history import history_to_csv, summarize_model
+
+    if args.config:
+        from .utils.config import experiment_from_json
+        with open(args.config) as f:
+            model_cfg, _ = experiment_from_json(f.read())
+    else:
+        from .models.mms_qa import V3, V4, V4_2, V5
+        model_cfg = {"v3": V3, "v4": V4, "v4_2": V4_2,
+                     "v5": V5}[args.variant]
+    print(summarize_model(model_cfg))
+    if args.history:
+        with open(args.history) as f:
+            hist = json.load(f)
+        train_csv, eval_csv = history_to_csv(hist)
+        base = os.path.splitext(args.history)[0]
+        with open(base + ".train.csv", "w") as f:
+            f.write(train_csv)
+        with open(base + ".eval.csv", "w") as f:
+            f.write(eval_csv)
+        print(f"wrote {base}.train.csv / {base}.eval.csv")
+
+
 def cmd_device_query(args):
     import jax
 
@@ -289,6 +315,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_time)
+
+    p = sub.add_parser("summarize",
+                       help="model structure table + history CSV export")
+    p.add_argument("--config")
+    p.add_argument("--variant", default="v4",
+                   choices=["v3", "v4", "v4_2", "v5"])
+    p.add_argument("--history", help="history.json from a training run")
+    p.set_defaults(fn=cmd_summarize)
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)

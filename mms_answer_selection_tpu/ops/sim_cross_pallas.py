@@ -321,10 +321,12 @@ def bilinear_maxsim_scores_reference(q_tokens, cand_tokens, w):
 # contracts int8 x int8 -> int32 on the MXU (v5e runs int8 at 2x the bf16
 # rate) and rescales with a rank-1 outer product of the row scales before
 # the max/sum reductions.  The -inf token mask and the candidate scales
-# share one bf16 aux operand (lane 0 = scale, lane 1 = mask) -- a (rows, 1)
-# operand would lane-pad to the same physical footprint anyway.
+# share one bf16 aux operand (lane 0 = scale, lane 1 = mask): 2 lanes keep
+# the HBM footprint compact (a 128-lane aux would cost 12.9 GB for a 1M
+# pool -- twice the pool itself); the VMEM tile lane-pads to 128 either
+# way, so the kernel-side cost is identical.
 
-AUX_LANES = 128  # physical row width of the aux operand (2 lanes used)
+AUX_LANES = 2
 
 
 def _quantize_rows(x):

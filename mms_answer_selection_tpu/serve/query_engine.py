@@ -61,11 +61,18 @@ class QueryEngine:
     """
 
     def __init__(self, params, cfg: MMSQAConfig, *, mesh: Mesh | None = None,
-                 pool_dtype=jnp.bfloat16, interpret: bool | None = None):
+                 pool_dtype=jnp.bfloat16, interpret: bool | None = None,
+                 chunk_size: int = 262144):
         """pool_dtype: jnp dtype for the packed pool, or the string "int8"
         for the quantized path (half the HBM -- a 1M-candidate pool fits
         one v5e chip -- at ~1% score error; rerank with score_pairs when
-        exactness matters)."""
+        exactness matters).
+
+        chunk_size: single-device pools larger than this are scored in
+        chunks through ONE reused per-chunk executable with incremental
+        top-k merging -- XLA programs holding multi-GB pool slices overload
+        the compiler, and per-chunk top-k keeps the (Nq, C) score tensor
+        from ever materializing for huge pools."""
         if cfg.sim_mode != 2:
             raise ValueError("query engine requires the learned bilinear "
                              "metric (sim_mode=2)")
@@ -77,6 +84,8 @@ class QueryEngine:
         self.interpret = interpret
         self.pool = None
         self.aux = None
+        self.chunk_size = chunk_size
+        self.chunks = None  # list of (pool, aux) when chunked
         self.pool_size = 0
         self._padded_size = 0
         self._query_jit = None
@@ -89,33 +98,55 @@ class QueryEngine:
         c = candidate_ids.shape[0]
         shards = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        # pad pool to a multiple of (shards * C_BLOCK)
+        # pad pool to a multiple of (shards * C_BLOCK); single-device
+        # pools above chunk_size additionally pad to a chunk multiple
         mult = shards * C_BLOCK
+        chunked = self.mesh is None and c > self.chunk_size
+        if chunked:
+            mult = max(mult, self.chunk_size)
         c_pad = (c + mult - 1) // mult * mult
         if c_pad != c:
             pad_rows = jnp.zeros((c_pad - c, candidate_ids.shape[1]),
                                  candidate_ids.dtype)
             candidate_ids = jnp.concatenate([candidate_ids, pad_rows], 0)
-        tokens = embed_lookup(self.params["embed"], candidate_ids)
-        if self.int8:
-            pool, aux = pack_candidate_pool_int8(tokens)
-            if c_pad != c:
-                aux = mask_out_candidates_int8(aux, c)
+        def pack(ids_chunk, mask_from: int | None):
+            """embed + pack one chunk; mask_from masks candidates [i:] of
+            THIS chunk (pool-padding rows)."""
+            tokens = embed_lookup(self.params["embed"], ids_chunk)
+            if self.int8:
+                pool_c, aux_c = pack_candidate_pool_int8(tokens)
+                if mask_from is not None:
+                    aux_c = mask_out_candidates_int8(aux_c, mask_from)
+                return pool_c, aux_c
+            pool_c = pack_candidate_pool(tokens, dtype=self.pool_dtype)
+            if mask_from is not None:
+                pool_c = mask_out_candidates(pool_c, mask_from)
+            return pool_c, None
+
+        if chunked:
+            # per-chunk embed+pack: a 1M-candidate pool never materializes
+            # multi-GB f32 intermediates (and each chunk's executables stay
+            # within the compiler's buffer budget)
+            n_chunks = c_pad // self.chunk_size
+            self.chunks = []
+            for i in range(n_chunks):
+                lo, hi = i * self.chunk_size, (i + 1) * self.chunk_size
+                mask_from = c - lo if lo <= c < hi else None
+                self.chunks.append(pack(candidate_ids[lo:hi], mask_from))
+            self.pool, self.aux = None, None
         else:
-            pool = pack_candidate_pool(tokens, dtype=self.pool_dtype)
-            aux = None
-            # padded (fake) candidates: mask lane set so their scores sink
-            if c_pad != c:
-                pool = mask_out_candidates(pool, c)
-        if self.mesh is not None:
-            axis = self.mesh.axis_names[-1] if len(self.mesh.axis_names) == 1 \
-                else self.mesh.axis_names
-            spec = P(axis)
-            pool = jax.device_put(pool, NamedSharding(self.mesh, spec))
-            if aux is not None:
-                aux = jax.device_put(aux, NamedSharding(self.mesh, spec))
-        self.pool = pool
-        self.aux = aux
+            pool, aux = pack(candidate_ids, c if c_pad != c else None)
+            if self.mesh is not None:
+                axis = self.mesh.axis_names[-1] \
+                    if len(self.mesh.axis_names) == 1 else self.mesh.axis_names
+                spec = P(axis)
+                pool = jax.device_put(pool, NamedSharding(self.mesh, spec))
+                if aux is not None:
+                    aux = jax.device_put(aux,
+                                         NamedSharding(self.mesh, spec))
+            self.chunks = None
+            self.pool = pool
+            self.aux = aux
         self.pool_size, self._padded_size = c, c_pad
         self._query_jit = None
         return self
@@ -184,8 +215,20 @@ class QueryEngine:
     def query(self, query_ids, k: int = 10):
         """query_ids: int (Nq, W1).  Returns (scores (Nq, k), indices
         (Nq, k)) of the top-k candidates under the learned metric."""
-        if self.pool is None:
+        if self.pool is None and self.chunks is None:
             raise RuntimeError("build_index first")
+        if self.chunks is not None:
+            k_eff = min(k, self.chunk_size)
+            if self._query_jit is None or self._query_jit[0] != k_eff:
+                self._query_jit = (k_eff, self._build_query_fn(k_eff))
+            fn = self._query_jit[1]
+            query_ids = jnp.asarray(query_ids)
+            all_vals, all_idx = [], []
+            for i, (pool_i, aux_i) in enumerate(self.chunks):
+                v, ix = fn(query_ids, pool_i, aux_i)
+                all_vals.append(v)
+                all_idx.append(ix + i * self.chunk_size)
+            return topk_merge(jnp.stack(all_vals), jnp.stack(all_idx), k_eff)
         k = min(k, self._padded_size)
         if self._query_jit is None or self._query_jit[0] != k:
             self._query_jit = (k, self._build_query_fn(k))

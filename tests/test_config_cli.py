@@ -116,3 +116,23 @@ class TestCLI:
         main(["device_query"])
         lines = capsys.readouterr().out.strip().split("\n")
         assert len(lines) == 8  # virtual cpu mesh
+
+
+class TestSummarize:
+    def test_variant_table(self, capsys):
+        from mms_answer_selection_tpu.cli import main
+        main(["summarize", "--variant", "v4"])
+        out = capsys.readouterr().out
+        assert "sim_cross(bilinear,M=4)" in out
+        assert "TOTAL" in out
+
+    def test_history_csv(self, tmp_path, capsys):
+        import json as _json
+        from mms_answer_selection_tpu.cli import main
+        hist = tmp_path / "history.json"
+        hist.write_text(_json.dumps({
+            "train_loss": [0.7, 0.6], "steps": [0],
+            "dev_map": [0.5], "dev_mrr": [0.6], "dev_auc": [0.7]}))
+        main(["summarize", "--variant", "v3", "--history", str(hist)])
+        assert (tmp_path / "history.train.csv").exists()
+        assert (tmp_path / "history.eval.csv").exists()

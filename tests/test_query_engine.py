@@ -138,3 +138,36 @@ class TestInt8Engine:
                           interpret=True).build_index(cand_ids)
         vals, idx = eng.query(rng.integers(0, 64, (2, 6)), k=9)
         assert np.asarray(idx).max() < 9
+
+
+class TestChunkedPool:
+    def test_chunked_matches_unchunked(self):
+        _, params, state, _ = _engine(n_cand=64)
+        cand_ids = rng.integers(0, 64, (300, 6))
+        eng_1 = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True).build_index(cand_ids)
+        eng_c = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True,
+                            chunk_size=128).build_index(cand_ids)
+        assert eng_c.chunks is not None and len(eng_c.chunks) == 3
+        query_ids = rng.integers(0, 64, (2, 6))
+        v1, i1 = eng_1.query(query_ids, k=9)
+        vc, ic = eng_c.query(query_ids, k=9)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(vc),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ic))
+
+    def test_chunked_int8(self):
+        _, params, state, _ = _engine(n_cand=64)
+        cand_ids = rng.integers(0, 64, (300, 6))
+        eng_1 = QueryEngine(params, CFG, pool_dtype="int8",
+                            interpret=True).build_index(cand_ids)
+        eng_c = QueryEngine(params, CFG, pool_dtype="int8",
+                            interpret=True,
+                            chunk_size=128).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (2, 6))
+        v1, i1 = eng_1.query(query_ids, k=7)
+        vc, ic = eng_c.query(query_ids, k=7)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(vc),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ic))
