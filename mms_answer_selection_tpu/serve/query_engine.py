@@ -62,7 +62,7 @@ class QueryEngine:
 
     def __init__(self, params, cfg: MMSQAConfig, *, mesh: Mesh | None = None,
                  pool_dtype=jnp.bfloat16, interpret: bool | None = None,
-                 chunk_size: int = 262144):
+                 chunk_size: int = 131072):
         """pool_dtype: jnp dtype for the packed pool, or the string "int8"
         for the quantized path (half the HBM -- a 1M-candidate pool fits
         one v5e chip -- at ~1% score error; rerank with score_pairs when
