@@ -31,15 +31,16 @@ log = logging.getLogger("mms_tpu.cli")
 
 # --------------------------------------------------------------------- prep
 def cmd_prep(args):
-    from .data import prepare_trec_qa, save_dataset
+    from .data import prepare_trec_qa, prepare_wikiqa, save_dataset
     from .ops.embed import load_pretrained_vectors
 
     words, vecs = load_pretrained_vectors(args.glove, args.dim)
     w2v = {w: v for w, v in zip(words, vecs)}
     log.info("loaded %d pretrained vectors", len(w2v))
-    splits, info = prepare_trec_qa(args.train_xml, args.dev_xml,
-                                   args.test_xml, w2v,
-                                   q_len=args.q_len, a_len=args.a_len)
+    prepare = prepare_wikiqa if args.format == "wikiqa" else prepare_trec_qa
+    splits, info = prepare(args.train_xml, args.dev_xml,
+                           args.test_xml, w2v,
+                           q_len=args.q_len, a_len=args.a_len)
     os.makedirs(args.out, exist_ok=True)
     for name, split in splits.items():
         save_dataset(os.path.join(args.out, f"{name}.npz"), split)
@@ -273,8 +274,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="qa")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("prep", help="TREC-QA XML + vectors -> packed arrays")
-    p.add_argument("--train-xml", required=True)
+    p = sub.add_parser("prep",
+                       help="TREC-QA XML / WikiQA TSV + vectors -> arrays")
+    p.add_argument("--format", default="trec", choices=["trec", "wikiqa"])
+    p.add_argument("--train-xml", required=True,
+                   help="train split (XML for trec, TSV for wikiqa)")
     p.add_argument("--dev-xml", required=True)
     p.add_argument("--test-xml", required=True)
     p.add_argument("--glove", required=True)

@@ -45,3 +45,26 @@ def test_prepare_same_artifacts_as_trecqa():
     from mms_answer_selection_tpu.metrics import mean_average_precision
     assert mean_average_precision(
         np.asarray([0.9, 0.1, 0.8, 0.2]), tr["label"], tr["group"]) == 1.0
+
+
+def test_cli_prep_wikiqa(tmp_path, capsys):
+    from mms_answer_selection_tpu.cli import main
+    tsv = tmp_path / "wiki.tsv"
+    tsv.write_text(TSV)
+    words = set()
+    for line in TSV.splitlines()[1:]:
+        parts = line.split("\t")
+        words |= set(parts[1].lower().replace("?", "").split())
+        words |= set(parts[5].lower().replace(".", "").split())
+    rng = np.random.default_rng(1)
+    glove = tmp_path / "glove.txt"
+    with open(glove, "w") as f:
+        for w in words:
+            f.write(w + " " + " ".join(
+                f"{x:.4f}" for x in rng.normal(size=50)) + "\n")
+    out = tmp_path / "prep"
+    main(["prep", "--format", "wikiqa", "--train-xml", str(tsv),
+          "--dev-xml", str(tsv), "--test-xml", str(tsv), "--glove",
+          str(glove), "--out", str(out), "--q-len", "10", "--a-len", "12"])
+    with np.load(out / "train.npz") as z:
+        assert z["question"].shape == (4, 10)
