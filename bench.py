@@ -22,11 +22,13 @@ import numpy as np
 
 
 def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
-                     warmup: int = 2):
+                     warmup: int = 2, mode: str = "int8"):
     import jax
     import jax.numpy as jnp
     from mms_answer_selection_tpu.ops.sim_cross_pallas import (
-        bilinear_maxsim_scores, pack_candidate_pool, project_queries)
+        bilinear_maxsim_scores, bilinear_maxsim_scores_int8,
+        pack_candidate_pool, pack_candidate_pool_int8, project_queries,
+        project_queries_int8)
 
     d, w1, w2, m = 50, 40, 40, 4
     rng = np.random.default_rng(0)
@@ -34,30 +36,40 @@ def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
     w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
     cand = jnp.asarray(rng.normal(size=(pool_size, w2, d)).astype(np.float32))
 
-    qw = project_queries(q, w)                       # bf16 (NQ, M*W1, 128)
-    pool = pack_candidate_pool(cand)                 # bf16 (C, 64, 128)
-    del cand
-
     # the jitted fn reduces the scores to ONE scalar on-device; pulling that
     # scalar to the host each iteration is the completion fence (a bare
     # block_until_ready returns early for queued work on the axon tunnel,
     # and host-indexing a large device array through the tunnel stalls)
-    fn = jax.jit(
-        lambda qw_, p_: jnp.sum(bilinear_maxsim_scores(qw_, p_)))
+    if mode == "int8":
+        # the production serving path (QueryEngine pool_dtype="int8"):
+        # ~0.4% score error, exact padding, rerank path for exactness
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        del cand
+        fn = jax.jit(lambda a, b, c_, d_: jnp.sum(
+            bilinear_maxsim_scores_int8(a, b, c_, d_)))
+        args = (qw, qs, pool, aux)
+    else:
+        qw = project_queries(q, w)                   # bf16 (NQ, M*W1, 128)
+        pool = pack_candidate_pool(cand)             # bf16 (C, 48, 128)
+        del cand
+        fn = jax.jit(
+            lambda qw_, p_: jnp.sum(bilinear_maxsim_scores(qw_, p_)))
+        args = (qw, pool)
 
-    float(fn(qw, pool))                              # compile + warm
+    float(fn(*args))                                 # compile + warm
     for _ in range(warmup):
-        float(fn(qw, pool))
+        float(fn(*args))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(fn(qw, pool))
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     pairs = n_queries * pool_size
     return pairs / t, {"seconds_per_launch": t, "pairs_per_launch": pairs,
-                       "times": times}
+                       "times": times, "mode": mode}
 
 
 def run_train_bench(batch: int, iters: int):
@@ -98,13 +110,14 @@ def main():
     ap.add_argument("--pool", type=int, default=262144)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--secondary", action="store_true",
                     help="also run the training-step benchmark (stderr)")
     args = ap.parse_args()
 
     try:
         pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
-                                                 args.iters)
+                                                 args.iters, mode=args.mode)
         if args.secondary:
             sps, d2 = run_train_bench(50, 20)
             print(f"secondary: {sps:.1f} train steps/s {d2}", file=sys.stderr)

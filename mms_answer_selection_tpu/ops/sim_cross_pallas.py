@@ -316,21 +316,28 @@ def bilinear_maxsim_scores_reference(q_tokens, cand_tokens, w):
 # int8-quantized retrieval path (2x MXU rate, half the HBM footprint)
 # ===========================================================================
 #
-# Per-row symmetric quantization: every candidate token row and every
-# projected query row carries its own f32 scale (absmax/127).  The kernel
-# contracts int8 x int8 -> int32 on the MXU (v5e runs int8 at 2x the bf16
-# rate) and rescales with a rank-1 outer product of the row scales before
-# the max/sum reductions.  The -inf token mask and the candidate scales
-# share one bf16 aux operand (lane 0 = scale, lane 1 = mask): 2 lanes keep
-# the HBM footprint compact (a 128-lane aux would cost 12.9 GB for a 1M
-# pool -- twice the pool itself); the VMEM tile lane-pads to 128 either
-# way, so the kernel-side cost is identical.
+# Quantization layout chosen so NO per-element rescale touches the big
+# (rows x cols) similarity tile -- on the first int8 attempt the VPU
+# rescale of every s[i,j] cost more than the int8 matmul saved:
+#
+# * ONE symmetric scale per CANDIDATE (not per token): a positive scalar
+#   commutes with the max over that candidate's tokens, so the max runs on
+#   raw int32 accumulators and the scale multiplies the (c_sub, cols)
+#   post-max tile -- 48x less VPU work.
+# * padded token rows REPLICATE the candidate's first token instead of
+#   using a mask: duplicates never change a max, so padding is exact and
+#   costs nothing in-kernel.
+# * per-query-row scales fold into the 0/1 selector matrix, so the
+#   lane-segmented sum applies them inside the small MXU matmul.
+# * pool-padding (fake) candidates get scale 0 and an additive -inf in a
+#   tiny (C, 2) bf16 aux operand applied post-max.
 
-AUX_LANES = 2
+AUX_LANES = 2  # lane 0 = per-candidate scale, lane 1 = additive mask
 
 
 def _quantize_rows(x):
-    """(rows, d) f32 -> (int8 rows, f32 per-row scales)."""
+    """(rows, d) f32 -> (int8 rows, f32 per-row scales).  Shared helper for
+    per-row symmetric quantization (query projection path)."""
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
@@ -338,50 +345,56 @@ def _quantize_rows(x):
 
 
 def pack_candidate_pool_int8(tokens, *, w2p: int = W2P):
-    """(C, W2, D) -> (pool_i8 (C, W2P, Dp) int8, aux (C*W2P, AUX_LANES) bf16
-    with lane0 = per-token-row dequant scale, lane1 = additive mask)."""
+    """(C, W2, D) -> (pool_i8 (C, W2P, Dp) int8, aux (C, 2) bf16 with
+    lane0 = per-candidate dequant scale, lane1 = additive post-max mask)."""
     c, w2, d = tokens.shape
-    dp = _round_up(d + 1, LANE)
+    dp = _round_up(d, LANE)
     if w2 > w2p:
         raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
-    flat = tokens.reshape(c * w2, d)
-    q, scales = _quantize_rows(flat)
+    absmax = jnp.max(jnp.abs(tokens), axis=(1, 2), keepdims=False)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(tokens / scale[:, None, None]), -127,
+                 127).astype(jnp.int8)
     pool = jnp.zeros((c, w2p, dp), jnp.int8)
-    pool = pool.at[:, :w2, :d].set(q.reshape(c, w2, d))
-    aux = jnp.zeros((c, w2p, AUX_LANES), jnp.bfloat16)
-    aux = aux.at[:, :w2, 0].set(scales.reshape(c, w2).astype(jnp.bfloat16))
-    # padded token rows: scale 0 and -inf mask
-    aux = aux.at[:, w2:, 1].set(NEG_INF)
-    return pool, aux.reshape(c * w2p, AUX_LANES)
+    pool = pool.at[:, :w2, :d].set(q)
+    # duplicate-token padding: a copy of token 0 never changes the max
+    if w2p > w2:
+        pool = pool.at[:, w2:, :d].set(q[:, 0:1, :])
+    aux = jnp.zeros((c, AUX_LANES), jnp.bfloat16)
+    aux = aux.at[:, 0].set(scale.astype(jnp.bfloat16))
+    return pool, aux
 
 
-def mask_out_candidates_int8(aux, start_row: int):
-    """Mark every token row from candidate ``start_row`` on as padding.
-    aux: (C*W2P, AUX_LANES); start_row in CANDIDATE units."""
-    return aux.at[start_row * W2P:, 1].set(NEG_INF)
+def mask_out_candidates_int8(aux, start: int):
+    """Mark candidates [start:] as pool padding: scale 0 + -inf additive."""
+    aux = aux.at[start:, 0].set(0.0)
+    return aux.at[start:, 1].set(NEG_INF)
 
 
 def project_queries_int8(q_tokens, w):
     """(Nq, W1, D) x (M, D, D) -> (qw_i8 (Nq, R, Dp) int8,
-    q_scales (Nq, R) f32)."""
+    q_scales (Nq, R) f32 per-row)."""
     nq, w1, d = q_tokens.shape
     m = w.shape[0]
-    dp = _round_up(d + 1, LANE)
+    dp = _round_up(d, LANE)
     qw = jnp.einsum("nid,mde->nmie", q_tokens, w,
                     precision=jax.lax.Precision.HIGHEST)
     qw = qw.reshape(nq * m * w1, d)
-    qi, scales = _quantize_rows(qw)
+    absmax = jnp.max(jnp.abs(qw), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    qi = jnp.clip(jnp.round(qw / scale), -127, 127).astype(jnp.int8)
     out = jnp.zeros((nq * m * w1, dp), jnp.int8).at[:, :d].set(qi)
-    return out.reshape(nq, m * w1, dp), scales.reshape(nq, m * w1)
+    return (out.reshape(nq, m * w1, dp),
+            scale[:, 0].reshape(nq, m * w1).astype(jnp.float32))
 
 
 def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
                         c_sub, q_sub, w2p, rows_per_q, nq):
-    """int8 variant of _maxsim_kernel.
+    """int8 variant: int32 max first, scales applied post-max.
 
     qw_ref:   (NQ*R, Dp) int8;  qs_ref: (1, NQ*R) bf16 query-row scales
-    pool_ref: (C_BLOCK*W2P, Dp) int8
-    aux_ref:  (C_BLOCK*W2P, AUX_LANES) bf16 (lane0 scale, lane1 mask)
+    pool_ref: (C_BLOCK*W2P, Dp) int8 (duplicate-token padded)
+    aux_ref:  (C_BLOCK, 2) bf16 (per-candidate scale, post-max mask)
     o_ref:    (C_BLOCK, NQ) f32
     """
     r = rows_per_q
@@ -392,8 +405,8 @@ def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
     for t in range(c_block // c_sub):
         rows = c_sub * w2p
         chunk = pool_ref[pl.ds(t * rows, rows), :]
-        sc = aux_ref[pl.ds(t * rows, rows), 0:1].astype(jnp.float32)
-        msk = aux_ref[pl.ds(t * rows, rows), 1:2].astype(jnp.float32)
+        sc = aux_ref[pl.ds(t * c_sub, c_sub), 0:1].astype(jnp.float32)
+        msk = aux_ref[pl.ds(t * c_sub, c_sub), 1:2].astype(jnp.float32)
         q_parts = []
         for qb in range(nq // q_sub):
             qw = qw_ref[pl.ds(qb * q_sub * r, q_sub * r), :]
@@ -402,11 +415,13 @@ def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
             s_i32 = jax.lax.dot_general(
                 chunk, qw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            s = s_i32.astype(jnp.float32) * sc * sq + msk
-            s3 = s.reshape(c_sub, w2p, q_sub * r)
-            per_cand = jnp.max(s3, axis=1)
-            q_parts.append(jnp.dot(per_cand, sel,
-                                   preferred_element_type=jnp.float32))
+            s3 = s_i32.reshape(c_sub, w2p, q_sub * r)
+            # int32 max FIRST (per-candidate scale and per-query-row scale
+            # are column/row-constant over each max group); then the cheap
+            # (c_sub, cols) rescale and the selector sum
+            per_cand = jnp.max(s3, axis=1).astype(jnp.float32) * sq
+            q_parts.append(jnp.dot(per_cand * sc, sel,
+                                   preferred_element_type=jnp.float32) + msk)
         o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
 
 
@@ -415,12 +430,12 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
                                 q_sub: int = Q_SUB,
                                 q_block: int | None = None,
                                 interpret: bool | None = None):
-    """int8 scoring: (Nq, C) f32 approximate scores (~1% row-quant error;
-    rerank the shortlist with score_pairs for exactness)."""
+    """int8 scoring: (Nq, C) f32 approximate scores (per-candidate
+    symmetric quantization, ~1-3% score error; padding is exact).  Rerank
+    the shortlist with score_pairs when exactness matters."""
     if interpret is None:
         interpret = not _on_tpu()
     nq, rows_per_q, dp = qw_i8.shape
-    c_rows, aux_lanes = aux.shape
     c = pool_i8.shape[0]
     w2p = pool_i8.shape[1]
     if c % c_block:
@@ -445,7 +460,7 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
             pl.BlockSpec((nq_pad * rows_per_q, dp), lambda j: (0, 0)),
             pl.BlockSpec((1, nq_pad * rows_per_q), lambda j: (0, 0)),
             pl.BlockSpec((c_block * w2p, dp), lambda j: (j, 0)),
-            pl.BlockSpec((c_block * w2p, aux_lanes), lambda j: (j, 0)),
+            pl.BlockSpec((c_block, AUX_LANES), lambda j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((c_block, nq_pad), lambda j: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((c, nq_pad), jnp.float32),
