@@ -76,10 +76,8 @@ def run_train_bench(batch: int, iters: int):
     """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta)."""
     import jax
     import jax.numpy as jnp
-    from mms_answer_selection_tpu.models.mms_qa import (
-        V4, mms_qa_init, param_spec)
-    from mms_answer_selection_tpu.training import (
-        SolverConfig, Trainer, TrainerConfig)
+    from mms_answer_selection_tpu.models.mms_qa import V4
+    from mms_answer_selection_tpu.training import Trainer, TrainerConfig
 
     cfg = V4.__class__(**{**V4.__dict__, "vocab_size": 20000})
     tr = Trainer(cfg, TrainerConfig(batch_size=batch))

@@ -15,7 +15,6 @@ test_gradient_based_solver.cpp:459-488 pattern.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.mms_qa import mms_qa_apply

@@ -20,8 +20,6 @@ candidate pool, sharded top-k across a mesh):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +29,6 @@ from ..models.mms_qa import MMSQAConfig, mms_qa_apply
 from ..ops.embed import embed_lookup
 from ..ops.sim_cross_pallas import (
     C_BLOCK,
-    W2P,
     bilinear_maxsim_scores,
     bilinear_maxsim_scores_int8,
     mask_out_candidates,

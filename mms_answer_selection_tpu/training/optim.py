@@ -46,7 +46,7 @@ into the solver proto (do_trec_qa_clean.py:54 vs :336).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ the Trainer, so the tooling here just formats:
 from __future__ import annotations
 
 import io
-import json
 import math
 
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mms_qa import MMSQAConfig, mms_qa_apply
+from ..models.mms_qa import MMSQAConfig
 from ..ops.embed import embed_lookup
 
 
@@ -27,7 +27,7 @@ def token_saliency(params, state, batch, cfg: MMSQAConfig):
         def apply_with(q_e, a_e):
             # re-run the model with explicit embedding activations
             from ..models.mms_qa import sim_map
-            from ..ops import avg_pool2d, bn_apply, conv2d, dropout, max_pool2d
+            from ..ops import avg_pool2d, bn_apply, conv2d, max_pool2d
             from ..ops.losses import softmax_cross_entropy
 
             x = sim_map(params, q_e, a_e, cfg)
