@@ -159,13 +159,18 @@ class QueryEngine:
         use_int8 = self.int8
 
         def score_local(query_ids, pool, aux):
+            # small query batches skip the 128-lane output padding
+            # (q_block): latency-path queries score 8x less padded work
+            q_block = 16 if query_ids.shape[0] <= 32 else None
             q_tokens = embed_lookup(embed_params, query_ids)
             if use_int8:
                 qw, qs = project_queries_int8(q_tokens, w)
                 return bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                   q_block=q_block,
                                                    interpret=interpret)
             qw = project_queries(q_tokens, w, dtype=pool_dtype)
-            return bilinear_maxsim_scores(qw, pool, interpret=interpret)
+            return bilinear_maxsim_scores(qw, pool, q_block=q_block,
+                                          interpret=interpret)
 
         if mesh is None:
             def query_fn(query_ids, pool, aux):
