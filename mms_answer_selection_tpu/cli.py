@@ -233,6 +233,39 @@ def cmd_time(args):
                               "full_forward is the real number"}))
 
 
+def cmd_extract(args):
+    """Dump model activations for a split (the `extract_features` tool,
+    tools/extract_features.cpp): token embeddings, pooled encoder features,
+    and probabilities, saved as npz."""
+    import jax.numpy as jnp
+
+    from .ops.embed import embed_lookup
+    from .training import Trainer
+    from .training.checkpoint import latest_checkpoint, load_checkpoint
+
+    splits, meta, vocab = _load_prepped(args.data)
+    model_cfg, trainer_cfg = _experiment_configs(args, meta)
+    path = args.ckpt or latest_checkpoint(args.exp, prefix="best")
+    if path is None:
+        sys.exit("no checkpoint found")
+    bundle, _ = load_checkpoint(path)
+    split = splits[args.split]
+    trainer = Trainer(model_cfg, trainer_cfg)
+    res = trainer.evaluate(bundle["params"], bundle["state"], split)
+    q_emb = embed_lookup(bundle["params"]["embed"],
+                         jnp.asarray(split["question"]))
+    a_emb = embed_lookup(bundle["params"]["embed"],
+                         jnp.asarray(split["answer"]))
+    out_path = args.out or os.path.join(args.exp,
+                                        f"features_{args.split}.npz")
+    np.savez_compressed(out_path,
+                        prob=res["prob"],
+                        question_embeddings=np.asarray(q_emb),
+                        answer_embeddings=np.asarray(a_emb),
+                        label=split["label"], group=split["group"])
+    print(f"wrote {out_path}")
+
+
 def cmd_summarize(args):
     """Model structure table (tools/extra/summarize.py analogue) +
     optional history CSV export."""
@@ -319,6 +352,17 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_time)
+
+    p = sub.add_parser("extract",
+                       help="dump embeddings/probs for a split (npz)")
+    p.add_argument("--data", required=True)
+    p.add_argument("--exp", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--config")
+    p.add_argument("--split", default="test")
+    p.add_argument("--out")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("summarize",
                        help="model structure table + history CSV export")

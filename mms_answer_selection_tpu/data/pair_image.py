@@ -156,3 +156,22 @@ def synthetic_pair_corpus(directory, n_pairs=32, hw=16, channels=1, seed=0):
     with open(list_file, "w") as f:
         f.write("\n".join(lines))
     return list_file
+
+
+def compute_image_mean(list_file: str, *, root: str = "", new_height=0,
+                       new_width=0):
+    """Mean image over every image referenced by a pair list (both columns)
+    -- the `compute_image_mean` tool (tools/compute_image_mean.cpp), for the
+    DataTransformer's mean subtraction."""
+    rows = parse_pair_list(list_file)
+    total = None
+    count = 0
+    for row in rows:
+        for path in (row[0], row[1]):
+            arr = load_image(os.path.join(root, path),
+                             new_height=new_height, new_width=new_width)
+            total = arr if total is None else total + arr
+            count += 1
+    if count == 0:
+        raise ValueError("empty pair list")
+    return total / count

@@ -299,6 +299,63 @@ class Trainer:
             else jax.device_get(state)
         return history
 
+    # ---------------------------------------------------------------- stream
+    def fit_stream(self, batches, dev_data: dict, *, steps: int,
+                   params=None, state=None, opt_state=None, pretrained=None,
+                   eval_interval: int | None = None,
+                   patience_evals: int | None = None):
+        """Train from a batch iterator (BatchIterator / NativePrefetcher /
+        any ``__next__``-able yielding dicts of arrays) instead of in-memory
+        split arrays -- the streaming path for pools that do not fit host
+        memory.  Early stopping counts evals without dev-MAP improvement
+        (``patience_evals``) rather than epochs (an iterator has no epoch).
+
+        Returns the same history dict shape as ``fit``."""
+        cfg = self.cfg
+        if params is None:
+            params, state, opt_state = self.init(pretrained=pretrained)
+        eval_interval = eval_interval or cfg.test_interval
+        dev_batch = self._full_batch(dev_data)
+        root_key = jax.random.PRNGKey(cfg.seed)
+        history = {"train_loss": [], "dev_map": [], "dev_mrr": [],
+                   "dev_auc": [], "steps": []}
+        best = {"dev_map": -1.0, "step": 0, "params": None, "state": None}
+        waited = 0
+        for it in range(steps):
+            raw = next(batches)
+            batch = {k: jnp.asarray(v) for k, v in raw.items()
+                     if k != "group"}
+            if "label" in batch and batch["label"].ndim == 2:
+                batch["label"] = batch["label"][:, 0]
+            params, state, opt_state, loss = self._train_step(
+                params, state, opt_state, batch, jnp.asarray(it),
+                jax.random.fold_in(root_key, it))
+            if it % cfg.train_loss_record_interval == 0:
+                history["train_loss"].append(float(loss))
+            if it % eval_interval == 0:
+                dev = self._eval_step(params, state, dev_batch)
+                dev_map = float(dev["map"])
+                history["dev_map"].append(dev_map)
+                history["dev_mrr"].append(float(dev["mrr"]))
+                history["dev_auc"].append(float(dev["auc"]))
+                history["steps"].append(it)
+                if dev_map > best["dev_map"]:
+                    waited = 0
+                    best = {"dev_map": dev_map, "step": it,
+                            "params": jax.device_get(params),
+                            "state": jax.device_get(state)}
+                else:
+                    waited += 1
+                    if patience_evals is not None and waited > patience_evals:
+                        break
+        history["best_step"] = best["step"]
+        history["best_dev_map"] = best["dev_map"]
+        history["params"] = best["params"] if best["params"] is not None \
+            else jax.device_get(params)
+        history["state"] = best["state"] if best["state"] is not None \
+            else jax.device_get(state)
+        return history
+
     # ------------------------------------------------------------- inference
     def evaluate(self, params, state, data: dict):
         """Full-split eval (the `caffe test` path, tools/caffe.cpp:229-296):

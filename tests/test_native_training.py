@@ -86,3 +86,36 @@ def test_two_prefetchers_concurrently(tmp_path):
     a.close()
     b.close()
     store.close()
+
+
+def test_fit_stream_with_native_prefetcher(tmp_path):
+    xml, w2v = synthetic_corpus(n_questions=10, answers_per_q=6, seed=29)
+    splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+    train = {k: (v[:, 14:26] if k in ("question", "answer") else v)
+             for k, v in splits["train"].items()}
+    dev = {k: (v[:, 14:26] if k in ("question", "answer") else v)
+           for k, v in splits["dev"].items()}
+
+    path = str(tmp_path / "t.mmsp")
+    write_mmsp(path, {k: v for k, v in train.items() if k != "group"})
+    store = PackedStore(path)
+    pf = NativePrefetcher(store, ["question", "answer", "label",
+                                  "overlap_feat"],
+                          batch_size=15, seed=4, depth=2)
+
+    cfg = MMSQAConfig(
+        vocab_size=info["vocab_size"], embed_dim=50,
+        question_len=12, answer_len=12, sim_measures=2,
+        blocks=(ConvBlock(3, 3, 8, "ave", 2, 2),
+                ConvBlock(3, 3, 8, "ave", 3, 1)),
+        fc1_dim=8)
+    trainer = Trainer(cfg, TrainerConfig(
+        solver=SolverConfig(solver_type="adadelta"), batch_size=15,
+        test_interval=20, seed=22))
+    hist = trainer.fit_stream(pf, dev, steps=80,
+                              pretrained=info["pretrained"],
+                              patience_evals=50)
+    pf.close()
+    store.close()
+    assert hist["best_dev_map"] > 0.6
+    assert len(hist["dev_map"]) >= 2

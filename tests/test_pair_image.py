@@ -102,3 +102,12 @@ class TestModel:
                                                   jb, jnp.asarray(i))
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_compute_image_mean(tmp_path):
+    from mms_answer_selection_tpu.data.pair_image import compute_image_mean
+    lf = synthetic_pair_corpus(str(tmp_path), n_pairs=6, hw=8)
+    mean = compute_image_mean(lf, root=str(tmp_path))
+    assert mean.shape == (8, 8, 1)
+    # mean of N(0,1) samples over 12 images: near zero, bounded
+    assert abs(mean.mean()) < 0.5
