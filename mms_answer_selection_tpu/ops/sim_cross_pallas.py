@@ -424,8 +424,13 @@ def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
         o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
 
 
+C_SUB_INT8 = 64   # tuned on v5e: 64 > 32 > 16 > 8 (154.7M pairs/s);
+                  # 128 overflows the compiler's scoped-vmem budget
+
+
 def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
-                                c_block: int = C_BLOCK, c_sub: int = C_SUB,
+                                c_block: int = C_BLOCK,
+                                c_sub: int = C_SUB_INT8,
                                 q_sub: int = Q_SUB,
                                 q_block: int | None = None,
                                 interpret: bool | None = None):
