@@ -154,8 +154,10 @@ bilinear_pair_maps.defvjp(_pair_maps_fwd, _pair_maps_bwd)
 # retrieval-path fused scorer (flash-style, no HBM materialization)
 # ===========================================================================
 
-W2P = 48          # padded tokens per candidate (25% less pad
-                  # work than 64; sublane-aligned at 8)
+W2P = 48          # legacy fixed padding; packers now default to
+                  # w2p=None -> round_up(W2, 8) (sublane granularity is 8,
+                  # and every padded token row is pure overhead: 48->40 on
+                  # the recipe shapes bought +13.6% throughput)
 C_BLOCK = 128     # candidates per grid step (output row tile)
 C_SUB = 8         # candidates per inner matmul chunk (C_SUB*W2P = 512 rows)
 Q_SUB = 16        # queries per inner matmul chunk (tuned on
@@ -208,11 +210,15 @@ def _maxsim_kernel(qw_ref, pool_ref, o_ref, *, c_block, c_sub, q_sub, w2p,
         o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
 
 
-def pack_candidate_pool(tokens, *, w2p: int = W2P, dtype=jnp.bfloat16):
+def pack_candidate_pool(tokens, *, w2p: int | None = None,
+                        dtype=jnp.bfloat16):
     """(C, W2, D) candidate token embeddings -> (C, W2P, Dp) padded pool in
     ``dtype`` with the additive token mask (0 real / -inf pad) embedded in
-    the last lane (activated by project_queries' constant-1 lane)."""
+    the last lane (activated by project_queries' constant-1 lane).
+    w2p defaults to W2 rounded up to the 8-sublane granularity."""
     c, w2, d = tokens.shape
+    if w2p is None:
+        w2p = _round_up(w2, 8)
     dp = _round_up(d + 1, LANE)  # reserve the mask lane
     if w2 > w2p:
         raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
@@ -343,10 +349,13 @@ def _quantize_rows(x):
     return q, scale[:, 0]
 
 
-def pack_candidate_pool_int8(tokens, *, w2p: int = W2P):
+def pack_candidate_pool_int8(tokens, *, w2p: int | None = None):
     """(C, W2, D) -> (pool_i8 (C, W2P, Dp) int8, aux (C, 2) bf16 with
-    lane0 = per-candidate dequant scale, lane1 = additive post-max mask)."""
+    lane0 = per-candidate dequant scale, lane1 = additive post-max mask).
+    w2p defaults to W2 rounded up to the 8-sublane granularity."""
     c, w2, d = tokens.shape
+    if w2p is None:
+        w2p = _round_up(w2, 8)
     dp = _round_up(d, LANE)
     if w2 > w2p:
         raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
