@@ -4,6 +4,7 @@ from .mms_qa import (  # noqa: F401
     V3,
     V4,
     V4_2,
+    V4_WIDE,
     V5,
     mms_qa_init,
     mms_qa_apply,

@@ -102,6 +102,9 @@ V4_2 = _v([ConvBlock(5, 5, 32, "ave", 2, 2), ConvBlock(5, 5, 32, "ave", 2, 2),
 V5 = _v([ConvBlock(3, 3, 32, "max", 2, 2), ConvBlock(4, 4, 32, "max", 2, 2),
          ConvBlock(3, 3, 32, "max", 6, 6)],
         sim_measures=2, sim_bias=True, sim_dropout=0.2, fc1_dim=32)
+# BASELINE configs[1]: GloVe-300d + wider conv encoder (accuracy-stress)
+V4_WIDE = _v([ConvBlock(5, 5, 64, "ave", 4, 4), ConvBlock(5, 5, 128, "ave", 5, 1)],
+             embed_dim=300, fc1_dim=64)
 
 
 def _spatial_after_blocks(cfg: MMSQAConfig) -> tuple[int, int, int]:

@@ -145,3 +145,42 @@ class TestDeterminism:
                                           pretrained=info["pretrained"])
         np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
                                    rtol=1e-5)
+
+
+class TestWideConfig:
+    def test_v4_wide_300d_trains(self):
+        # BASELINE configs[1]: 300d embeddings + wider encoder; also covers
+        # the D>127 lane-padding path of the retrieval kernels downstream
+        import dataclasses
+        from mms_answer_selection_tpu.models.mms_qa import V4_WIDE
+        splits, info, _ = _tiny_setup(seed=13)
+        cfg = dataclasses.replace(
+            V4_WIDE, vocab_size=info["vocab_size"], embed_dim=50,
+            question_len=12, answer_len=12,
+            blocks=(ConvBlock(3, 3, 16, "ave", 2, 2),
+                    ConvBlock(3, 3, 32, "ave", 3, 1)), fc1_dim=16)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta"),
+            max_iter=25, batch_size=15, test_interval=10,
+            snapshot_interval=0, early_stop_patience=99, seed=22)
+        hist = Trainer(cfg, tcfg).fit(splits["train"], splits["dev"],
+                                      pretrained=info["pretrained"])
+        assert np.isfinite(hist["train_loss"]).all()
+
+    def test_kernel_with_300d_vectors(self):
+        # retrieval kernels at D=300 (Dp pads to 384 lanes)
+        import jax.numpy as jnp
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            C_BLOCK, bilinear_maxsim_scores_int8,
+            bilinear_maxsim_scores_reference, pack_candidate_pool_int8,
+            project_queries_int8)
+        r = np.random.default_rng(3)
+        q = jnp.asarray(r.normal(size=(2, 5, 300)).astype(np.float32))
+        cand = jnp.asarray(r.normal(size=(C_BLOCK, 7, 300)).astype(np.float32))
+        w = jnp.asarray(r.normal(size=(2, 300, 300)).astype(np.float32) * 0.05)
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                     interpret=True))
+        np.testing.assert_allclose(out, ref, atol=0.05 * np.abs(ref).max())
