@@ -15,3 +15,10 @@ from .pair_image import (  # noqa: F401
     pair_image_init,
     pair_image_apply,
 )
+from .caption_image import (  # noqa: F401
+    CaptionImageConfig,
+    caption_image_init,
+    caption_image_apply,
+    caption_image_score,
+    encode_image,
+)

@@ -92,7 +92,20 @@ class QueryEngine:
         """candidate_ids: int (C, W2) token ids.  Embeds with the trained
         table and packs/shards the pool."""
         candidate_ids = jnp.asarray(candidate_ids)
-        c = candidate_ids.shape[0]
+        return self._build(
+            candidate_ids,
+            lambda chunk: embed_lookup(self.params["embed"], chunk))
+
+    def build_index_from_tokens(self, candidate_tokens):
+        """candidate_tokens: (C, T, D) PRECOMPUTED token embeddings -- e.g.
+        image patch tokens from models.caption_image.encode_image, or any
+        modality living in the metric's D-dim space.  Same sharding/
+        chunking behavior as build_index."""
+        candidate_tokens = jnp.asarray(candidate_tokens)
+        return self._build(candidate_tokens, lambda chunk: chunk)
+
+    def _build(self, candidates, to_tokens):
+        c = candidates.shape[0]
         shards = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         # pad pool to a multiple of (shards * C_BLOCK); single-device
@@ -103,13 +116,14 @@ class QueryEngine:
             mult = max(mult, self.chunk_size)
         c_pad = (c + mult - 1) // mult * mult
         if c_pad != c:
-            pad_rows = jnp.zeros((c_pad - c, candidate_ids.shape[1]),
-                                 candidate_ids.dtype)
-            candidate_ids = jnp.concatenate([candidate_ids, pad_rows], 0)
-        def pack(ids_chunk, mask_from: int | None):
-            """embed + pack one chunk; mask_from masks candidates [i:] of
-            THIS chunk (pool-padding rows)."""
-            tokens = embed_lookup(self.params["embed"], ids_chunk)
+            pad_rows = jnp.zeros((c_pad - c,) + candidates.shape[1:],
+                                 candidates.dtype)
+            candidates = jnp.concatenate([candidates, pad_rows], 0)
+
+        def pack(chunk, mask_from: int | None):
+            """tokenize + pack one chunk; mask_from masks candidates [i:]
+            of THIS chunk (pool-padding rows)."""
+            tokens = to_tokens(chunk)
             if self.int8:
                 pool_c, aux_c = pack_candidate_pool_int8(tokens)
                 if mask_from is not None:
@@ -129,10 +143,10 @@ class QueryEngine:
             for i in range(n_chunks):
                 lo, hi = i * self.chunk_size, (i + 1) * self.chunk_size
                 mask_from = c - lo if lo <= c < hi else None
-                self.chunks.append(pack(candidate_ids[lo:hi], mask_from))
+                self.chunks.append(pack(candidates[lo:hi], mask_from))
             self.pool, self.aux = None, None
         else:
-            pool, aux = pack(candidate_ids, c if c_pad != c else None)
+            pool, aux = pack(candidates, c if c_pad != c else None)
             if self.mesh is not None:
                 axis = self.mesh.axis_names[-1] \
                     if len(self.mesh.axis_names) == 1 else self.mesh.axis_names
@@ -162,7 +176,10 @@ class QueryEngine:
             # small query batches skip the 128-lane output padding
             # (q_block): latency-path queries score 8x less padded work
             q_block = 16 if query_ids.shape[0] <= 32 else None
-            q_tokens = embed_lookup(embed_params, query_ids)
+            if query_ids.ndim == 3:  # precomputed token embeddings
+                q_tokens = query_ids
+            else:
+                q_tokens = embed_lookup(embed_params, query_ids)
             if use_int8:
                 qw, qs = project_queries_int8(q_tokens, w)
                 return bilinear_maxsim_scores_int8(qw, qs, pool, aux,

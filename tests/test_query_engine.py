@@ -171,3 +171,40 @@ class TestChunkedPool:
         np.testing.assert_allclose(np.asarray(v1), np.asarray(vc),
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(ic))
+
+
+class TestCaptionImageRetrieval:
+    def test_image_pool_with_text_queries(self):
+        # configs[4]: image patch tokens as the candidate pool, caption
+        # tokens as queries, shared learned metric
+        from mms_answer_selection_tpu.models.caption_image import (
+            CaptionImageConfig, caption_image_init, caption_image_score,
+            encode_image)
+        from mms_answer_selection_tpu.ops.embed import embed_lookup as el
+        from mms_answer_selection_tpu.models.mms_qa import ConvBlock as CB
+
+        ccfg = CaptionImageConfig(
+            vocab_size=64, embed_dim=16, caption_len=6, height=10, width=10,
+            channels=1, blocks=(CB(3, 3, 8, "max", 2, 2),), sim_measures=2)
+        params, state = caption_image_init(jax.random.PRNGKey(0), ccfg)
+        r = np.random.default_rng(7)
+        images = jnp.asarray(r.normal(size=(24, 10, 10, 1)).astype(np.float32))
+        tokens, _ = encode_image(params, state, images, ccfg, train=False)
+
+        eng = QueryEngine(params,
+                          MMSQAConfig(**{**CFG.__dict__,
+                                         "embed_dim": 16,
+                                         "sim_measures": 2}),
+                          pool_dtype=jnp.float32, interpret=True)
+        eng.build_index_from_tokens(tokens)
+        cap_ids = r.integers(0, 64, (3, 6))
+        cap_tokens = el(params["embed"], jnp.asarray(cap_ids))
+        vals, idx = eng.query(cap_tokens, k=5)
+
+        # brute-force with the model's own scorer
+        for qi in range(3):
+            scores = np.asarray(caption_image_score(
+                params, jnp.repeat(cap_tokens[qi:qi+1], 24, 0), tokens,
+                ccfg))
+            expect = np.argsort(-scores)[:5]
+            np.testing.assert_array_equal(np.asarray(idx[qi]), expect)
