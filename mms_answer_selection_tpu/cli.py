@@ -190,7 +190,9 @@ def cmd_serve(args):
         sys.exit("no checkpoint found")
     bundle, _ = load_checkpoint(path)
     split = splits[args.split]
-    engine = QueryEngine(bundle["params"], model_cfg)
+    import jax.numpy as jnp
+    engine = QueryEngine(bundle["params"], model_cfg,
+                         pool_dtype="int8" if args.int8 else jnp.bfloat16)
     engine.build_index(split["answer"])
     n = min(args.n_queries, len(split["question"]))
     vals, idx = engine.query(split["question"][:n], k=args.k)
@@ -345,6 +347,8 @@ def main(argv=None):
     p.add_argument("--split", default="test")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-queries", type=int, default=5)
+    p.add_argument("--int8", action="store_true",
+                   help="quantized pool (2x throughput, ~0.4%% score error)")
     p.add_argument("--max-iter", type=int, default=40001)
     p.set_defaults(fn=cmd_serve)
 
