@@ -56,6 +56,12 @@ def cmd_prep(args):
                    "pad_idx": info["pad_idx"],
                    "dim": args.dim, "q_len": args.q_len,
                    "a_len": args.a_len}, f)
+    if args.hdf5:
+        from .data.hdf5_compat import save_hdf5_chunks
+        for name, split in splits.items():
+            save_hdf5_chunks(os.path.join(args.out, f"{name}_h5"), name,
+                             split)
+        log.info("wrote reference-compatible HDF5 chunks")
     print(f"wrote {args.out}: vocab_size={info['vocab_size']}")
 
 
@@ -321,6 +327,8 @@ def main(argv=None):
     p.add_argument("--q-len", type=int, default=40)
     p.add_argument("--a-len", type=int, default=40)
     p.add_argument("--out", required=True)
+    p.add_argument("--hdf5", action="store_true",
+                   help="also write reference-compatible HDF5 chunk files")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("train", help="train + early stop + trec_eval score")

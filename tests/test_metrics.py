@@ -148,3 +148,46 @@ class TestTrecEval:
         assert res["P_5"] == pytest.approx(2 / 5)
         assert res["ircl_prn.0.00"] == pytest.approx(1.0)
         assert res["ircl_prn.1.00"] == pytest.approx(2 / 3)
+
+
+class TestEdgeCases:
+    def test_empty_inputs(self):
+        assert mean_reciprocal_rank([], [], []) == 0.0
+        assert mean_average_precision([], [], []) == 0.0
+        assert auc([], []) == 0.0
+
+    def test_single_sample_group_skipped(self):
+        # one sample cannot have both a positive and a negative
+        assert mean_average_precision([0.5], [1], [0]) == 0.0
+        assert mean_reciprocal_rank([0.5], [0], [0]) == 0.0
+
+    def test_all_ties(self):
+        scores = [0.5, 0.5, 0.5, 0.5]
+        labels = [1, 0, 1, 0]
+        groups = [0, 0, 0, 0]
+        # insertion order: pos@1, neg@2, pos@3, neg@4
+        assert mean_reciprocal_rank(scores, labels, groups) == 1.0
+        expect_ap = (1 / 1 + 2 / 3) / 2
+        assert mean_average_precision(scores, labels,
+                                      groups) == pytest.approx(expect_ap)
+        # jax twin agrees on full ties
+        np.testing.assert_allclose(
+            float(mean_average_precision_jax(jnp.asarray(scores),
+                                             jnp.asarray(labels),
+                                             jnp.asarray(groups))),
+            expect_ap, rtol=1e-5)
+
+    def test_negative_and_noncontiguous_group_ids(self):
+        scores = [0.9, 0.1, 0.8, 0.2]
+        labels = [1, 0, 1, 0]
+        groups = [-7, -7, 1000, 1000]
+        assert mean_average_precision(scores, labels, groups) == 1.0
+        np.testing.assert_allclose(
+            float(mean_average_precision_jax(jnp.asarray(scores),
+                                             jnp.asarray(labels),
+                                             jnp.asarray(groups, jnp.int32))),
+            1.0, rtol=1e-5)
+
+    def test_trec_eval_no_effective_groups(self):
+        res = trec_eval(scores=[0.5, 0.4], labels=[1, 1], groups=[0, 0])
+        assert res["num_q"] == 0
