@@ -4,8 +4,11 @@ from .ir_metrics import (  # noqa: F401
     auc,
     rank_accuracy,
     mean_reciprocal_rank_jax,
+    mean_reciprocal_rank_jax_sorted,
     mean_average_precision_jax,
+    mean_average_precision_jax_sorted,
     auc_jax,
+    auc_jax_sorted,
     rank_accuracy_jax,
 )
 from .trec_eval import write_trec_files, trec_eval  # noqa: F401

@@ -33,6 +33,7 @@ Shared semantics (cited):
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
@@ -186,3 +187,76 @@ def auc_jax(scores, labels, *, valid=None):
 
 def rank_accuracy_jax(a, b, labels):
     return jnp.mean(((labels * (a - b)) > 0).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# O(N log N) on-device versions (sort + segment ops)
+# ---------------------------------------------------------------------------
+#
+# The pairwise forms above are exact and trivially correct but O(N^2); these
+# sorted forms scale to 100k+ eval splits.  Tie semantics are preserved
+# exactly: jnp.argsort(..., stable=True) on -scores reproduces the
+# (score desc, insertion order) rule.  Group segmentation is built from a
+# second stable sort into group-major order, so every quantity is a
+# fixed-shape segment reduction (num_segments = N covers any group count).
+
+
+def _group_major(scores, labels, groups):
+    order = jnp.argsort(-scores.astype(jnp.float32), stable=True)
+    g1, l1 = groups[order], labels.astype(jnp.int32)[order]
+    order2 = jnp.argsort(g1, stable=True)  # stable: keeps score order
+    g2, l2 = g1[order2], l1[order2]
+    n = scores.shape[0]
+    idx = jnp.arange(n)
+    boundary = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                                (g2[1:] != g2[:-1]).astype(jnp.int32)])
+    seg = jnp.cumsum(boundary) - 1              # dense segment ids
+    start = jax.lax.cummax(jnp.where(boundary == 1, idx, 0))
+    pos_in_group = idx - start                  # 0-based rank within group
+    return seg, l2, pos_in_group, n
+
+
+def mean_average_precision_jax_sorted(scores, labels, groups):
+    """O(N log N) MAP; numerically identical to the pairwise form."""
+    seg, l2, pos, n = _group_major(scores, labels, groups)
+    csum = jnp.cumsum(l2)
+    # hits-so-far inclusive = csum - csum[segment start] + l2[segment start]
+    start_csum = jax.ops.segment_max(
+        jnp.where(pos == 0, csum - l2, 0), seg, num_segments=n)[seg]
+    hits = csum - start_csum
+    prec = jnp.where(l2 == 1, hits / (pos + 1.0), 0.0)
+    ap_num = jax.ops.segment_sum(prec, seg, num_segments=n)
+    n_pos = jax.ops.segment_sum(l2.astype(jnp.float32), seg, num_segments=n)
+    n_tot = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), seg,
+                                num_segments=n)
+    effective = (n_pos > 0) & (n_pos < n_tot)
+    ap = jnp.where(effective, ap_num / jnp.maximum(n_pos, 1.0), 0.0)
+    n_eff = jnp.sum(effective.astype(jnp.float32))
+    return jnp.sum(ap) / jnp.maximum(n_eff, 1.0)
+
+
+def mean_reciprocal_rank_jax_sorted(scores, labels, groups):
+    """O(N log N) MRR; numerically identical to the pairwise form."""
+    seg, l2, pos, n = _group_major(scores, labels, groups)
+    big = n + 1
+    first_pos = jax.ops.segment_min(
+        jnp.where(l2 == 1, pos, big), seg, num_segments=n)
+    n_pos = jax.ops.segment_sum(l2.astype(jnp.float32), seg, num_segments=n)
+    n_tot = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), seg,
+                                num_segments=n)
+    effective = (n_pos > 0) & (n_pos < n_tot)
+    rr = jnp.where(effective, 1.0 / (first_pos + 1.0), 0.0)
+    return jnp.sum(rr) / jnp.maximum(
+        jnp.sum(effective.astype(jnp.float32)), 1.0)
+
+
+def auc_jax_sorted(scores, labels):
+    """O(N log N) global AUC (the reference's rank-sum walk on the sorted
+    list, vectorized)."""
+    order = jnp.argsort(-scores.astype(jnp.float32), stable=True)
+    ls = labels.astype(jnp.int32)[order]
+    high = jnp.cumsum(ls)
+    value = jnp.sum(high * (1 - ls))
+    p = jnp.sum(ls)
+    n = ls.shape[0] - p
+    return jnp.where(p > 0, value / jnp.maximum(p * n, 1), 0.0)

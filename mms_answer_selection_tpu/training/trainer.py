@@ -31,9 +31,16 @@ import numpy as np
 
 from ..metrics import (
     auc_jax,
+    auc_jax_sorted,
     mean_average_precision_jax,
+    mean_average_precision_jax_sorted,
     mean_reciprocal_rank_jax,
+    mean_reciprocal_rank_jax_sorted,
 )
+
+# above this eval-split size the O(N^2) pairwise-rank metrics give way to
+# the O(N log N) sorted forms (identical numerics, same tie rule)
+_SORTED_METRICS_THRESHOLD = 2048
 from ..models.mms_qa import MMSQAConfig, mms_qa_apply, mms_qa_init, param_spec
 from .checkpoint import save_checkpoint
 from .optim import SolverConfig, make_solver
@@ -138,11 +145,16 @@ class Trainer:
             scores = out["prob"][:, 1]
             labels = batch["label"]
             res = {"prob": out["prob"], "loss": out.get("loss")}
+            big = scores.shape[0] > _SORTED_METRICS_THRESHOLD
             if "group" in batch:
                 groups = batch["group"].astype(jnp.int32)
-                res["map"] = mean_average_precision_jax(scores, labels, groups)
-                res["mrr"] = mean_reciprocal_rank_jax(scores, labels, groups)
-            res["auc"] = auc_jax(scores, labels)
+                map_fn = mean_average_precision_jax_sorted if big \
+                    else mean_average_precision_jax
+                mrr_fn = mean_reciprocal_rank_jax_sorted if big \
+                    else mean_reciprocal_rank_jax
+                res["map"] = map_fn(scores, labels, groups)
+                res["mrr"] = mrr_fn(scores, labels, groups)
+            res["auc"] = (auc_jax_sorted if big else auc_jax)(scores, labels)
             return res
 
         donate = (0, 2)  # params, opt_state buffers reused in place

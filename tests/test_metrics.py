@@ -191,3 +191,54 @@ class TestEdgeCases:
     def test_trec_eval_no_effective_groups(self):
         res = trec_eval(scores=[0.5, 0.4], labels=[1, 1], groups=[0, 0])
         assert res["num_q"] == 0
+
+
+class TestSortedForms:
+    from mms_answer_selection_tpu.metrics import (
+        auc_jax_sorted,
+        mean_average_precision_jax_sorted,
+        mean_reciprocal_rank_jax_sorted,
+    )
+
+    @pytest.mark.parametrize("ties", [False, True])
+    def test_sorted_matches_numpy(self, ties):
+        from mms_answer_selection_tpu.metrics import (
+            auc_jax_sorted, mean_average_precision_jax_sorted,
+            mean_reciprocal_rank_jax_sorted)
+        for trial in range(6):
+            n = int(rng.integers(10, 400))
+            scores = rng.normal(size=n).astype(np.float32)
+            if ties:
+                scores = np.round(scores * 3) / 3
+            labels = (rng.random(n) < 0.3).astype(np.int64)
+            groups = rng.integers(-3, 12, size=n)
+            np.testing.assert_allclose(
+                float(mean_average_precision_jax_sorted(
+                    jnp.asarray(scores), jnp.asarray(labels),
+                    jnp.asarray(groups))),
+                mean_average_precision(scores, labels, groups),
+                rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                float(mean_reciprocal_rank_jax_sorted(
+                    jnp.asarray(scores), jnp.asarray(labels),
+                    jnp.asarray(groups))),
+                mean_reciprocal_rank(scores, labels, groups),
+                rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                float(auc_jax_sorted(jnp.asarray(scores),
+                                     jnp.asarray(labels))),
+                auc(scores, labels), rtol=1e-5, atol=1e-6)
+
+    def test_sorted_jit_large(self):
+        from mms_answer_selection_tpu.metrics import (
+            mean_average_precision_jax_sorted)
+        n = 20000  # far beyond the O(N^2) comfort zone
+        scores = rng.normal(size=n).astype(np.float32)
+        labels = (rng.random(n) < 0.2).astype(np.int64)
+        groups = rng.integers(0, 800, size=n)
+        f = jax.jit(mean_average_precision_jax_sorted)
+        got = float(f(jnp.asarray(scores), jnp.asarray(labels),
+                      jnp.asarray(groups)))
+        np.testing.assert_allclose(
+            got, mean_average_precision(scores, labels, groups),
+            rtol=1e-4, atol=1e-5)
