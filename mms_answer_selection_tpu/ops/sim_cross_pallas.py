@@ -247,8 +247,12 @@ def project_queries(q_tokens, w, *, dtype=jnp.bfloat16):
     return qw.at[:, :, dp - 1].set(1.0).astype(dtype)
 
 
+C_SUB_BF16 = 64   # tuned on v5e with auto w2p: 64 ~ 32 > 16 > 8
+                  # (106.6M pairs/s at 256q x 262k)
+
+
 def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
-                           c_sub: int = C_SUB, q_sub: int = Q_SUB,
+                           c_sub: int = C_SUB_BF16, q_sub: int = Q_SUB,
                            q_block: int | None = None,
                            interpret: bool | None = None):
     """Score every query against every candidate.
