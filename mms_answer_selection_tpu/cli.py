@@ -274,6 +274,33 @@ def cmd_extract(args):
     print(f"wrote {out_path}")
 
 
+def cmd_saliency(args):
+    """Per-token saliency heatmaps for the first N test pairs (the
+    test_networks_single analysis, do_trec_qa_clean.py:654-779)."""
+    from .training.checkpoint import latest_checkpoint, load_checkpoint
+    from .utils.saliency import save_saliency_png, token_saliency
+
+    splits, meta, vocab = _load_prepped(args.data)
+    model_cfg, _ = _experiment_configs(args, meta)
+    path = args.ckpt or latest_checkpoint(args.exp, prefix="best")
+    if path is None:
+        sys.exit("no checkpoint found")
+    bundle, _ = load_checkpoint(path)
+    split = splits[args.split]
+    n = min(args.n, len(split["label"]))
+    import jax.numpy as jnp
+    batch = {k: jnp.asarray(v[:n]) for k, v in split.items()
+             if k != "group"}
+    q_sal, a_sal = token_saliency(bundle["params"], bundle["state"], batch,
+                                  model_cfg)
+    out = args.out or os.path.join(args.exp, "saliency.png")
+    np.savez_compressed(os.path.splitext(out)[0] + ".npz",
+                        question_saliency=q_sal, answer_saliency=a_sal)
+    if save_saliency_png(out, q_sal, a_sal):
+        print(f"wrote {out}")
+    print(f"wrote {os.path.splitext(out)[0]}.npz")
+
+
 def cmd_summarize(args):
     """Model structure table (tools/extra/summarize.py analogue) +
     optional history CSV export."""
@@ -375,6 +402,18 @@ def main(argv=None):
     p.add_argument("--out")
     p.add_argument("--max-iter", type=int, default=40001)
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("saliency",
+                       help="per-token |dLoss/dEmbedding| heatmaps")
+    p.add_argument("--data", required=True)
+    p.add_argument("--exp", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--config")
+    p.add_argument("--split", default="test")
+    p.add_argument("-n", type=int, default=8)
+    p.add_argument("--out")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.set_defaults(fn=cmd_saliency)
 
     p = sub.add_parser("summarize",
                        help="model structure table + history CSV export")

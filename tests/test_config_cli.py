@@ -180,3 +180,45 @@ class TestExtract:
         with np.load(path) as z:
             assert z["prob"].shape[1] == 2
             assert z["question_embeddings"].shape[2] == 50
+
+
+class TestSaliencyCLI:
+    def test_saliency_outputs(self, tmp_path, capsys):
+        import json as _json
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data.trec_qa import synthetic_corpus
+        from mms_answer_selection_tpu.utils.config import experiment_to_json
+        from mms_answer_selection_tpu.training import (SolverConfig,
+                                                       TrainerConfig)
+        from mms_answer_selection_tpu.models.mms_qa import (ConvBlock,
+                                                            MMSQAConfig)
+
+        xml, w2v = synthetic_corpus(n_questions=6, answers_per_q=4, seed=9)
+        (tmp_path / "d.xml").write_text(xml)
+        with open(tmp_path / "g.txt", "w") as f:
+            for w, v in w2v.items():
+                f.write(w + " " + " ".join(f"{x:.4f}" for x in v) + "\n")
+        main(["prep", "--train-xml", str(tmp_path / "d.xml"), "--dev-xml",
+              str(tmp_path / "d.xml"), "--test-xml", str(tmp_path / "d.xml"),
+              "--glove", str(tmp_path / "g.txt"), "--out",
+              str(tmp_path / "prep"), "--q-len", "12", "--a-len", "12"])
+        meta = _json.loads((tmp_path / "prep/meta.json").read_text())
+        model = MMSQAConfig(
+            vocab_size=meta["vocab_size"], embed_dim=50, question_len=12,
+            answer_len=12, sim_measures=2,
+            blocks=(ConvBlock(3, 3, 4, "ave", 2, 2),
+                    ConvBlock(3, 3, 4, "ave", 3, 1)), fc1_dim=4)
+        trainer = TrainerConfig(solver=SolverConfig(), max_iter=12,
+                                batch_size=8, test_interval=6,
+                                snapshot_interval=0, early_stop_patience=99)
+        (tmp_path / "cfg.json").write_text(experiment_to_json(model, trainer))
+        main(["train", "--data", str(tmp_path / "prep"), "--exp",
+              str(tmp_path / "exp"), "--config", str(tmp_path / "cfg.json")])
+        capsys.readouterr()
+        main(["saliency", "--data", str(tmp_path / "prep"), "--exp",
+              str(tmp_path / "exp"), "--config", str(tmp_path / "cfg.json"),
+              "-n", "4"])
+        out = capsys.readouterr().out
+        assert ".npz" in out
+        with np.load(tmp_path / "exp" / "saliency.npz") as z:
+            assert z["question_saliency"].shape == (4, 12)
