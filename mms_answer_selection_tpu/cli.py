@@ -85,6 +85,13 @@ def _experiment_configs(args, meta):
     if getattr(args, "config", None):
         with open(args.config) as f:
             return experiment_from_json(f.read())
+    # no explicit --config: prefer the config the experiment was trained
+    # with (written by cmd_train), so eval/serve/extract/saliency on a
+    # custom-config run rebuild the right architecture
+    saved = os.path.join(getattr(args, "exp", "") or "", "config.json")
+    if getattr(args, "exp", None) and os.path.exists(saved):
+        with open(saved) as f:
+            return experiment_from_json(f.read())
     model_cfg = dataclasses.replace(
         V4, vocab_size=meta["vocab_size"], embed_dim=meta["dim"],
         question_len=meta["q_len"], answer_len=meta["a_len"])
@@ -107,11 +114,18 @@ def cmd_train(args):
     with open(os.path.join(args.exp, "config.json"), "w") as f:
         f.write(experiment_to_json(model_cfg, trainer_cfg))
 
+    resume_from = None
+    if getattr(args, "resume", None):
+        # bare --resume resumes the experiment's own snapshot dir
+        # (`caffe train -snapshot`, tools/caffe.cpp:208-210)
+        resume_from = (os.path.join(args.exp, "models")
+                       if args.resume == "auto" else args.resume)
     trainer = Trainer(model_cfg, trainer_cfg)
     hist = trainer.fit(splits["train"], splits["dev"],
                        test_data=splits.get("test"),
                        pretrained=vocab["pretrained"], log_every=50,
-                       handle_signals=True)
+                       handle_signals=True, resume_from=resume_from,
+                       weights=getattr(args, "weights", None))
     save_checkpoint(args.exp, hist["best_step"],
                     {"params": hist["params"], "state": hist["state"]},
                     prefix="best", meta={"dev_map": hist["best_dev_map"]})
@@ -363,6 +377,13 @@ def main(argv=None):
     p.add_argument("--exp", required=True)
     p.add_argument("--config", help="experiment config json")
     p.add_argument("--max-iter", type=int, default=40001)
+    p.add_argument("--resume", nargs="?", const="auto",
+                   help="resume training from a checkpoint dir (default: "
+                        "latest under <exp>/models) -- `caffe train "
+                        "-snapshot`")
+    p.add_argument("--weights",
+                   help="finetune: partial-load params from a checkpoint "
+                        "by name+shape -- `caffe train -weights`")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate a checkpoint on a split")

@@ -55,6 +55,63 @@ def load_checkpoint(path: str, template=None):
     return raw, meta
 
 
+def copy_matching(template, loaded, *, path=""):
+    """Name+shape-checked partial restore -- the finetuning semantics of
+    Net::CopyTrainedLayersFrom (net.cpp:741-777): parameters are matched by
+    *name* (pytree path here); a name present in both with the same shape is
+    copied, a shape mismatch or a missing name keeps the template's value
+    (the reference logs "Ignoring source layer" and moves on; a shape
+    mismatch is fatal there, but for cross-config finetuning we skip it and
+    report).  Returns (merged_pytree, report) where report maps each leaf
+    path to "loaded" | "shape_mismatch" | "missing"."""
+    report = {}
+
+    def merge(tpl, src, p):
+        if isinstance(tpl, dict):
+            out = {}
+            for k, v in tpl.items():
+                sub = src.get(k) if isinstance(src, dict) else None
+                out[k] = merge(v, sub, f"{p}/{k}" if p else str(k))
+            return out
+        if isinstance(tpl, (list, tuple)):
+            src_seq = src if isinstance(src, (list, tuple, dict)) else ()
+            out = []
+            for i, v in enumerate(tpl):
+                if isinstance(src_seq, dict):  # msgpack stores lists as dicts
+                    sub = src_seq.get(str(i), src_seq.get(i))
+                else:
+                    sub = src_seq[i] if i < len(src_seq) else None
+                out.append(merge(v, sub, f"{p}/{i}"))
+            return type(tpl)(out) if isinstance(tpl, tuple) else out
+        # leaf
+        if src is None:
+            report[p] = "missing"
+            return tpl
+        src_arr = np.asarray(src)
+        tpl_shape = getattr(tpl, "shape", None)
+        if tpl_shape is not None and tuple(src_arr.shape) != tuple(tpl_shape):
+            report[p] = "shape_mismatch"
+            return tpl
+        report[p] = "loaded"
+        return src_arr.astype(tpl.dtype) if hasattr(tpl, "dtype") else src_arr
+
+    return merge(template, loaded, path), report
+
+
+def load_weights_into(params, state, ckpt_path: str):
+    """`caffe train -weights` equivalent (tools/caffe.cpp:125-135, 211-213):
+    load a checkpoint's params (+ BN state when present) into an
+    already-initialized model by name/shape matching.  Returns
+    (params, state, report)."""
+    bundle, _meta = load_checkpoint(ckpt_path)
+    src_params = bundle.get("params", bundle)
+    params, report = copy_matching(params, src_params)
+    if state is not None and isinstance(bundle, dict) and "state" in bundle:
+        state, state_report = copy_matching(state, bundle["state"])
+        report.update({f"state/{k}": v for k, v in state_report.items()})
+    return params, state, report
+
+
 def latest_checkpoint(directory: str, *, prefix: str = "qa") -> str | None:
     """Highest-step checkpoint dir under ``directory`` (resume-from-snapshot,
     the `caffe train -snapshot` equivalent, tools/caffe.cpp:208-210)."""

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Callable
 
@@ -42,7 +43,12 @@ from ..metrics import (
 # the O(N log N) sorted forms (identical numerics, same tie rule)
 _SORTED_METRICS_THRESHOLD = 2048
 from ..models.mms_qa import MMSQAConfig, mms_qa_apply, mms_qa_init, param_spec
-from .checkpoint import save_checkpoint
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_weights_into,
+    save_checkpoint,
+)
 from .optim import SolverConfig, make_solver
 
 log = logging.getLogger("mms_tpu.trainer")
@@ -174,15 +180,17 @@ class Trainer:
             self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------ data
-    def _epoch_batches(self, data: dict, epoch_key):
+    def _epoch_batches(self, data: dict, epoch_key, start_batch: int = 0):
         """Deterministic reshuffle each epoch; fixed-size batches with
         wrap-around so every jitted step sees the same shapes.  With
-        iter_size > 1 each yield carries iter_size stacked micro-batches."""
+        iter_size > 1 each yield carries iter_size stacked micro-batches.
+        ``start_batch`` skips the first batches of the pass without
+        materializing them (mid-epoch resume)."""
         n = len(data["label"])
         perm = np.asarray(jax.random.permutation(epoch_key, n))
         iter_size = self.cfg.solver.iter_size
         bs = self.cfg.batch_size * iter_size
-        for start in range(0, n, bs):
+        for start in range(start_batch * bs, n, bs):
             idx = perm[start: start + bs]
             if len(idx) < bs:  # wrap (HDF5DataLayer-style continuous stream)
                 reps = np.concatenate([perm] * (bs // n + 1))
@@ -199,21 +207,67 @@ class Trainer:
     def _full_batch(data: dict):
         return {k: jnp.asarray(v) for k, v in data.items()}
 
+    # --------------------------------------------------------------- restore
+    def _resolve_ckpt(self, path: str) -> str:
+        """Accept either a concrete checkpoint dir or a snapshot root
+        (-> its latest checkpoint), like `caffe train -snapshot`."""
+        if os.path.exists(os.path.join(path, "ckpt.msgpack")):
+            return path
+        latest = latest_checkpoint(path, prefix=self.cfg.snapshot_prefix)
+        if latest is None and self.cfg.snapshot_prefix != "qa":
+            latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        return latest
+
+    def _replicate(self, *trees):
+        if self.mesh is None:
+            return trees if len(trees) > 1 else trees[0]
+        rep = jax.sharding.NamedSharding(self.mesh,
+                                         jax.sharding.PartitionSpec())
+        out = jax.device_put(trees, rep)
+        return out if len(trees) > 1 else out[0]
+
     # ------------------------------------------------------------------- fit
     def fit(self, train_data: dict, dev_data: dict, *, test_data: dict = None,
             pretrained=None, log_every: int | None = None,
             callback: Callable[[dict], None] | None = None,
-            handle_signals: bool = False):
+            handle_signals: bool = False, resume_from: str | None = None,
+            weights: str | None = None):
         """Run the full training recipe.  Returns a history dict with the
         best params (by dev MAP) and metric curves.
 
         handle_signals: install SIGINT->snapshot+stop, SIGHUP->snapshot+
         continue handlers polled once per step (the reference's
         SignalHandler contract, util/signal_handler.cpp + solver.cpp:259-272).
+
+        resume_from: checkpoint dir (or snapshot root -> latest) to restore
+        params + BN state + optimizer history + iteration + epoch/early-stop
+        counters from, continuing the run exactly where it left off -- the
+        `caffe train -snapshot` path (Solver::Restore, solver.cpp:470-481 +
+        sgd_solver.cpp:305-347).  A run resumed from iteration k reproduces
+        the uninterrupted run bit-for-bit (same permutations, same rng
+        folds, same solver history).
+
+        weights: checkpoint dir to partial-load params/state from by
+        name+shape before training -- the `caffe train -weights` finetune
+        path (tools/caffe.cpp:211-213, net.cpp:741-777).  Mutually exclusive
+        with resume_from.
         """
         from .signals import Action, SignalHandler
+        if resume_from and weights:
+            raise ValueError("resume_from and weights are mutually exclusive "
+                             "(tools/caffe.cpp:208-210 has the same CHECK)")
         cfg = self.cfg
         params, state, opt_state = self.init(pretrained=pretrained)
+        if weights:
+            params, state, report = load_weights_into(
+                params, state, self._resolve_ckpt(weights))
+            skipped = {k: v for k, v in report.items() if v != "loaded"}
+            log.info("finetune: loaded %d/%d leaves from %s%s",
+                     len(report) - len(skipped), len(report), weights,
+                     f", skipped {sorted(skipped)}" if skipped else "")
+            params, state = self._replicate(params, state)
         root_key = jax.random.PRNGKey(cfg.seed)
         dev_batch = self._full_batch(dev_data)
         test_batch = self._full_batch(test_data) if test_data else None
@@ -223,35 +277,73 @@ class Trainer:
                    "test_auc": [], "steps": []}
         best = {"dev_map": -1.0, "step": 0, "params": None, "state": None}
         train_size = len(train_data["label"])
+        iter_size = cfg.solver.iter_size
+        samples_per_step = cfg.batch_size * iter_size
+        steps_per_pass = max(1, -(-train_size // samples_per_step))
         epoch, wait_epoch = -1, 0
         stop = False
-
         it = 0
+
+        if resume_from:
+            ckpt = self._resolve_ckpt(resume_from)
+            bundle, meta = load_checkpoint(
+                ckpt, template={"params": params, "state": state,
+                                "opt_state": opt_state})
+            params, state, opt_state = self._replicate(
+                bundle["params"], bundle["state"], bundle["opt_state"])
+            it = int(meta.get("step", -1)) + 1
+            epoch = int(meta.get("epoch", -1))
+            wait_epoch = int(meta.get("wait_epoch", 0))
+            best["dev_map"] = float(meta.get("best_dev_map", -1.0))
+            best["step"] = int(meta.get("best_step", 0))
+            for k, v in (meta.get("history") or {}).items():
+                if k in history:
+                    history[k] = v
+            # the best-so-far params live in their own snapshot; reload them
+            # so the returned history carries the true best, not just the
+            # post-resume best (the reference driver reloads the best
+            # snapshot post-hoc the same way, do_trec_qa_clean.py:840)
+            if cfg.snapshot_dir and best["step"] >= 0:
+                bp = os.path.join(
+                    cfg.snapshot_dir,
+                    f"{cfg.snapshot_prefix}_iter_{best['step']}")
+                if os.path.exists(os.path.join(bp, "ckpt.msgpack")):
+                    bb, _ = load_checkpoint(bp)
+                    best["params"] = bb.get("params")
+                    best["state"] = bb.get("state")
+            log.info("resumed from %s: iter %d, epoch %d, best dev MAP %.4f "
+                     "@ %d", ckpt, it, epoch, best["dev_map"], best["step"])
+
+        def snap(tag_meta=None):
+            save_checkpoint(
+                cfg.snapshot_dir, it,
+                {"params": params, "state": state, "opt_state": opt_state},
+                prefix=cfg.snapshot_prefix,
+                meta={"dev_map": history["dev_map"][-1]
+                      if history["dev_map"] else None,
+                      "epoch": epoch, "wait_epoch": wait_epoch,
+                      "best_step": best["step"],
+                      "best_dev_map": best["dev_map"],
+                      "history": history, **(tag_meta or {})})
+
         t0 = time.time()
         sig_ctx = SignalHandler() if handle_signals else None
         if sig_ctx is not None:
             sig_ctx.__enter__()
         while it < cfg.max_iter and not stop:
-            epoch_index = (it * cfg.batch_size) // max(train_size, 1)
+            # permutation passes are steps_per_pass long; the shuffle seed
+            # uses the sample-count epoch index at the pass start (identical
+            # to the pre-resume formula when entering at a pass boundary)
+            pass_start = (it // steps_per_pass) * steps_per_pass
+            epoch_index = (pass_start * samples_per_step) \
+                // max(train_size, 1)
             batches = self._epoch_batches(
-                train_data, jax.random.fold_in(root_key, 1000 + epoch_index))
+                train_data, jax.random.fold_in(root_key, 1000 + epoch_index),
+                start_batch=it - pass_start)
             for batch in batches:
                 rng = jax.random.fold_in(root_key, it)
                 params, state, opt_state, loss = self._train_step(
                     params, state, opt_state, batch, jnp.asarray(it), rng)
-
-                if sig_ctx is not None:
-                    action = sig_ctx.get_requested_action()
-                    if action != Action.NONE and cfg.snapshot_dir:
-                        save_checkpoint(
-                            cfg.snapshot_dir, it,
-                            {"params": params, "state": state,
-                             "opt_state": opt_state},
-                            prefix=cfg.snapshot_prefix,
-                            meta={"signal": action.name})
-                    if action == Action.STOP:
-                        log.info("SIGINT: snapshot + stop at iter %d", it)
-                        stop = True
 
                 if it % cfg.train_loss_record_interval == 0:
                     history["train_loss"].append(float(loss))
@@ -280,23 +372,30 @@ class Trainer:
                         callback({"step": it, "dev_map": dev_map,
                                   "loss": float(loss)})
 
-                if (cfg.snapshot_dir and cfg.snapshot_interval
-                        and it % cfg.snapshot_interval == 0):
-                    save_checkpoint(
-                        cfg.snapshot_dir, it,
-                        {"params": params, "state": state,
-                         "opt_state": opt_state},
-                        prefix=cfg.snapshot_prefix,
-                        meta={"dev_map": history["dev_map"][-1]
-                              if history["dev_map"] else None})
-
-                # epoch accounting + early stop (driver semantics :832-838)
-                if it * cfg.batch_size >= epoch * train_size:
+                # epoch accounting + early stop (driver semantics :832-838);
+                # counts samples actually consumed per step, including
+                # iter_size micro-batches (solver.cpp:221-223)
+                if it * samples_per_step >= epoch * train_size:
                     epoch += 1
                     wait_epoch += 1
                     if wait_epoch > cfg.early_stop_patience:
                         log.info("Epoch-%d [%d] early stop", epoch, it)
                         stop = True
+
+                # snapshots come AFTER the epoch bookkeeping so their meta
+                # makes `resume_from` exact; signal poll matches the
+                # once-per-iteration contract (solver.cpp:259-272)
+                if sig_ctx is not None:
+                    action = sig_ctx.get_requested_action()
+                    if action != Action.NONE and cfg.snapshot_dir:
+                        snap({"signal": action.name})
+                    if action == Action.STOP:
+                        log.info("SIGINT: snapshot + stop at iter %d", it)
+                        stop = True
+                if (cfg.snapshot_dir and cfg.snapshot_interval
+                        and it % cfg.snapshot_interval == 0):
+                    snap()
+
                 it += 1
                 if it >= cfg.max_iter or stop:
                     break
