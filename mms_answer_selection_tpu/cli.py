@@ -103,7 +103,7 @@ def _experiment_configs(args, meta):
 
 # -------------------------------------------------------------------- train
 def cmd_train(args):
-    from .metrics import trec_eval, write_trec_files
+    from .metrics import format_trec_table, trec_eval, write_trec_files
     from .training import Trainer
     from .training.checkpoint import save_checkpoint
     from .utils.config import experiment_to_json
@@ -140,8 +140,7 @@ def cmd_train(args):
         write_trec_files(truth, result, scores, splits["test"]["label"],
                          splits["test"]["group"])
         ev = trec_eval(truth, result)
-        print(json.dumps({k: ev[k] for k in
-                          ("num_q", "map", "recip_rank", "R-prec")}))
+        print(format_trec_table(ev))
     _write_curves(args.exp, hist)
 
 
@@ -175,7 +174,7 @@ def _write_curves(exp_dir, hist):
 
 # --------------------------------------------------------------------- eval
 def cmd_eval(args):
-    from .metrics import trec_eval
+    from .metrics import format_trec_table, trec_eval
     from .training import Trainer
     from .training.checkpoint import latest_checkpoint, load_checkpoint
 
@@ -191,6 +190,7 @@ def cmd_eval(args):
     res = trainer.evaluate(bundle["params"], bundle["state"], split)
     ev = trec_eval(scores=res["prob"][:, 1], labels=split["label"],
                    groups=split["group"])
+    print(format_trec_table(ev))
     print(json.dumps({"in_graph_map": float(res["map"]),
                       "in_graph_mrr": float(res["mrr"]),
                       "auc": float(res["auc"]),

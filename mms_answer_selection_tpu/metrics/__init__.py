@@ -11,4 +11,8 @@ from .ir_metrics import (  # noqa: F401
     auc_jax_sorted,
     rank_accuracy_jax,
 )
-from .trec_eval import write_trec_files, trec_eval  # noqa: F401
+from .trec_eval import (  # noqa: F401
+    format_trec_table,
+    trec_eval,
+    write_trec_files,
+)

@@ -8,8 +8,10 @@ The reference's published MAP/MRR come from shelling out to the external
   ``result`` (run) files, including the driver's filtering of groups that
   are all-positive or all-negative (do_trec_qa_clean.py:640,646) and its
   ``groupid+1 0 idx ...`` field layout.
-* ``trec_eval`` computes the headline measures trec_eval-8.0 reports:
-  num_q/num_ret/num_rel/num_rel_ret, MAP, R-prec, recip_rank (MRR),
+* ``trec_eval`` computes the FULL measure set trec_eval-8.0 reports (the
+  README.md:20-49 table): num_q/num_ret/num_rel/num_rel_ret, MAP, gm_ap
+  (geometric-mean AP, log floor 1e-5), R-prec, bpref (judged-nonrel-above
+  penalty over min(R, N), counts capped at R), recip_rank (MRR),
   interpolated precision at 11 recall points, and P@k.  Ranking follows
   trec_eval's convention: sort by similarity descending, ties broken by
   document id *descending* (trec_eval-8.0 trvec_teval.c ranking rule).
@@ -21,6 +23,7 @@ makes the divergence on ties explicit instead of accidental.
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 import numpy as np
@@ -111,7 +114,7 @@ def trec_eval(truth_path=None, result_path=None, *, scores=None, labels=None,
 
     num_q = 0
     num_ret = num_rel = num_rel_ret = 0
-    sum_ap = sum_rr = sum_rprec = 0.0
+    sum_ap = sum_rr = sum_rprec = sum_bpref = sum_log_ap = 0.0
     sum_p_at = {k: 0.0 for k in P_AT_K}
     sum_iprec = {r: 0.0 for r in RECALL_POINTS}
 
@@ -120,25 +123,45 @@ def trec_eval(truth_path=None, result_path=None, *, scores=None, labels=None,
         n_rel = sum(1 for v in judged.values() if v > 0)
         if n_rel == 0:
             continue  # trec_eval skips queries with no relevant docs
+        n_nonrel = sum(1 for v in judged.values() if v <= 0)
         num_q += 1
         num_ret += len(docs)
         num_rel += n_rel
         # trec_eval ranking: sim descending, ties by docno descending
         ranked = sorted(docs, key=lambda d: (-d[1], _doc_key(d[0])))
         rels = [1 if judged.get(doc, 0) > 0 else 0 for doc, _ in ranked]
+        # only judged docs participate in bpref (unjudged are invisible)
+        judged_flags = [judged.get(doc) is not None for doc, _ in ranked]
         hits = 0
         ap = 0.0
         rr = 0.0
+        bpref = 0.0
+        nonrel_so_far = 0
         prec_at_recall = []
-        for pos, r in enumerate(rels, start=1):
+        for pos, (r, is_judged) in enumerate(zip(rels, judged_flags),
+                                             start=1):
             if r:
                 hits += 1
                 ap += hits / pos
                 if rr == 0.0:
                     rr = 1.0 / pos
                 prec_at_recall.append((hits / n_rel, hits / pos))
+                # bpref (trec_eval-8.0 m_bpref): penalty is the count of
+                # judged-nonrelevant docs ranked above, capped at R, over
+                # min(R, N)
+                denom = min(n_rel, n_nonrel)
+                if nonrel_so_far and denom:
+                    bpref += 1.0 - min(nonrel_so_far, n_rel) / denom
+                else:
+                    bpref += 1.0
+            elif is_judged:
+                nonrel_so_far += 1
         num_rel_ret += hits
         sum_ap += ap / n_rel
+        # gm_ap (trec_eval-8.0 geometric-mean MAP): logs of per-query AP
+        # floored at MIN_GEO_MEAN = 1e-5
+        sum_log_ap += math.log(max(ap / n_rel, 1e-5))
+        sum_bpref += bpref / n_rel
         sum_rr += rr
         sum_rprec += sum(rels[:n_rel]) / n_rel
         for k in P_AT_K:
@@ -159,14 +182,35 @@ def trec_eval(truth_path=None, result_path=None, *, scores=None, labels=None,
         "num_rel": num_rel,
         "num_rel_ret": num_rel_ret,
         "map": sum_ap / num_q,
-        "recip_rank": sum_rr / num_q,
+        "gm_ap": float(np.exp(sum_log_ap / num_q)),
         "R-prec": sum_rprec / num_q,
+        "bpref": sum_bpref / num_q,
+        "recip_rank": sum_rr / num_q,
     }
     for k in P_AT_K:
         out[f"P_{k}"] = sum_p_at[k] / num_q
     for r in RECALL_POINTS:
         out[f"ircl_prn.{r:.2f}"] = sum_iprec[r] / num_q
     return out
+
+
+def format_trec_table(results: dict) -> str:
+    """Render results in trec_eval-8.0's stdout shape (the README.md:20-49
+    table): `measure <tab> all <tab> value`, counts as ints, measures to 4
+    decimals, in trec_eval's print order."""
+    order = (["num_q", "num_ret", "num_rel", "num_rel_ret", "map", "gm_ap",
+              "R-prec", "bpref", "recip_rank"]
+             + [f"ircl_prn.{r:.2f}" for r in RECALL_POINTS]
+             + [f"P_{k}" for k in P_AT_K])
+    lines = []
+    for key in order:
+        if key not in results:
+            continue
+        label = f"P{key[2:]}" if key.startswith("P_") else key
+        val = results[key]
+        sval = str(int(val)) if key.startswith("num_") else f"{val:.4f}"
+        lines.append(f"{label:<15}\tall\t{sval}")
+    return "\n".join(lines)
 
 
 def _doc_key(doc: str):

@@ -242,3 +242,77 @@ class TestSortedForms:
         np.testing.assert_allclose(
             got, mean_average_precision(scores, labels, groups),
             rtol=1e-4, atol=1e-5)
+
+
+class TestBprefGmap:
+    """bpref + gm_ap hand-computed cases (trec_eval-8.0 m_bpref semantics:
+    per relevant doc, 1 - min(nonrel_above, R)/min(R, N), averaged over R;
+    gm_ap = exp(mean(log(max(AP, 1e-5))))."""
+
+    @staticmethod
+    def _ev(scores, labels, groups):
+        from mms_answer_selection_tpu.metrics import trec_eval
+        return trec_eval(scores=np.asarray(scores, np.float64),
+                         labels=np.asarray(labels),
+                         groups=np.asarray(groups))
+
+    def test_bpref_interleaved(self):
+        # ranking 1,0,1,0,1: R=3, N=2 -> (1 + (1-1/2) + (1-2/2)) / 3 = 0.5
+        ev = self._ev([5, 4, 3, 2, 1], [1, 0, 1, 0, 1], [0] * 5)
+        assert ev["bpref"] == pytest.approx(0.5)
+        assert ev["map"] == pytest.approx((1 + 2 / 3 + 3 / 5) / 3)
+
+    def test_bpref_perfect_ranking(self):
+        ev = self._ev([4, 3, 2, 1], [1, 1, 0, 0], [0] * 4)
+        assert ev["bpref"] == pytest.approx(1.0)
+
+    def test_bpref_worst_ranking(self):
+        # all nonrel above all rel: every term is 1 - min(2,2)/2 = 0
+        ev = self._ev([4, 3, 2, 1], [0, 0, 1, 1], [0] * 4)
+        assert ev["bpref"] == pytest.approx(0.0)
+
+    def test_bpref_cap_at_R(self):
+        # R=1, N=3; rel ranked last: penalty min(3,1)/min(1,3) = 1 -> 0
+        ev = self._ev([4, 3, 2, 1], [0, 0, 0, 1], [0] * 4)
+        assert ev["bpref"] == pytest.approx(0.0)
+        # rel ranked second: min(1,1)/1 = 1 -> 0 as well (cap bites)
+        ev = self._ev([4, 3, 2, 1], [0, 1, 0, 0], [0] * 4)
+        assert ev["bpref"] == pytest.approx(0.0)
+
+    def test_gm_ap_two_queries(self):
+        # query 0: AP 1.0; query 1: AP 0.5 -> gm_ap = sqrt(0.5)
+        ev = self._ev([2, 1, 2, 1], [1, 0, 0, 1], [0, 0, 1, 1])
+        assert ev["map"] == pytest.approx(0.75)
+        assert ev["gm_ap"] == pytest.approx(np.sqrt(0.5))
+
+    def test_gm_ap_equals_map_single_query(self):
+        ev = self._ev([5, 4, 3, 2, 1], [1, 0, 1, 0, 1], [0] * 5)
+        assert ev["gm_ap"] == pytest.approx(ev["map"])
+
+    def test_file_and_array_paths_agree(self, tmp_path):
+        from mms_answer_selection_tpu.metrics import (trec_eval,
+                                                      write_trec_files)
+        rng = np.random.default_rng(5)
+        scores = rng.normal(size=60)
+        labels = (rng.random(60) < 0.3).astype(np.int64)
+        groups = np.repeat(np.arange(6), 10)
+        truth, result = str(tmp_path / "t"), str(tmp_path / "r")
+        write_trec_files(truth, result, scores, labels, groups)
+        ev_f = trec_eval(truth, result)
+        ev_a = trec_eval(scores=scores, labels=labels, groups=groups)
+        for k in ("map", "gm_ap", "bpref", "recip_rank", "R-prec"):
+            assert ev_f[k] == pytest.approx(ev_a[k]), k
+
+    def test_format_trec_table_shape(self):
+        from mms_answer_selection_tpu.metrics import format_trec_table
+        ev = self._ev([5, 4, 3, 2, 1], [1, 0, 1, 0, 1], [0] * 5)
+        table = format_trec_table(ev)
+        lines = table.split("\n")
+        # 9 headline rows + 11 ircl + 9 P@k = 29, README.md:20-49 shape
+        assert len(lines) == 29
+        assert lines[0].split("\t") == ["num_q          ", "all", "1"]
+        assert any(ln.startswith("gm_ap") for ln in lines)
+        assert any(ln.startswith("bpref") for ln in lines)
+        assert any(ln.startswith("P5 ") for ln in lines)
+        for ln in lines:
+            assert len(ln.split("\t")) == 3
