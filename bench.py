@@ -72,6 +72,57 @@ def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
                        "times": times, "mode": mode}
 
 
+def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
+                      mode: str = "int8", k: int = 10):
+    """p50 end-to-end query latency (BASELINE.json's latency north star):
+    per dispatch, project the query tokens through the learned metric,
+    score the full pool with the fused kernel, take top-k on-chip, and
+    fetch the (Nq, k) winners to the host (the fetch IS the fence)."""
+    import jax
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+        bilinear_maxsim_scores, bilinear_maxsim_scores_int8,
+        pack_candidate_pool, pack_candidate_pool_int8, project_queries,
+        project_queries_int8)
+
+    d, w1, w2, m = 50, 40, 40, 4
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(n_queries, w1, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
+    cand = jnp.asarray(rng.normal(size=(pool_size, w2, d)).astype(np.float32))
+    q_block = 16 if n_queries <= 32 else None
+
+    if mode == "int8":
+        pool, aux = pack_candidate_pool_int8(cand)
+
+        def fn(q_, w_, pool_, aux_):
+            qw, qs = project_queries_int8(q_, w_)
+            s = bilinear_maxsim_scores_int8(qw, qs, pool_, aux_,
+                                            q_block=q_block)
+            return jax.lax.top_k(s, k)
+        fn = jax.jit(fn)
+        args = (q, w, pool, aux)
+    else:
+        pool = pack_candidate_pool(cand)
+
+        def fn(q_, w_, pool_):
+            qw = project_queries(q_, w_)
+            s = bilinear_maxsim_scores(qw, pool_, q_block=q_block)
+            return jax.lax.top_k(s, k)
+        fn = jax.jit(fn)
+        args = (q, w, pool)
+    del cand
+
+    np.asarray(fn(*args)[0])  # compile + warm
+    np.asarray(fn(*args)[0])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args)[0])  # small (Nq, k) host fetch = fence
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
 def run_train_bench(batch: int, iters: int):
     """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta)."""
     import jax
@@ -111,11 +162,19 @@ def main():
     ap.add_argument("--mode", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--secondary", action="store_true",
                     help="also run the training-step benchmark (stderr)")
+    ap.add_argument("--no-latency", action="store_true",
+                    help="skip the p50 query-latency measurements")
     args = ap.parse_args()
 
     try:
         pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
                                                  args.iters, mode=args.mode)
+        lat = {}
+        if not args.no_latency:
+            lat["p50_query_latency_ms_1q"] = run_latency_bench(
+                args.pool, 1, mode=args.mode)
+            lat["p50_query_latency_ms_32q"] = run_latency_bench(
+                args.pool, 32, mode=args.mode)
         if args.secondary:
             sps, d2 = run_train_bench(50, 20)
             print(f"secondary: {sps:.1f} train steps/s {d2}", file=sys.stderr)
@@ -124,6 +183,9 @@ def main():
             "value": pairs_per_sec,
             "unit": "pairs/s",
             "vs_baseline": pairs_per_sec / 1e7,
+            "mode": args.mode,
+            "pool": args.pool,
+            **lat,
         }))
     except Exception as e:  # noqa: BLE001
         print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)

@@ -22,15 +22,31 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None):
     """jax.distributed.initialize passthrough (no-op when single-process;
-    TPU pods auto-discover all three arguments from the environment)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    TPU pods auto-discover all three arguments from the environment).
+
+    MUST run before any backend-initializing jax call: checking
+    ``jax.process_count()`` here would itself initialize the local backend
+    and make the subsequent ``jax.distributed.initialize`` raise, silently
+    leaving the job single-host.  So the already-initialized probe uses the
+    bridge's state flag instead, and explicit-wiring failures propagate
+    (a cluster that NEEDS wiring must not limp on single-host)."""
+    import jax._src.xla_bridge as xla_bridge
+    if xla_bridge.backends_are_initialized():
+        if jax.process_count() > 1:
+            return  # distributed runtime already wired
+        if coordinator_address is not None or num_processes is not None:
+            raise RuntimeError(
+                "multihost.initialize(coordinator_address=...) must be "
+                "called before the first jax backend use "
+                "(jax.devices()/jnp ops initialize the backend)")
+        return  # single-process, nothing requested: no-op
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
         except Exception:  # single-process / no cluster env: fine
             return
     else:
+        # explicit wiring was requested: failures must surface
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
 

@@ -59,17 +59,23 @@ class QueryEngine:
 
     def __init__(self, params, cfg: MMSQAConfig, *, mesh: Mesh | None = None,
                  pool_dtype=jnp.bfloat16, interpret: bool | None = None,
-                 chunk_size: int = 131072):
+                 chunk_size: int = 131072, scan_chunks: bool = True):
         """pool_dtype: jnp dtype for the packed pool, or the string "int8"
         for the quantized path (half the HBM -- a 1M-candidate pool fits
         one v5e chip -- at ~1% score error; rerank with score_pairs when
         exactness matters).
 
         chunk_size: single-device pools larger than this are scored in
-        chunks through ONE reused per-chunk executable with incremental
-        top-k merging -- XLA programs holding multi-GB pool slices overload
-        the compiler, and per-chunk top-k keeps the (Nq, C) score tensor
-        from ever materializing for huge pools."""
+        chunks with incremental top-k merging, so the (Nq, C) score tensor
+        never materializes for huge pools.
+
+        scan_chunks: when True (default), chunked pools are scored by ONE
+        jitted lax.scan over the stacked chunk axis -- a single dispatch
+        for the whole pool (the per-chunk host loop costs ~30 ms dispatch
+        each through a remote-TPU tunnel).  False falls back to the host
+        loop over one reused per-chunk executable, which keeps every
+        compiled program's buffers chunk-sized (some remote compile
+        services reject multi-GB-buffer programs)."""
         if cfg.sim_mode != 2:
             raise ValueError("query engine requires the learned bilinear "
                              "metric (sim_mode=2)")
@@ -82,7 +88,9 @@ class QueryEngine:
         self.pool = None
         self.aux = None
         self.chunk_size = chunk_size
-        self.chunks = None  # list of (pool, aux) when chunked
+        self.scan_chunks = scan_chunks
+        self.chunks = None  # list of (pool, aux) when chunked host-loop;
+        #                     (stacked_pool, stacked_aux) when scan_chunks
         self.pool_size = 0
         self._padded_size = 0
         self._query_jit = None
@@ -139,11 +147,19 @@ class QueryEngine:
             # multi-GB f32 intermediates (and each chunk's executables stay
             # within the compiler's buffer budget)
             n_chunks = c_pad // self.chunk_size
-            self.chunks = []
+            parts = []
             for i in range(n_chunks):
                 lo, hi = i * self.chunk_size, (i + 1) * self.chunk_size
                 mask_from = c - lo if lo <= c < hi else None
-                self.chunks.append(pack(candidates[lo:hi], mask_from))
+                parts.append(pack(candidates[lo:hi], mask_from))
+            if self.scan_chunks:
+                # one (n_chunks, chunk, ...) device buffer; query() scans it
+                pools = jnp.stack([p for p, _ in parts])
+                auxs = jnp.stack([a for _, a in parts]) \
+                    if parts[0][1] is not None else None
+                self.chunks = (pools, auxs)
+            else:
+                self.chunks = parts
             self.pool, self.aux = None, None
         else:
             pool, aux = pack(candidates, c if c_pad != c else None)
@@ -231,13 +247,75 @@ class QueryEngine:
             check_vma=False)
         return jax.jit(mapped)
 
+    def _build_scan_query_fn(self, k: int):
+        """One jitted executable scoring EVERY chunk via lax.scan with an
+        incremental top-k merge in the carry: a single dispatch for the
+        whole pool, and the (Nq, C) score tensor never exceeds
+        (Nq, chunk_size)."""
+        cfg = self.cfg  # noqa: F841  (kept for parity with _build_query_fn)
+        interpret = self.interpret
+        w = self.params["sim"]["w"]
+        embed_params = self.params["embed"]
+        pool_dtype = self.pool_dtype
+        use_int8 = self.int8
+        chunk_size = self.chunk_size
+
+        def query_fn(query_ids, pools, auxs):
+            q_block = 16 if query_ids.shape[0] <= 32 else None
+            if query_ids.ndim == 3:
+                q_tokens = query_ids
+            else:
+                q_tokens = embed_lookup(embed_params, query_ids)
+            if use_int8:
+                qw, qs = project_queries_int8(q_tokens, w)
+            else:
+                qw = project_queries(q_tokens, w, dtype=pool_dtype)
+            nq = q_tokens.shape[0]
+
+            def body(carry, xs):
+                vals, idxs = carry
+                if use_int8:
+                    pool_i, aux_i, i = xs
+                    s = bilinear_maxsim_scores_int8(
+                        qw, qs, pool_i, aux_i, q_block=q_block,
+                        interpret=interpret)
+                else:
+                    pool_i, i = xs
+                    s = bilinear_maxsim_scores(qw, pool_i, q_block=q_block,
+                                               interpret=interpret)
+                v, ix = jax.lax.top_k(s, k)
+                ix = ix + i * chunk_size
+                merged_v = jnp.concatenate([vals, v.astype(vals.dtype)], 1)
+                merged_i = jnp.concatenate([idxs, ix], 1)
+                v2, pos = jax.lax.top_k(merged_v, k)
+                return (v2, jnp.take_along_axis(merged_i, pos, 1)), None
+
+            n_chunks = pools.shape[0]
+            init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
+                    jnp.zeros((nq, k), jnp.int32))
+            xs = (pools, auxs, jnp.arange(n_chunks)) if use_int8 \
+                else (pools, jnp.arange(n_chunks))
+            (vals, idxs), _ = jax.lax.scan(body, init, xs)
+            return vals, idxs
+
+        return jax.jit(query_fn)
+
     def query(self, query_ids, k: int = 10):
-        """query_ids: int (Nq, W1).  Returns (scores (Nq, k), indices
-        (Nq, k)) of the top-k candidates under the learned metric."""
+        """query_ids: int (Nq, W1).  Returns (scores (Nq, k'), indices
+        (Nq, k')) of the top-k candidates under the learned metric, with
+        k' = min(k, pool_size): a pool smaller than k returns fewer
+        results rather than padding entries."""
         if self.pool is None and self.chunks is None:
             raise RuntimeError("build_index first")
         if self.chunks is not None:
-            k_eff = min(k, self.chunk_size)
+            k_eff = min(k, self.pool_size, self.chunk_size)
+            if self.scan_chunks:
+                key = ("scan", k_eff)
+                if self._query_jit is None or self._query_jit[0] != key:
+                    self._query_jit = (key, self._build_scan_query_fn(k_eff))
+                pools, auxs = self.chunks
+                return self._query_jit[1](jnp.asarray(query_ids), pools,
+                                          auxs)
             if self._query_jit is None or self._query_jit[0] != k_eff:
                 self._query_jit = (k_eff, self._build_query_fn(k_eff))
             fn = self._query_jit[1]
@@ -248,7 +326,7 @@ class QueryEngine:
                 all_vals.append(v)
                 all_idx.append(ix + i * self.chunk_size)
             return topk_merge(jnp.stack(all_vals), jnp.stack(all_idx), k_eff)
-        k = min(k, self._padded_size)
+        k = min(k, self.pool_size)
         if self._query_jit is None or self._query_jit[0] != k:
             self._query_jit = (k, self._build_query_fn(k))
         vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool,

@@ -141,15 +141,19 @@ class TestInt8Engine:
 
 
 class TestChunkedPool:
-    def test_chunked_matches_unchunked(self):
+    @pytest.mark.parametrize("scan", [True, False])
+    def test_chunked_matches_unchunked(self, scan):
         _, params, state, _ = _engine(n_cand=64)
         cand_ids = rng.integers(0, 64, (300, 6))
         eng_1 = QueryEngine(params, CFG, pool_dtype=jnp.float32,
                             interpret=True).build_index(cand_ids)
         eng_c = QueryEngine(params, CFG, pool_dtype=jnp.float32,
-                            interpret=True,
-                            chunk_size=128).build_index(cand_ids)
-        assert eng_c.chunks is not None and len(eng_c.chunks) == 3
+                            interpret=True, chunk_size=128,
+                            scan_chunks=scan).build_index(cand_ids)
+        if scan:  # one stacked (n_chunks, chunk, ...) buffer, one dispatch
+            assert eng_c.chunks[0].shape[0] == 3
+        else:     # host loop over a 3-chunk list
+            assert len(eng_c.chunks) == 3
         query_ids = rng.integers(0, 64, (2, 6))
         v1, i1 = eng_1.query(query_ids, k=9)
         vc, ic = eng_c.query(query_ids, k=9)
@@ -157,20 +161,51 @@ class TestChunkedPool:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(ic))
 
-    def test_chunked_int8(self):
+    @pytest.mark.parametrize("scan", [True, False])
+    def test_chunked_int8(self, scan):
         _, params, state, _ = _engine(n_cand=64)
         cand_ids = rng.integers(0, 64, (300, 6))
         eng_1 = QueryEngine(params, CFG, pool_dtype="int8",
                             interpret=True).build_index(cand_ids)
         eng_c = QueryEngine(params, CFG, pool_dtype="int8",
-                            interpret=True,
-                            chunk_size=128).build_index(cand_ids)
+                            interpret=True, chunk_size=128,
+                            scan_chunks=scan).build_index(cand_ids)
         query_ids = rng.integers(0, 64, (2, 6))
         v1, i1 = eng_1.query(query_ids, k=7)
         vc, ic = eng_c.query(query_ids, k=7)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(vc),
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(ic))
+
+    def test_chunked_padding_rows_never_returned(self):
+        # 300 candidates over 128-chunks pads chunk 3 with 84 masked rows;
+        # k large enough to reach them must still return real indices only
+        _, params, state, _ = _engine(n_cand=64)
+        cand_ids = rng.integers(0, 64, (300, 6))
+        eng_c = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True,
+                            chunk_size=128).build_index(cand_ids)
+        vals, idx = eng_c.query(rng.integers(0, 64, (2, 6)), k=120)
+        assert np.asarray(idx).max() < 300
+
+
+class TestKClamping:
+    def test_k_clamped_to_pool_size(self):
+        eng, params, state, cand_ids = _engine(n_cand=9)  # pads to 16
+        vals, idx = eng.query(rng.integers(0, 64, (2, 6)), k=50)
+        # fewer-than-k results, never padding entries with sentinel scores
+        assert vals.shape == (2, 9) and idx.shape == (2, 9)
+        assert np.asarray(idx).max() < 9
+        assert np.asarray(vals).min() > -1e29
+
+    def test_k_clamped_int8(self):
+        _, params, state, _ = _engine(n_cand=9)
+        cand_ids = rng.integers(0, 64, (9, 6))
+        eng = QueryEngine(params, CFG, pool_dtype="int8",
+                          interpret=True).build_index(cand_ids)
+        vals, idx = eng.query(rng.integers(0, 64, (2, 6)), k=50)
+        assert vals.shape == (2, 9)
+        assert np.asarray(idx).max() < 9
 
 
 class TestCaptionImageRetrieval:
