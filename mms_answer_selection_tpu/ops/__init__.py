@@ -7,7 +7,13 @@ from .similarity import (  # noqa: F401
 )
 from .batch_norm import bn_init, bn_apply  # noqa: F401
 from .conv import conv2d, conv_init  # noqa: F401
-from .pooling import max_pool2d, avg_pool2d  # noqa: F401
+from .pooling import (  # noqa: F401
+    avg_pool2d,
+    max_pool2d,
+    pool2d_padded,
+    spatial_pyramid_pool,
+    stochastic_pool2d,
+)
 from .embed import embed_init, embed_lookup, load_pretrained_vectors  # noqa: F401
 from .losses import (  # noqa: F401
     softmax_cross_entropy,
@@ -16,5 +22,7 @@ from .losses import (  # noqa: F401
     euclidean_loss,
     hinge_loss,
     contrastive_loss,
+    multinomial_logistic_loss,
+    infogain_loss,
 )
 from .dropout import dropout  # noqa: F401

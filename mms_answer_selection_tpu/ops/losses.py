@@ -73,6 +73,29 @@ def hinge_loss(scores, labels, *, norm: str = "L1"):
     return jnp.sum(margins) / n
 
 
+_KLOG_THRESHOLD = 1e-20  # include/caffe/layers/loss_layer.hpp:12
+
+
+def multinomial_logistic_loss(probs, labels):
+    """MultinomialLogisticLoss: -mean_i log(max(p[i, y_i], 1e-20)) over
+    PROBABILITY inputs (the pre-softmax-fused CE of
+    src/caffe/layers/multinomial_logistic_loss_layer.cpp:20-34; its
+    backward -1/(N*p) is autodiff of this expression through the clamp)."""
+    p = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32),
+                            axis=-1)[:, 0]
+    return -jnp.mean(jnp.log(jnp.maximum(p, _KLOG_THRESHOLD)))
+
+
+def infogain_loss(probs, labels, infogain):
+    """InfogainLoss: -mean_i sum_j H[y_i, j] * log(max(p[i, j], 1e-20))
+    with an arbitrary (C, C) information-gain matrix H -- H = identity
+    reduces to multinomial_logistic_loss
+    (src/caffe/layers/infogain_loss_layer.cpp:47-68; backward :70-103)."""
+    h_rows = infogain[labels.astype(jnp.int32)]          # (N, C)
+    logp = jnp.log(jnp.maximum(probs, _KLOG_THRESHOLD))
+    return -jnp.mean(jnp.sum(h_rows * logp, axis=-1))
+
+
 def contrastive_loss(a, b, y, *, margin: float = 1.0, legacy: bool = False):
     """ContrastiveLoss (src/caffe/layers/contrastive_loss_layer.cpp):
     similar pairs (y=1) pull by squared distance, dissimilar push to margin.
