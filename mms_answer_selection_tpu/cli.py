@@ -225,11 +225,17 @@ def cmd_serve(args):
 
 # --------------------------------------------------------------------- time
 def cmd_time(args):
+    """Per-stage forward + backward timing and fused end-to-end numbers --
+    `caffe time` (tools/caffe.cpp:301-387 reports per-layer fwd AND bwd
+    ms over the train net)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
-    from .models.mms_qa import V4, mms_qa_init
-    from .utils.timer import benchmark, stage_times
+    from .models.mms_qa import V4, mms_qa_apply, mms_qa_init
+    from .training import Trainer, TrainerConfig
+    from .utils.timer import benchmark, stage_times_fwd_bwd, trace
 
     cfg = dataclasses.replace(V4, vocab_size=20000)
     params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
@@ -243,16 +249,34 @@ def cmd_time(args):
             rng.random((args.batch, 2)).astype(np.float32)),
         "label": jnp.asarray(rng.integers(0, 2, (args.batch,)), jnp.int32),
     }
-    stages = stage_times(params, state, batch, cfg, iters=args.iters)
-    from .models.mms_qa import mms_qa_apply
-    full = benchmark(
-        jax.jit(lambda p, s, b: mms_qa_apply(p, s, b, cfg, train=False)[0][
-            "logits"]), params, state, batch, iters=args.iters)
-    table = {name: round(r["p50_s"] * 1e3, 4) for name, r in stages.items()}
-    table["full_forward"] = round(full["p50_s"] * 1e3, 4)
-    print(json.dumps({"batch": args.batch, "p50_ms": table,
-                      "note": "stage times are separately-jitted; the fused "
-                              "full_forward is the real number"}))
+    ctx = trace(args.xprof) if args.xprof else contextlib.nullcontext()
+    with ctx:
+        stages = stage_times_fwd_bwd(params, state, batch, cfg,
+                                     iters=args.iters)
+        full = benchmark(
+            jax.jit(lambda p, s, b: mms_qa_apply(p, s, b, cfg,
+                                                 train=False)[0]["logits"]),
+            params, state, batch, iters=args.iters)
+        # fused train step: fwd + bwd + AdaDelta update in one executable
+        # (donate=False: benchmarking reuses the same input buffers)
+        tr = Trainer(cfg, TrainerConfig(batch_size=args.batch),
+                     donate=False)
+        tparams, tstate, topt = tr.init()
+        train_full = benchmark(
+            lambda p, s, o: tr._train_step(p, s, o, batch, jnp.asarray(0),
+                                           jax.random.PRNGKey(0))[3],
+            tparams, tstate, topt, iters=args.iters)
+    table = {name: {"forward_ms": round(r["forward_ms"], 4),
+                    "backward_ms": round(r["backward_ms"], 4)}
+             for name, r in stages.items()}
+    out = {"batch": args.batch, "p50_ms_per_stage": table,
+           "full_forward_ms": round(full["p50_s"] * 1e3, 4),
+           "full_train_step_ms": round(train_full["p50_s"] * 1e3, 4),
+           "note": "stage times are separately-jitted; the fused "
+                   "full_forward/full_train_step are the real numbers"}
+    if args.xprof:
+        out["xprof"] = args.xprof
+    print(json.dumps(out))
 
 
 def cmd_extract(args):
@@ -408,9 +432,12 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=40001)
     p.set_defaults(fn=cmd_serve)
 
-    p = sub.add_parser("time", help="per-stage + full-forward timing")
+    p = sub.add_parser("time",
+                       help="per-stage fwd+bwd + fused end-to-end timing")
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--xprof", metavar="DIR",
+                   help="also capture a jax-profiler (xprof) trace to DIR")
     p.set_defaults(fn=cmd_time)
 
     p = sub.add_parser("extract",

@@ -80,12 +80,13 @@ class Trainer:
 
     def __init__(self, model_cfg: MMSQAConfig, cfg: TrainerConfig,
                  *, mesh=None, apply_fn: Callable = mms_qa_apply,
-                 init_fn: Callable = mms_qa_init):
+                 init_fn: Callable = mms_qa_init, donate: bool = True):
         self.model_cfg = model_cfg
         self.cfg = cfg
         self.mesh = mesh
         self.apply_fn = apply_fn
         self.init_fn = init_fn
+        self.donate = donate  # False keeps step inputs alive (benchmarking)
         self.solver = None  # built in init() when the spec exists
         self._build_steps()
 
@@ -163,7 +164,7 @@ class Trainer:
             res["auc"] = (auc_jax_sorted if big else auc_jax)(scores, labels)
             return res
 
-        donate = (0, 2)  # params, opt_state buffers reused in place
+        donate = (0, 2) if self.donate else ()  # params/opt reused in place
         if self.mesh is not None:
             dp = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec("dp"))

@@ -57,6 +57,85 @@ def trace(path: str):
         jax.profiler.stop_trace()
 
 
+def stage_times_fwd_bwd(params, state, batch, cfg, *,
+                        iters: int = 10) -> dict:
+    """Per-stage forward AND backward timing -- the full `caffe time`
+    report (tools/caffe.cpp:301-387 prints per-layer forward ms and
+    backward ms over the train net).
+
+    Each stage's backward is measured as (time of jit(grad-of-stage) -
+    time of jit(stage)): under XLA the VJP re-runs the forward inside the
+    same executable (no cached activations across dispatches), so the
+    subtraction isolates the backward work.  Returns
+    {stage: {"forward_ms", "backward_ms"}} p50s.
+    """
+    import jax.numpy as jnp
+
+    from ..models.mms_qa import sim_map
+    from ..ops import avg_pool2d, bn_apply, conv2d, embed_lookup, max_pool2d
+
+    results = {}
+
+    def tim(name, fwd_fn, bwd_fn, *args):
+        f = benchmark(jax.jit(fwd_fn), *args, iters=iters)
+        fb = benchmark(jax.jit(bwd_fn), *args, iters=iters)
+        results[name] = {
+            "forward_ms": f["p50_s"] * 1e3,
+            "backward_ms": max(0.0, (fb["p50_s"] - f["p50_s"]) * 1e3),
+        }
+
+    def e_fwd(ep, ids):
+        return embed_lookup(ep, ids)
+
+    def e_bwd(ep, ids):
+        return jax.grad(lambda e: jnp.sum(embed_lookup(e, ids)))(ep)
+
+    tim("embed", e_fwd, e_bwd, params["embed"], batch["question"])
+    q_emb = embed_lookup(params["embed"], batch["question"])
+    a_emb = embed_lookup(params["embed"], batch["answer"])
+
+    def s_fwd(sp, q, a):
+        return sim_map({**params, "sim": sp}, q, a, cfg)
+
+    def s_bwd(sp, q, a):
+        return jax.grad(
+            lambda args: jnp.sum(s_fwd(*args)))((sp, q, a))
+
+    tim("sim_cross", s_fwd, s_bwd, params["sim"], q_emb, a_emb)
+    x = sim_map(params, q_emb, a_emb, cfg)
+
+    for i, b in enumerate(cfg.blocks):
+        def block(cp, bp, x_, i=i, b=b):
+            y = conv2d(cp, x_)
+            y, _ = bn_apply(bp, state[f"bn{i}"], y, train=True)
+            pool = max_pool2d if b.pool == "max" else avg_pool2d
+            y = pool(y, b.pool_k, b.pool_k, stride_h=b.pool_stride,
+                     stride_w=b.pool_stride)
+            return jnp.tanh(y)
+
+        def block_bwd(cp, bp, x_, i=i, b=b):
+            return jax.grad(
+                lambda args: jnp.sum(block(*args)))((cp, bp, x_))
+
+        tim(f"conv_block{i}", block, block_bwd,
+            params[f"conv{i}"], params[f"bn{i}"], x)
+        x = block(params[f"conv{i}"], params[f"bn{i}"], x)
+
+    def head(f1, f2, x_, feat):
+        flat = x_.reshape(x_.shape[0], -1)
+        f = jnp.concatenate([flat, feat.astype(flat.dtype)], axis=1)
+        h = jnp.tanh(f @ f1["w"] + f1["b"])
+        return h @ f2["w"] + f2["b"]
+
+    def head_bwd(f1, f2, x_, feat):
+        return jax.grad(
+            lambda args: jnp.sum(head(*args, feat)))((f1, f2, x_))
+
+    tim("head", head, head_bwd, params["fc1"], params["fc2"], x,
+        batch["overlap_feat"])
+    return results
+
+
 def stage_times(params, state, batch, cfg, *, iters: int = 10) -> dict:
     """Per-stage forward timing of the MMS model (hot-spot attribution)."""
     import jax.numpy as jnp

@@ -85,3 +85,51 @@ class TestHistoryTooling:
         total = int(table.strip().split()[-1])
         expected_embed = 1000 * 50 + 50
         assert total > expected_embed
+
+
+class TestTiming:
+    def test_stage_times_fwd_bwd(self):
+        """Per-stage fwd+bwd table (`caffe time` parity,
+        tools/caffe.cpp:301-387) on a tiny config."""
+        import jax
+        import jax.numpy as jnp
+
+        from mms_answer_selection_tpu.models.mms_qa import (ConvBlock,
+                                                            MMSQAConfig,
+                                                            mms_qa_init)
+        from mms_answer_selection_tpu.utils.timer import stage_times_fwd_bwd
+
+        cfg = MMSQAConfig(
+            vocab_size=64, embed_dim=16, question_len=12, answer_len=12,
+            sim_measures=2,
+            blocks=(ConvBlock(3, 3, 8, "ave", 2, 2),
+                    ConvBlock(3, 3, 8, "ave", 3, 1)),
+            fc1_dim=8)
+        params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "question": jnp.asarray(rng.integers(0, 64, (8, 12)), jnp.int32),
+            "answer": jnp.asarray(rng.integers(0, 64, (8, 12)), jnp.int32),
+            "overlap_feat": jnp.asarray(
+                rng.random((8, 2)).astype(np.float32)),
+        }
+        table = stage_times_fwd_bwd(params, state, batch, cfg, iters=2)
+        assert set(table) == {"embed", "sim_cross", "conv_block0",
+                              "conv_block1", "head"}
+        for name, row in table.items():
+            assert row["forward_ms"] > 0, name
+            assert row["backward_ms"] >= 0, name
+
+    def test_cmd_time_cli(self, tmp_path, capsys, monkeypatch):
+        import json as _json
+
+        from mms_answer_selection_tpu.cli import main
+
+        xprof = str(tmp_path / "xprof")
+        main(["time", "--batch", "4", "--iters", "1", "--xprof", xprof])
+        out = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        assert "full_train_step_ms" in out and out["full_train_step_ms"] > 0
+        assert "backward_ms" in out["p50_ms_per_stage"]["sim_cross"]
+        assert out["xprof"] == xprof
+        import os as _os
+        assert _os.path.isdir(xprof)  # trace artifact written
