@@ -62,6 +62,10 @@ def cmd_prep(args):
             save_hdf5_chunks(os.path.join(args.out, f"{name}_h5"), name,
                              split)
         log.info("wrote reference-compatible HDF5 chunks")
+    if args.mmsp:
+        from .native import write_mmsp
+        write_mmsp(os.path.join(args.out, "train.mmsp"), splits["train"])
+        log.info("wrote packed train.mmsp (qa train --stream input)")
     print(f"wrote {args.out}: vocab_size={info['vocab_size']}")
 
 
@@ -121,11 +125,40 @@ def cmd_train(args):
         resume_from = (os.path.join(args.exp, "models")
                        if args.resume == "auto" else args.resume)
     trainer = Trainer(model_cfg, trainer_cfg)
-    hist = trainer.fit(splits["train"], splits["dev"],
-                       test_data=splits.get("test"),
-                       pretrained=vocab["pretrained"], log_every=50,
-                       handle_signals=True, resume_from=resume_from,
-                       weights=getattr(args, "weights", None))
+    if getattr(args, "stream", False):
+        # streaming path: out-of-core batches from the MMSP packed store
+        # (C++ prefetch ring) when present, else a host-sharded in-memory
+        # iterator; each host feeds only its stripe (host_shard == the
+        # DataReader round-robin, data_reader.cpp:79-98)
+        from .parallel.multihost import host_shard
+        shard = host_shard()
+        mmsp = os.path.join(args.data, "train.mmsp")
+        if os.path.exists(mmsp):
+            from .native import NativePrefetcher, PackedStore
+            store = PackedStore(mmsp)
+            batches = NativePrefetcher(
+                store, ["question", "answer", "label", "overlap_feat"],
+                batch_size=trainer_cfg.batch_size, seed=trainer_cfg.seed,
+                shard=shard)
+            log.info("streaming from %s (shard %d/%d)", mmsp, *shard)
+        else:
+            from .data.loader import ArrayDataset, BatchIterator
+            batches = BatchIterator(
+                ArrayDataset({k: v for k, v in splits["train"].items()
+                              if k != "group"}),
+                trainer_cfg.batch_size, seed=trainer_cfg.seed, shard=shard)
+        hist = trainer.fit_stream(
+            batches, splits["dev"], steps=trainer_cfg.max_iter,
+            test_data=splits.get("test"), pretrained=vocab["pretrained"],
+            patience_evals=trainer_cfg.early_stop_patience,
+            handle_signals=True, resume_from=resume_from,
+            weights=getattr(args, "weights", None), log_every=50)
+    else:
+        hist = trainer.fit(splits["train"], splits["dev"],
+                           test_data=splits.get("test"),
+                           pretrained=vocab["pretrained"], log_every=50,
+                           handle_signals=True, resume_from=resume_from,
+                           weights=getattr(args, "weights", None))
     save_checkpoint(args.exp, hist["best_step"],
                     {"params": hist["params"], "state": hist["state"]},
                     prefix="best", meta={"dev_map": hist["best_dev_map"]})
@@ -394,6 +427,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--hdf5", action="store_true",
                    help="also write reference-compatible HDF5 chunk files")
+    p.add_argument("--mmsp", action="store_true",
+                   help="also write the packed train.mmsp store for "
+                        "`qa train --stream`")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("train", help="train + early stop + trec_eval score")
@@ -408,6 +444,11 @@ def main(argv=None):
     p.add_argument("--weights",
                    help="finetune: partial-load params from a checkpoint "
                         "by name+shape -- `caffe train -weights`")
+    p.add_argument("--stream", action="store_true",
+                   help="train from a batch stream (MMSP packed store via "
+                        "the C++ prefetch ring when <data>/train.mmsp "
+                        "exists, else a host-sharded iterator) instead of "
+                        "in-memory arrays")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate a checkpoint on a split")

@@ -413,27 +413,91 @@ class Trainer:
 
     # ---------------------------------------------------------------- stream
     def fit_stream(self, batches, dev_data: dict, *, steps: int,
+                   test_data: dict = None,
                    params=None, state=None, opt_state=None, pretrained=None,
                    eval_interval: int | None = None,
-                   patience_evals: int | None = None):
+                   patience_evals: int | None = None,
+                   handle_signals: bool = False,
+                   resume_from: str | None = None,
+                   weights: str | None = None,
+                   log_every: int | None = None,
+                   callback: Callable[[dict], None] | None = None):
         """Train from a batch iterator (BatchIterator / NativePrefetcher /
         any ``__next__``-able yielding dicts of arrays) instead of in-memory
         split arrays -- the streaming path for pools that do not fit host
         memory.  Early stopping counts evals without dev-MAP improvement
         (``patience_evals``) rather than epochs (an iterator has no epoch).
 
+        First-class like ``fit``: test-split scoring, SIGINT/SIGHUP signal
+        polling, interval snapshots, resume_from (restores params/solver
+        history/step/best -- the stream's position is the caller's to
+        restore, matching the reference, whose .solverstate does not record
+        data-layer cursors either), and `-weights` finetune loading.
+
         Returns the same history dict shape as ``fit``."""
+        from .signals import Action, SignalHandler
+        if resume_from and weights:
+            raise ValueError("resume_from and weights are mutually exclusive")
         cfg = self.cfg
         if params is None:
             params, state, opt_state = self.init(pretrained=pretrained)
+        if weights:
+            params, state, report = load_weights_into(
+                params, state, self._resolve_ckpt(weights))
+            params, state = self._replicate(params, state)
         eval_interval = eval_interval or cfg.test_interval
         dev_batch = self._full_batch(dev_data)
+        test_batch = self._full_batch(test_data) if test_data else None
         root_key = jax.random.PRNGKey(cfg.seed)
         history = {"train_loss": [], "dev_map": [], "dev_mrr": [],
-                   "dev_auc": [], "steps": []}
+                   "dev_auc": [], "test_map": [], "test_mrr": [],
+                   "test_auc": [], "steps": []}
         best = {"dev_map": -1.0, "step": 0, "params": None, "state": None}
         waited = 0
-        for it in range(steps):
+        it_start = 0
+
+        if resume_from:
+            ckpt = self._resolve_ckpt(resume_from)
+            bundle, meta = load_checkpoint(
+                ckpt, template={"params": params, "state": state,
+                                "opt_state": opt_state})
+            params, state, opt_state = self._replicate(
+                bundle["params"], bundle["state"], bundle["opt_state"])
+            it_start = int(meta.get("step", -1)) + 1
+            waited = int(meta.get("wait_epoch", 0))
+            best["dev_map"] = float(meta.get("best_dev_map", -1.0))
+            best["step"] = int(meta.get("best_step", 0))
+            for k, v in (meta.get("history") or {}).items():
+                if k in history:
+                    history[k] = v
+            if cfg.snapshot_dir:
+                bp = os.path.join(
+                    cfg.snapshot_dir,
+                    f"{cfg.snapshot_prefix}_iter_{best['step']}")
+                if os.path.exists(os.path.join(bp, "ckpt.msgpack")):
+                    bb, _ = load_checkpoint(bp)
+                    best["params"] = bb.get("params")
+                    best["state"] = bb.get("state")
+            log.info("stream resumed from %s at iter %d", ckpt, it_start)
+
+        def snap(it, tag_meta=None):
+            save_checkpoint(
+                cfg.snapshot_dir, it,
+                {"params": params, "state": state, "opt_state": opt_state},
+                prefix=cfg.snapshot_prefix,
+                meta={"dev_map": history["dev_map"][-1]
+                      if history["dev_map"] else None,
+                      "wait_epoch": waited, "best_step": best["step"],
+                      "best_dev_map": best["dev_map"],
+                      "history": history, "stream": True,
+                      **(tag_meta or {})})
+
+        t0 = time.time()
+        sig_ctx = SignalHandler() if handle_signals else None
+        if sig_ctx is not None:
+            sig_ctx.__enter__()
+        stop = False
+        for it in range(it_start, steps):
             raw = next(batches)
             batch = {k: jnp.asarray(v) for k, v in raw.items()
                      if k != "group"}
@@ -444,6 +508,9 @@ class Trainer:
                 jax.random.fold_in(root_key, it))
             if it % cfg.train_loss_record_interval == 0:
                 history["train_loss"].append(float(loss))
+            if log_every and it % log_every == 0:
+                log.info("stream iter %d loss %.4f (%.1fs)", it, float(loss),
+                         time.time() - t0)
             if it % eval_interval == 0:
                 dev = self._eval_step(params, state, dev_batch)
                 dev_map = float(dev["map"])
@@ -451,6 +518,11 @@ class Trainer:
                 history["dev_mrr"].append(float(dev["mrr"]))
                 history["dev_auc"].append(float(dev["auc"]))
                 history["steps"].append(it)
+                if test_batch is not None:
+                    te = self._eval_step(params, state, test_batch)
+                    history["test_map"].append(float(te["map"]))
+                    history["test_mrr"].append(float(te["mrr"]))
+                    history["test_auc"].append(float(te["auc"]))
                 if dev_map > best["dev_map"]:
                     waited = 0
                     best = {"dev_map": dev_map, "step": it,
@@ -459,7 +531,24 @@ class Trainer:
                 else:
                     waited += 1
                     if patience_evals is not None and waited > patience_evals:
-                        break
+                        stop = True
+                if callback:
+                    callback({"step": it, "dev_map": dev_map,
+                              "loss": float(loss)})
+            if sig_ctx is not None:
+                action = sig_ctx.get_requested_action()
+                if action != Action.NONE and cfg.snapshot_dir:
+                    snap(it, {"signal": action.name})
+                if action == Action.STOP:
+                    log.info("SIGINT: snapshot + stop at stream iter %d", it)
+                    stop = True
+            if (cfg.snapshot_dir and cfg.snapshot_interval
+                    and it % cfg.snapshot_interval == 0):
+                snap(it)
+            if stop:
+                break
+        if sig_ctx is not None:
+            sig_ctx.__exit__(None, None, None)
         history["best_step"] = best["step"]
         history["best_dev_map"] = best["dev_map"]
         history["params"] = best["params"] if best["params"] is not None \
