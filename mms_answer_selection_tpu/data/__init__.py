@@ -8,6 +8,8 @@ from .trec_qa import (  # noqa: F401
     save_dataset,
     load_dataset,
     synthetic_corpus,
+    synthetic_world,
+    synthetic_split,
 )
 from .loader import ArrayDataset, BatchIterator  # noqa: F401
 from .wikiqa import parse_wikiqa_tsv, prepare_wikiqa  # noqa: F401

@@ -207,6 +207,115 @@ def load_dataset(path: str) -> dict:
 # src/caffe/test/test_data/generate_sample_data.py)
 # ---------------------------------------------------------------------------
 
+def synthetic_world(vocab_words=22500, n_topics=250, n_common=500, dim=50,
+                    seed=0, oov_frac=0.12, topic_strength=0.65):
+    """A TREC-QA-sized synthetic 'world': a topic-structured vocabulary and
+    GloVe-style embeddings over it, shared across splits.
+
+    Words are partitioned into ``n_topics`` topic pools (plus a common pool
+    of function-word stand-ins).  Each word's embedding is a mix of its
+    topic centroid and private noise, so *semantic* relatedness lives in
+    embedding space -- exactly the structure the bilinear SimCross metric
+    (sim_cross_layer.cpp:140-161) is built to exploit -- while *lexical*
+    identity carries no extra signal (splits inject literal question tokens
+    into positives and negatives at the same rate, see synthetic_split).
+    A random ``oov_frac`` of words is withheld from the w2v dict so the
+    unknown-index path (do_trec_qa_clean.py:297-301) is exercised at scale.
+
+    Returns a dict consumed by :func:`synthetic_split`.
+    """
+    rng = np.random.default_rng(seed)
+    n_topic_words = vocab_words - n_common
+    per_topic = n_topic_words // n_topics
+    words, topic_pools = [], []
+    common_pool = [f"c{i}" for i in range(n_common)]
+    words.extend(common_pool)
+    for t in range(n_topics):
+        pool = [f"t{t}w{i}" for i in range(per_topic)]
+        topic_pools.append(pool)
+        words.extend(pool)
+    centroids = rng.normal(scale=0.35, size=(n_topics, dim))
+    oov = set(rng.choice(len(words), size=int(len(words) * oov_frac),
+                         replace=False).tolist())
+    w2v = {}
+    for i, w in enumerate(words):
+        if i in oov:
+            continue
+        noise = rng.normal(scale=0.35, size=dim)
+        if w.startswith("t"):
+            t = int(w[1:].split("w")[0])
+            vec = topic_strength * centroids[t] \
+                + (1.0 - topic_strength) * noise
+        else:
+            vec = noise
+        w2v[w] = vec.astype(np.float32).tolist()
+    return {"topic_pools": topic_pools, "common_pool": common_pool,
+            "w2v": w2v, "n_topics": n_topics, "rng_seed": seed}
+
+
+def synthetic_split(world, n_questions, answers_lo, answers_hi, seed, *,
+                    pos_frac=0.25, q_tokens=(5, 10), a_tokens=(10, 28),
+                    literal_rate=0.10, topic_rate=0.45, all_neg_frac=0.03):
+    """One TREC-QA-format XML split over a :func:`synthetic_world`.
+
+    Per question: a topic t, question tokens mostly from pool t; positive
+    answers draw ``topic_rate`` of their tokens from pool t, negatives from
+    a different pool t'; BOTH get ``literal_rate`` literal question tokens,
+    so the overlap features (do_trec_qa_clean.py:162-182) are equally
+    distributed across labels and the only learnable signal is the
+    embedding-space topic structure.  ``all_neg_frac`` questions have no
+    positive answer (the effective-group filter case, map_layer.cpp:50-55).
+    Answer counts vary per question like the real corpus (~22/q on test).
+    """
+    rng = np.random.default_rng(seed)
+    pools = world["topic_pools"]
+    common = world["common_pool"]
+    n_topics = world["n_topics"]
+
+    def draw(pool, k):
+        return [pool[i] for i in rng.integers(0, len(pool), size=k)]
+
+    lines = []
+    for qi in range(n_questions):
+        t = int(rng.integers(0, n_topics))
+        nq = int(rng.integers(q_tokens[0], q_tokens[1] + 1))
+        n_topic_q = max(2, int(round(nq * 0.75)))
+        q_toks = draw(pools[t], n_topic_q) + draw(common, nq - n_topic_q)
+        rng.shuffle(q_toks)
+        n_ans = int(rng.integers(answers_lo, answers_hi + 1))
+        all_neg = rng.random() < all_neg_frac
+        n_pos = 0 if all_neg else max(1, int(round(n_ans * pos_frac)))
+        order = rng.permutation(n_ans)
+        # positives draw topic words from the pool MINUS the question's own
+        # tokens: same embedding-space topic (centroid) signal, but literal
+        # overlap stays exactly the injected literal_rate for both classes
+        q_set = set(q_toks)
+        pos_pool = [w for w in pools[t] if w not in q_set]
+        lines.append(f"<QApairs id='{seed}.{qi}'>")
+        lines.append("<question>")
+        lines.append("\t".join(q_toks))
+        lines.append("</question>")
+        for ai in order:
+            pos = bool(ai < n_pos)
+            na = int(rng.integers(a_tokens[0], a_tokens[1] + 1))
+            n_lit = int(round(na * literal_rate))
+            n_top = int(round(na * topic_rate))
+            src = pos_pool if pos else \
+                pools[(t + 1 + int(rng.integers(0, n_topics - 1)))
+                      % n_topics]
+            toks = (draw(src, n_top)
+                    + [q_toks[i] for i in rng.integers(0, len(q_toks),
+                                                       size=n_lit)]
+                    + draw(common, na - n_top - n_lit))
+            rng.shuffle(toks)
+            tag = "positive" if pos else "negative"
+            lines.append(f"<{tag}>")
+            lines.append("\t".join(toks))
+            lines.append(f"</{tag}>")
+        lines.append("</QApairs>")
+    return "\n".join(lines)
+
+
 def synthetic_corpus(n_questions=12, answers_per_q=6, vocab_words=80, dim=50,
                      seed=0):
     """Generate a TREC-QA-format XML string + a GloVe-style w2v dict with a

@@ -1,0 +1,92 @@
+"""Recipe-scale hermetic accuracy golden (VERDICT round-1 item #2).
+
+The full-size artifact (50k pairs, vocab ~20k, thousands of iterations on
+the real TPU) lives under docs/runs/recipe_scale_v4/ and is produced by
+examples/recipe_scale_rehearsal.py.  This test pins a scaled-down-but-real
+version of the same thing on the CPU mesh: the FULL V4 geometry (40x40,
+4 measures, 32/64-channel blocks) trained for hundreds of steps on the
+topic-structured corpus whose overlap features carry no label signal --
+so any MAP rise above the chance floor demonstrates that the
+parity-critical numerics chain (zero-init bilinear metric -> BN
+rsqrt(1e-9) -> AdaDelta self-normalization, SURVEY 'hard parts') actually
+produces *learning* at recipe geometry, not just finite losses.
+"""
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mms_answer_selection_tpu.data import (  # noqa: E402
+    prepare_trec_qa, synthetic_split, synthetic_world)
+from mms_answer_selection_tpu.metrics import (  # noqa: E402
+    mean_average_precision, mean_reciprocal_rank, trec_eval)
+from mms_answer_selection_tpu.models.mms_qa import V4  # noqa: E402
+from mms_answer_selection_tpu.training import (  # noqa: E402
+    SolverConfig, Trainer, TrainerConfig)
+
+
+def _corpus(train_q=150, dev_q=30, test_q=30):
+    world = synthetic_world(vocab_words=3000, n_topics=60, seed=22)
+    train_xml = synthetic_split(world, train_q, 30, 50, seed=101)
+    dev_xml = synthetic_split(world, dev_q, 12, 24, seed=202)
+    test_xml = synthetic_split(world, test_q, 15, 29, seed=303)
+    return prepare_trec_qa(train_xml, dev_xml, test_xml, world["w2v"])
+
+
+def test_overlap_features_carry_no_label_signal():
+    """The corpus design invariant: literal-overlap features are matched
+    between positives and negatives, so the model cannot shortcut through
+    the overlap_feat input."""
+    splits, info = _corpus(train_q=120)
+    tr = splits["train"]
+    pos = tr["overlap_feat"][tr["label"] == 1]
+    neg = tr["overlap_feat"][tr["label"] == 0]
+    # mean overlap fraction differs by < 15% relative between classes
+    for col in range(2):
+        p, n = float(pos[:, col].mean()), float(neg[:, col].mean())
+        assert abs(p - n) / max(p, n) < 0.15, (col, p, n)
+    # world stats: OOV path exercised, some all-negative groups exist
+    assert info["vocab_size"] < 3000  # oov_frac withheld from w2v
+    assert (tr["question"] == info["unknown_idx"]).any()
+    lab_by_group = {}
+    for g, lab in zip(tr["group"], tr["label"]):
+        lab_by_group.setdefault(int(g), []).append(int(lab))
+    assert any(not any(v) for v in lab_by_group.values()), \
+        "expected some all-negative groups (effective-group filter case)"
+
+
+def test_full_v4_learns_above_chance():
+    """Train the published V4 recipe (AdaDelta 1.0/.95/5e-7, wd 5e-4,
+    batch 50, seed 22) for 301 steps; dev MAP must rise well above the
+    step-0 chance floor, and the final test scores must agree across the
+    in-graph jit metrics, the numpy metrics, and in-process trec_eval."""
+    splits, info = _corpus()
+    model_cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                    embed_dim=50)
+    trainer_cfg = TrainerConfig(
+        solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                            momentum=0.95, delta=5e-7, weight_decay=5e-4),
+        max_iter=301, batch_size=50, test_interval=100,
+        snapshot_interval=0, early_stop_patience=5, seed=22)
+    trainer = Trainer(model_cfg, trainer_cfg)
+    hist = trainer.fit(splits["train"], splits["dev"],
+                       pretrained=info["pretrained"])
+    chance = hist["dev_map"][0]
+    assert 0.35 < chance < 0.58, chance   # ~#pos/#ans baseline, not degenerate
+    assert hist["best_dev_map"] > chance + 0.12, \
+        (chance, hist["best_dev_map"])
+
+    res = trainer.evaluate(hist["params"], hist["state"], splits["test"])
+    scores = np.asarray(res["prob"][:, 1], np.float64)
+    labels, groups = splits["test"]["label"], splits["test"]["group"]
+    np_map = mean_average_precision(scores, labels, groups)
+    np_mrr = mean_reciprocal_rank(scores, labels, groups)
+    ev = trec_eval(scores=scores, labels=labels, groups=groups)
+    assert abs(float(res["map"]) - np_map) < 1e-5
+    assert abs(float(res["mrr"]) - np_mrr) < 1e-5
+    assert abs(ev["map"] - np_map) < 1e-9
+    assert abs(ev["recip_rank"] - np_mrr) < 1e-9
