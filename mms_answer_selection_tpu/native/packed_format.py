@@ -73,6 +73,10 @@ def _get_lib():
         lib.mmsp_prefetcher_next.restype = ctypes.c_int64
         lib.mmsp_prefetcher_next.argtypes = [ctypes.c_void_p,
                                              ctypes.c_void_p]
+        lib.mmsp_prefetcher_acquire.restype = ctypes.c_int64
+        lib.mmsp_prefetcher_acquire.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mmsp_prefetcher_release.argtypes = [ctypes.c_void_p]
         lib.mmsp_prefetcher_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
@@ -199,6 +203,58 @@ class NativePrefetcher:
         if step < 0:
             raise StopIteration
         return {name: arr for name, arr in zip(self.field_names, outs)}
+
+    def acquire_view(self):
+        """Zero-copy batch: (step, dict of numpy VIEWS into the ring slot).
+        The views alias native memory owned by the prefetcher; the caller
+        must be done with them (or have copied/transferred) before calling
+        :meth:`release`, which recycles the slot.  Skips the memcpy that
+        :meth:`next` does into fresh numpy buffers."""
+        n = len(self.field_names)
+        ptrs = (ctypes.c_void_p * n)()
+        sizes = (ctypes.c_uint64 * n)()
+        step = self.lib.mmsp_prefetcher_acquire(self.handle, ptrs, sizes)
+        if step == -2:
+            raise RuntimeError("acquire called twice without release")
+        if step < 0:
+            raise StopIteration
+        out = {}
+        for name, (bs, cols, dtype), ptr in zip(self.field_names,
+                                                self.shapes, ptrs):
+            buf = (ctypes.c_char * (bs * cols * dtype.itemsize)) \
+                .from_address(ptr)
+            out[name] = np.frombuffer(buf, dtype).reshape(bs, cols)
+        return step, out
+
+    def release(self):
+        self.lib.mmsp_prefetcher_release(self.handle)
+
+    def next_device(self, device=None):
+        """Direct ring-slot -> device batch: acquire the slot zero-copy,
+        jax.device_put straight from native memory (the ONLY host-side
+        touch of the data after the gather), block until the transfer
+        lands, release the slot.  Replaces next() + jnp.asarray, which
+        costs one extra full host copy per field (TODO round-1 #7).
+
+        On accelerator backends device_put DMAs out of the slot and the
+        blocked transfer makes release safe.  On the CPU backend XLA may
+        ALIAS an aligned host buffer instead of copying -- the returned
+        array would then mutate when the worker refills the slot -- so
+        there the fields are copied out first (same cost as next())."""
+        import jax
+        step, views = self.acquire_view()
+        try:
+            devs = getattr(device, "device_set", None)  # Sharding
+            plat = (next(iter(devs)).platform if devs
+                    else getattr(device, "platform", None)
+                    or jax.devices()[0].platform)
+            if plat == "cpu":
+                views = {k: np.array(v) for k, v in views.items()}
+            batch = jax.device_put(views, device)
+            batch = jax.block_until_ready(batch)
+        finally:
+            self.release()
+        return batch
 
     def __iter__(self):
         return self

@@ -121,6 +121,7 @@ struct Prefetcher {
 
   std::vector<int64_t> perm;
   uint64_t cursor = 0, epoch = 0, step = 0;
+  Batch* held = nullptr;  // slot lent out via acquire, pending release
 
   void reshuffle() {
     uint64_t n = store->n_rows;
@@ -315,6 +316,43 @@ int64_t mmsp_prefetcher_next(void* h, void** out_buffers) {
   }
   p->cv_free.notify_one();
   return step;
+}
+
+// Zero-copy variant: lends the ring slot's buffers to the caller instead of
+// copying them out (the extra host copy TODO'd in round 1).  Returns the
+// step index and writes one pointer + byte size per field; the slot stays
+// checked out until mmsp_prefetcher_release, so the caller must finish the
+// host->device transfer (jax.device_put + block) before releasing.  Single
+// consumer; a second acquire without release returns -2.
+int64_t mmsp_prefetcher_acquire(void* h, void** ptrs_out,
+                                uint64_t* sizes_out) {
+  auto* p = static_cast<Prefetcher*>(h);
+  if (p->held) return -2;
+  Batch* b = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_full.wait(lk, [&] { return p->stop.load() || !p->full_q.empty(); });
+    if (p->stop.load()) return -1;
+    b = p->full_q.front();
+    p->full_q.pop();
+  }
+  for (size_t f = 0; f < p->field_ids.size(); ++f) {
+    ptrs_out[f] = b->buffers[f].data();
+    sizes_out[f] = b->buffers[f].size();
+  }
+  p->held = b;
+  return (int64_t)b->step;
+}
+
+void mmsp_prefetcher_release(void* h) {
+  auto* p = static_cast<Prefetcher*>(h);
+  if (!p->held) return;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->free_q.push(p->held);
+  }
+  p->held = nullptr;
+  p->cv_free.notify_one();
 }
 
 void mmsp_prefetcher_destroy(void* h) {

@@ -497,10 +497,18 @@ class Trainer:
         if sig_ctx is not None:
             sig_ctx.__enter__()
         stop = False
+        # the native prefetcher can hand batches straight from its ring slot
+        # to the device (zero host copies after the gather); plain iterators
+        # go through jnp.asarray
+        direct = hasattr(batches, "next_device")
         for it in range(it_start, steps):
-            raw = next(batches)
-            batch = {k: jnp.asarray(v) for k, v in raw.items()
-                     if k != "group"}
+            if direct:
+                raw = batches.next_device()
+                batch = {k: v for k, v in raw.items() if k != "group"}
+            else:
+                raw = next(batches)
+                batch = {k: jnp.asarray(v) for k, v in raw.items()
+                         if k != "group"}
             if "label" in batch and batch["label"].ndim == 2:
                 batch["label"] = batch["label"][:, 0]
             params, state, opt_state, loss = self._train_step(

@@ -119,3 +119,51 @@ class TestPrefetcher:
         pf0.close()
         pf1.close()
         s.close()
+
+
+class TestZeroCopy:
+    def test_acquire_view_matches_next(self, store_path):
+        """Same seed -> acquire_view yields byte-identical batches to the
+        copying next() path, without the slot-out memcpy."""
+        path, _ = store_path
+        s1, s2 = PackedStore(path), PackedStore(path)
+        fields = ["question", "label", "overlap_feat"]
+        p1 = NativePrefetcher(s1, fields, 32, seed=5)
+        p2 = NativePrefetcher(s2, fields, 32, seed=5)
+        for _ in range(5):
+            copied = p1.next()
+            step, views = p2.acquire_view()
+            for f in fields:
+                np.testing.assert_array_equal(views[f], copied[f])
+            p2.release()
+        p1.close(); p2.close(); s1.close(); s2.close()
+
+    def test_double_acquire_rejected(self, store_path):
+        path, _ = store_path
+        s = PackedStore(path)
+        p = NativePrefetcher(s, ["label"], 16, seed=1)
+        p.acquire_view()
+        with pytest.raises(RuntimeError):
+            p.acquire_view()
+        p.release()
+        p.acquire_view()  # release unblocks the single-consumer slot
+        p.release()
+        p.close(); s.close()
+
+    def test_next_device_lands_on_device(self, store_path):
+        import jax
+        import jax.numpy as jnp
+        path, _ = store_path
+        s1, s2 = PackedStore(path), PackedStore(path)
+        fields = ["question", "overlap_feat"]
+        p1 = NativePrefetcher(s1, fields, 32, seed=9)
+        p2 = NativePrefetcher(s2, fields, 32, seed=9)
+        for _ in range(3):
+            host = p1.next()
+            dev = p2.next_device()
+            for f in fields:
+                assert isinstance(dev[f], jax.Array)
+                np.testing.assert_array_equal(np.asarray(dev[f]), host[f])
+            # device batch is safe to use after the slot was recycled
+            assert jnp.sum(dev["overlap_feat"]).dtype == jnp.float32
+        p1.close(); p2.close(); s1.close(); s2.close()
