@@ -22,13 +22,15 @@ import numpy as np
 
 
 def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
-                     warmup: int = 2, mode: str = "int8"):
+                     warmup: int = 2, mode: str = "int8",
+                     c_sub: int | None = None):
     import jax
     import jax.numpy as jnp
     from mms_answer_selection_tpu.ops.sim_cross_pallas import (
-        bilinear_maxsim_scores, bilinear_maxsim_scores_int8,
-        pack_candidate_pool, pack_candidate_pool_int8, project_queries,
-        project_queries_int8)
+        bilinear_maxsim_scores, bilinear_maxsim_scores_int4,
+        bilinear_maxsim_scores_int8, pack_candidate_pool,
+        pack_candidate_pool_int4, pack_candidate_pool_int8, project_queries,
+        project_queries_int4, project_queries_int8)
 
     d, w1, w2, m = 50, 40, 40, 4
     rng = np.random.default_rng(0)
@@ -40,14 +42,21 @@ def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
     # scalar to the host each iteration is the completion fence (a bare
     # block_until_ready returns early for queued work on the axon tunnel,
     # and host-indexing a large device array through the tunnel stalls)
-    if mode == "int8":
-        # the production serving path (QueryEngine pool_dtype="int8"):
-        # ~0.4% score error, exact padding, rerank path for exactness
-        qw, qs = project_queries_int8(q, w)
-        pool, aux = pack_candidate_pool_int8(cand)
+    if mode in ("int8", "int4"):
+        # quantized serving paths (QueryEngine pool_dtype="int8"/"int4"):
+        # ~0.4% / ~3-8% score error, exact padding, rerank for exactness
+        project_q = project_queries_int8 if mode == "int8" \
+            else project_queries_int4
+        pack_q = pack_candidate_pool_int8 if mode == "int8" \
+            else pack_candidate_pool_int4
+        scores_q = bilinear_maxsim_scores_int8 if mode == "int8" \
+            else bilinear_maxsim_scores_int4
+        kw = {} if c_sub is None else {"c_sub": c_sub}
+        qw, qs = project_q(q, w)
+        pool, aux = pack_q(cand)
         del cand
         fn = jax.jit(lambda a, b, c_, d_: jnp.sum(
-            bilinear_maxsim_scores_int8(a, b, c_, d_)))
+            scores_q(a, b, c_, d_, **kw)))
         args = (qw, qs, pool, aux)
     else:
         qw = project_queries(q, w)                   # bf16 (NQ, M*W1, 128)
@@ -81,9 +90,10 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     import jax
     import jax.numpy as jnp
     from mms_answer_selection_tpu.ops.sim_cross_pallas import (
-        bilinear_maxsim_scores, bilinear_maxsim_scores_int8,
-        pack_candidate_pool, pack_candidate_pool_int8, project_queries,
-        project_queries_int8)
+        bilinear_maxsim_scores, bilinear_maxsim_scores_int4,
+        bilinear_maxsim_scores_int8, pack_candidate_pool,
+        pack_candidate_pool_int4, pack_candidate_pool_int8, project_queries,
+        project_queries_int4, project_queries_int8)
 
     d, w1, w2, m = 50, 40, 40, 4
     rng = np.random.default_rng(1)
@@ -92,13 +102,18 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     cand = jnp.asarray(rng.normal(size=(pool_size, w2, d)).astype(np.float32))
     q_block = 16 if n_queries <= 32 else None
 
-    if mode == "int8":
-        pool, aux = pack_candidate_pool_int8(cand)
+    if mode in ("int8", "int4"):
+        project_q = project_queries_int8 if mode == "int8" \
+            else project_queries_int4
+        pack_q = pack_candidate_pool_int8 if mode == "int8" \
+            else pack_candidate_pool_int4
+        scores_q = bilinear_maxsim_scores_int8 if mode == "int8" \
+            else bilinear_maxsim_scores_int4
+        pool, aux = pack_q(cand)
 
         def fn(q_, w_, pool_, aux_):
-            qw, qs = project_queries_int8(q_, w_)
-            s = bilinear_maxsim_scores_int8(qw, qs, pool_, aux_,
-                                            q_block=q_block)
+            qw, qs = project_q(q_, w_)
+            s = scores_q(qw, qs, pool_, aux_, q_block=q_block)
             return jax.lax.top_k(s, k)
         fn = jax.jit(fn)
         args = (q, w, pool, aux)
@@ -159,7 +174,11 @@ def main():
     ap.add_argument("--pool", type=int, default=262144)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--mode", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--mode", default="int8",
+                    choices=["int8", "int4", "bf16"])
+    ap.add_argument("--c-sub", type=int, default=None,
+                    help="override the kernel's candidate-chunk tile "
+                         "(quantized modes; tuning)")
     ap.add_argument("--secondary", action="store_true",
                     help="also run the training-step benchmark (stderr)")
     ap.add_argument("--no-latency", action="store_true",
@@ -168,7 +187,8 @@ def main():
 
     try:
         pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
-                                                 args.iters, mode=args.mode)
+                                                 args.iters, mode=args.mode,
+                                                 c_sub=args.c_sub)
         lat = {}
         if not args.no_latency:
             lat["p50_query_latency_ms_1q"] = run_latency_bench(

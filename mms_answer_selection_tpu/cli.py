@@ -244,8 +244,10 @@ def cmd_serve(args):
     bundle, _ = load_checkpoint(path)
     split = splits[args.split]
     import jax.numpy as jnp
+    pd = getattr(args, "pool_dtype", None) \
+        or ("int8" if args.int8 else "bf16")
     engine = QueryEngine(bundle["params"], model_cfg,
-                         pool_dtype="int8" if args.int8 else jnp.bfloat16)
+                         pool_dtype=jnp.bfloat16 if pd == "bf16" else pd)
     engine.build_index(split["answer"])
     n = min(args.n_queries, len(split["question"]))
     vals, idx = engine.query(split["question"][:n], k=args.k)
@@ -470,6 +472,9 @@ def main(argv=None):
     p.add_argument("--n-queries", type=int, default=5)
     p.add_argument("--int8", action="store_true",
                    help="quantized pool (2x throughput, ~0.4%% score error)")
+    p.add_argument("--pool-dtype", choices=["bf16", "int8", "int4"],
+                   help="pool precision (int4: 4x-packed HBM, 2x int8 MXU "
+                        "rate, ~3-8%% score error; overrides --int8)")
     p.add_argument("--max-iter", type=int, default=40001)
     p.set_defaults(fn=cmd_serve)
 

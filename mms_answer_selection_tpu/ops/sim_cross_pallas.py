@@ -493,3 +493,87 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
         ),
     )(qw_flat, qs_flat, pool_flat, aux)
     return out.T[:nq]
+
+
+# ===========================================================================
+# int4-quantized retrieval path (2x the int8 MXU rate, quarter the HBM)
+# ===========================================================================
+#
+# Same layout/scale design as int8 v2 below (per-candidate scales commute
+# with the token max; duplicate-token padding; post-max rescale), narrowed
+# to the +-7 int4 grid.  The MXU's int4 throughput is 2x int8 on v5e and
+# the pool bytes halve again (a 1M-candidate 40-token pool is 2.6 GB), at
+# ~3-8% score error -- a first-stage shortlist dtype, reranked exactly by
+# score_pairs.  Arrays are materialized as int8 values and cast to int4 in
+# one final convert (direct host->int4 transfers trip some remote
+# backends).
+
+INT4_BOUND = 7.0
+
+
+def pack_candidate_pool_int4(tokens, *, w2p: int | None = None):
+    """(C, W2, D) -> (pool_i4 (C, W2P, Dp) int4, aux (C, 2) bf16).
+    int4 analogue of pack_candidate_pool_int8."""
+    c, w2, d = tokens.shape
+    if w2p is None:
+        w2p = _round_up(w2, 8)
+    dp = _round_up(d, LANE)
+    if w2 > w2p:
+        raise ValueError(f"candidate length {w2} exceeds W2P={w2p}")
+    absmax = jnp.max(jnp.abs(tokens), axis=(1, 2))
+    scale = jnp.maximum(absmax, 1e-12) / INT4_BOUND
+    q = jnp.clip(jnp.round(tokens / scale[:, None, None]), -INT4_BOUND,
+                 INT4_BOUND).astype(jnp.int8)
+    pool = jnp.zeros((c, w2p, dp), jnp.int8)
+    pool = pool.at[:, :w2, :d].set(q)
+    if w2p > w2:  # duplicate-token padding: never changes the max
+        pool = pool.at[:, w2:, :d].set(q[:, 0:1, :])
+    aux = jnp.zeros((c, AUX_LANES), jnp.bfloat16)
+    aux = aux.at[:, 0].set(scale.astype(jnp.bfloat16))
+    return pool.astype(jnp.int4), aux
+
+
+def project_queries_int4(q_tokens, w):
+    """(Nq, W1, D) x (M, D, D) -> (qw_i4 (Nq, R, Dp) int4,
+    q_scales (Nq, R) f32 per-row)."""
+    nq, w1, d = q_tokens.shape
+    m = w.shape[0]
+    dp = _round_up(d, LANE)
+    qw = jnp.einsum("nid,mde->nmie", q_tokens, w,
+                    precision=jax.lax.Precision.HIGHEST)
+    qw = qw.reshape(nq * m * w1, d)
+    absmax = jnp.max(jnp.abs(qw), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / INT4_BOUND
+    qi = jnp.clip(jnp.round(qw / scale), -INT4_BOUND,
+                  INT4_BOUND).astype(jnp.int8)
+    out = jnp.zeros((nq * m * w1, dp), jnp.int8).at[:, :d].set(qi)
+    return (out.reshape(nq, m * w1, dp).astype(jnp.int4),
+            scale[:, 0].reshape(nq, m * w1).astype(jnp.float32))
+
+
+# aux layout is shared with int8, so masking is too
+mask_out_candidates_int4 = mask_out_candidates_int8
+
+C_SUB_INT4 = 64   # tuned on v5e (see docs/PERF.md int4 table)
+
+
+def bilinear_maxsim_scores_int4(qw_i4, q_scales, pool_i4, aux, *,
+                                c_block: int = C_BLOCK,
+                                c_sub: int = C_SUB_INT4,
+                                q_sub: int = Q_SUB,
+                                q_block: int | None = None,
+                                interpret: bool | None = None):
+    """int4 scoring: (Nq, C) f32 approximate scores.  The kernel body is
+    the int8 one (dot_general accumulates any int operand pair into int32);
+    only the operand dtype and the quantization grid differ.  Under the
+    interpreter (CPU backends) the operands are upcast to int8 -- XLA CPU
+    cannot lower sub-byte dots -- which is value-identical (+-7 grid)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if interpret:
+        qw_i4 = qw_i4.astype(jnp.int8)
+        pool_i4 = pool_i4.astype(jnp.int8)
+    return bilinear_maxsim_scores_int8(qw_i4, q_scales, pool_i4, aux,
+                                       c_block=c_block, c_sub=c_sub,
+                                       q_sub=q_sub, q_block=q_block,
+                                       interpret=interpret)

@@ -30,14 +30,26 @@ from ..ops.embed import embed_lookup
 from ..ops.sim_cross_pallas import (
     C_BLOCK,
     bilinear_maxsim_scores,
+    bilinear_maxsim_scores_int4,
     bilinear_maxsim_scores_int8,
     mask_out_candidates,
+    mask_out_candidates_int4,
     mask_out_candidates_int8,
     pack_candidate_pool,
+    pack_candidate_pool_int4,
     pack_candidate_pool_int8,
     project_queries,
+    project_queries_int4,
     project_queries_int8,
 )
+
+# quantized-path function tables, keyed by the pool_dtype string
+_QUANT = {
+    "int8": (pack_candidate_pool_int8, project_queries_int8,
+             bilinear_maxsim_scores_int8, mask_out_candidates_int8),
+    "int4": (pack_candidate_pool_int4, project_queries_int4,
+             bilinear_maxsim_scores_int4, mask_out_candidates_int4),
+}
 
 
 def topk_merge(vals, idxs, k):
@@ -60,10 +72,11 @@ class QueryEngine:
     def __init__(self, params, cfg: MMSQAConfig, *, mesh: Mesh | None = None,
                  pool_dtype=jnp.bfloat16, interpret: bool | None = None,
                  chunk_size: int = 131072, scan_chunks: bool = True):
-        """pool_dtype: jnp dtype for the packed pool, or the string "int8"
-        for the quantized path (half the HBM -- a 1M-candidate pool fits
-        one v5e chip -- at ~1% score error; rerank with score_pairs when
-        exactness matters).
+        """pool_dtype: jnp dtype for the packed pool, or a quantized-path
+        string: "int8" (half the HBM -- a 1M-candidate pool fits one v5e
+        chip -- at ~1% score error) or "int4" (quarter the HBM, 2x the
+        int8 MXU rate, ~3-8% score error).  Rerank with score_pairs when
+        exactness matters.
 
         chunk_size: single-device pools larger than this are scored in
         chunks with incremental top-k merging, so the (Nq, C) score tensor
@@ -82,8 +95,11 @@ class QueryEngine:
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
-        self.int8 = pool_dtype == "int8"
-        self.pool_dtype = None if self.int8 else pool_dtype
+        self.quant = pool_dtype if isinstance(pool_dtype, str) else None
+        if self.quant is not None and self.quant not in _QUANT:
+            raise ValueError(f"unknown quantized pool_dtype {pool_dtype!r}; "
+                             f"use one of {sorted(_QUANT)} or a jnp dtype")
+        self.pool_dtype = None if self.quant else pool_dtype
         self.interpret = interpret
         self.pool = None
         self.aux = None
@@ -132,10 +148,11 @@ class QueryEngine:
             """tokenize + pack one chunk; mask_from masks candidates [i:]
             of THIS chunk (pool-padding rows)."""
             tokens = to_tokens(chunk)
-            if self.int8:
-                pool_c, aux_c = pack_candidate_pool_int8(tokens)
+            if self.quant:
+                pack_q, _, _, mask_q = _QUANT[self.quant]
+                pool_c, aux_c = pack_q(tokens)
                 if mask_from is not None:
-                    aux_c = mask_out_candidates_int8(aux_c, mask_from)
+                    aux_c = mask_q(aux_c, mask_from)
                 return pool_c, aux_c
             pool_c = pack_candidate_pool(tokens, dtype=self.pool_dtype)
             if mask_from is not None:
@@ -186,7 +203,7 @@ class QueryEngine:
         embed_params = self.params["embed"]
         pool_dtype = self.pool_dtype
 
-        use_int8 = self.int8
+        quant = self.quant
 
         def score_local(query_ids, pool, aux):
             # small query batches skip the 128-lane output padding
@@ -196,11 +213,11 @@ class QueryEngine:
                 q_tokens = query_ids
             else:
                 q_tokens = embed_lookup(embed_params, query_ids)
-            if use_int8:
-                qw, qs = project_queries_int8(q_tokens, w)
-                return bilinear_maxsim_scores_int8(qw, qs, pool, aux,
-                                                   q_block=q_block,
-                                                   interpret=interpret)
+            if quant:
+                _, project_q, scores_q, _ = _QUANT[quant]
+                qw, qs = project_q(q_tokens, w)
+                return scores_q(qw, qs, pool, aux, q_block=q_block,
+                                interpret=interpret)
             qw = project_queries(q_tokens, w, dtype=pool_dtype)
             return bilinear_maxsim_scores(qw, pool, q_block=q_block,
                                           interpret=interpret)
@@ -257,7 +274,7 @@ class QueryEngine:
         w = self.params["sim"]["w"]
         embed_params = self.params["embed"]
         pool_dtype = self.pool_dtype
-        use_int8 = self.int8
+        quant = self.quant
         chunk_size = self.chunk_size
 
         def query_fn(query_ids, pools, auxs):
@@ -266,19 +283,19 @@ class QueryEngine:
                 q_tokens = query_ids
             else:
                 q_tokens = embed_lookup(embed_params, query_ids)
-            if use_int8:
-                qw, qs = project_queries_int8(q_tokens, w)
+            if quant:
+                _, project_q, scores_q, _ = _QUANT[quant]
+                qw, qs = project_q(q_tokens, w)
             else:
                 qw = project_queries(q_tokens, w, dtype=pool_dtype)
             nq = q_tokens.shape[0]
 
             def body(carry, xs):
                 vals, idxs = carry
-                if use_int8:
+                if quant:
                     pool_i, aux_i, i = xs
-                    s = bilinear_maxsim_scores_int8(
-                        qw, qs, pool_i, aux_i, q_block=q_block,
-                        interpret=interpret)
+                    s = scores_q(qw, qs, pool_i, aux_i, q_block=q_block,
+                                 interpret=interpret)
                 else:
                     pool_i, i = xs
                     s = bilinear_maxsim_scores(qw, pool_i, q_block=q_block,
@@ -293,7 +310,7 @@ class QueryEngine:
             n_chunks = pools.shape[0]
             init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
                     jnp.zeros((nq, k), jnp.int32))
-            xs = (pools, auxs, jnp.arange(n_chunks)) if use_int8 \
+            xs = (pools, auxs, jnp.arange(n_chunks)) if quant \
                 else (pools, jnp.arange(n_chunks))
             (vals, idxs), _ = jax.lax.scan(body, init, xs)
             return vals, idxs

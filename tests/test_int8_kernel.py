@@ -85,3 +85,77 @@ class TestInt8Scores:
                                                      interpret=True))
         # fully masked candidates sink far below any real score
         assert out[0, -8:].max() < out[0, : C_BLOCK - 8].min()
+
+
+class TestInt4Scores:
+    """int4 variant: same kernel body, +-7 grid (first-stage shortlist
+    dtype; see docs/PERF.md)."""
+
+    def _setup(self, nq=3, c=2 * C_BLOCK, w1=5, w2=7, d=50, m=2):
+        q = jnp.asarray(rng.normal(size=(nq, w1, d)).astype(np.float32))
+        cand = jnp.asarray(rng.normal(size=(c, w2, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.1)
+        return q, cand, w
+
+    def test_exact_on_dequantized_inputs(self):
+        """Kernel vs reference computed on the DEQUANTIZED tokens: isolates
+        the kernel math (max/sum/scales/padding) from quantization error."""
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores_int4, pack_candidate_pool_int4,
+            project_queries_int4)
+        q, cand, w = self._setup()
+        qw, qs = project_queries_int4(q, w)
+        pool, aux = pack_candidate_pool_int4(cand)
+        out = np.asarray(bilinear_maxsim_scores_int4(qw, qs, pool, aux,
+                                                     interpret=True))
+        # dequantized reference: max_j over (deq qw_row . deq cand_tok);
+        # the kernel carries scales as bf16, so round them the same way
+        qs_b = np.asarray(qs.astype(jnp.bfloat16), np.float32)
+        qw_f = np.asarray(qw, np.float32) * qs_b.reshape(
+            qs.shape[0], qs.shape[1], 1)
+        pool_f = np.asarray(pool, np.float32) \
+            * np.asarray(aux[:, 0], np.float32)[:, None, None]
+        sims = np.einsum("qrd,cjd->qrcj", qw_f, pool_f)
+        ref = sims.max(-1).sum(1)
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+    def test_close_to_f32_reference(self):
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores_int4, pack_candidate_pool_int4,
+            project_queries_int4)
+        q, cand, w = self._setup()
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        qw, qs = project_queries_int4(q, w)
+        pool, aux = pack_candidate_pool_int4(cand)
+        out = np.asarray(bilinear_maxsim_scores_int4(qw, qs, pool, aux,
+                                                     interpret=True))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=0.30 * scale)  # 4-bit grid
+
+    def test_topk_recall_vs_f32(self):
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores_int4, pack_candidate_pool_int4,
+            project_queries_int4)
+        q, cand, w = self._setup(nq=4, c=4 * C_BLOCK)
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        qw, qs = project_queries_int4(q, w)
+        pool, aux = pack_candidate_pool_int4(cand)
+        out = np.asarray(bilinear_maxsim_scores_int4(qw, qs, pool, aux,
+                                                     interpret=True))
+        k = 10
+        for qi in range(4):
+            top_ref = set(np.argsort(-ref[qi])[:k])
+            top_i4 = set(np.argsort(-out[qi])[:k])
+            assert len(top_ref & top_i4) >= k - 4  # >= 60% at 4 bits
+
+    def test_mask_out_candidates(self):
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores_int4, mask_out_candidates_int4,
+            pack_candidate_pool_int4, project_queries_int4)
+        q, cand, w = self._setup(nq=1, c=C_BLOCK)
+        qw, qs = project_queries_int4(q, w)
+        pool, aux = pack_candidate_pool_int4(cand)
+        aux = mask_out_candidates_int4(aux, C_BLOCK - 8)
+        out = np.asarray(bilinear_maxsim_scores_int4(qw, qs, pool, aux,
+                                                     interpret=True))
+        assert out[0, -8:].max() < out[0, : C_BLOCK - 8].min()
