@@ -138,8 +138,13 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     return float(np.median(times) * 1e3)
 
 
-def run_train_bench(batch: int, iters: int):
-    """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta)."""
+def run_train_bench(batch: int, iters: int, fused_k: int = 0):
+    """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta).
+
+    fused_k > 0 additionally measures ``Trainer.scan_train_steps`` --
+    K steps per dispatch, which removes the per-step host round-trip
+    (~25-30 ms through a remote tunnel) and shows the chip's actual
+    training rate."""
     import jax
     import jax.numpy as jnp
     from mms_answer_selection_tpu.models.mms_qa import V4
@@ -155,18 +160,42 @@ def run_train_bench(batch: int, iters: int):
         "overlap_feat": jnp.asarray(rng.random((batch, 2)).astype(np.float32)),
         "label": jnp.asarray(rng.integers(0, 2, (batch,)), jnp.int32),
     }
+    # host-read fences throughout: block_until_ready returns early for
+    # queued work through the axon tunnel (and would let warmup COMPILES
+    # leak into the timed region)
     out = tr._train_step(params, state, opt_state, b, jnp.asarray(0),
                          jax.random.PRNGKey(0))
-    jax.block_until_ready(out[3])
+    float(out[3])
     params, state, opt_state = out[:3]
     t0 = time.perf_counter()
     for i in range(iters):
         params, state, opt_state, loss = tr._train_step(
             params, state, opt_state, b, jnp.asarray(i + 1),
             jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
+        float(loss)  # per-step fence: the per-dispatch training rate
     dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt, {"sec_per_step": dt, "batch": batch}
+    detail = {"sec_per_step": dt, "batch": batch}
+    if fused_k:
+        stacked = {k_: jnp.stack([v] * fused_k) for k_, v in b.items()}
+        key = jax.random.PRNGKey(1)
+        out = tr.scan_train_steps(params, state, opt_state, stacked,
+                                  iters + 1, key)
+        float(out[3][-1])  # fence the compile + warmup run
+        params, state, opt_state = out[:3]
+        reps = 3
+        times = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            params, state, opt_state, losses = tr.scan_train_steps(
+                params, state, opt_state, stacked,
+                iters + 1 + (r + 1) * fused_k, key)
+            float(losses[-1])  # host fence per call
+            times.append(time.perf_counter() - t0)
+        dt_f = float(np.median(times)) / fused_k
+        detail["fused_sec_per_step"] = dt_f
+        detail["fused_steps_per_sec"] = 1.0 / dt_f
+        detail["fused_k"] = fused_k
+    return 1.0 / dt, detail
 
 
 def main():
@@ -196,7 +225,7 @@ def main():
             lat["p50_query_latency_ms_32q"] = run_latency_bench(
                 args.pool, 32, mode=args.mode)
         if args.secondary:
-            sps, d2 = run_train_bench(50, 20)
+            sps, d2 = run_train_bench(50, 20, fused_k=100)
             print(f"secondary: {sps:.1f} train steps/s {d2}", file=sys.stderr)
         print(json.dumps({
             "metric": "learned_metric_pairs_scored_per_sec_per_chip",

@@ -184,3 +184,59 @@ class TestWideConfig:
         out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
                                                      interpret=True))
         np.testing.assert_allclose(out, ref, atol=0.05 * np.abs(ref).max())
+
+
+class TestScanTrainSteps:
+    """Fused K-step dispatch (scan_train_steps) runs the exact rng/data
+    chain of K sequential _train_step calls; values agree to float
+    tolerance (XLA reassociates ~1 ULP when fusing the scan body)."""
+
+    def _equiv(self, mesh=None):
+        import jax.numpy as jnp
+        splits, info, model_cfg = _tiny_setup(seed=9)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                                momentum=0.95, delta=5e-7,
+                                weight_decay=5e-4),
+            max_iter=10, batch_size=8, snapshot_interval=0, seed=22)
+        # donate=False: the sequential path reuses its inputs
+        trainer = Trainer(model_cfg, tcfg, mesh=mesh, donate=False)
+        params, state, opt_state = trainer.init(
+            pretrained=info["pretrained"])
+        root_key = jax.random.PRNGKey(tcfg.seed)
+        k = 4
+        rng = np.random.default_rng(0)
+        idx = [rng.integers(0, len(splits["train"]["label"]), 8)
+               for _ in range(k)]
+        seq_batches = [{kk: jnp.asarray(v[i]) for kk, v in
+                        splits["train"].items() if kk != "group"}
+                       for i in idx]
+
+        p_s, s_s, o_s = params, state, opt_state
+        losses_seq = []
+        for i, b in enumerate(seq_batches):
+            p_s, s_s, o_s, loss = trainer._train_step(
+                p_s, s_s, o_s, b, jnp.asarray(3 + i),
+                jax.random.fold_in(root_key, 3 + i))
+            losses_seq.append(float(loss))
+
+        stacked = {kk: jnp.stack([b[kk] for b in seq_batches])
+                   for kk in seq_batches[0]}
+        p_f, s_f, o_f, losses = trainer.scan_train_steps(
+            params, state, opt_state, stacked, 3, root_key)
+
+        np.testing.assert_allclose(np.asarray(losses), losses_seq,
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(o_s), jax.tree.leaves(o_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_bit_equivalent_single_device(self):
+        self._equiv()
+
+    def test_bit_equivalent_dp_mesh(self):
+        from mms_answer_selection_tpu.parallel import make_mesh
+        self._equiv(mesh=make_mesh())
