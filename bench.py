@@ -214,6 +214,10 @@ def main():
                     help="skip the p50 query-latency measurements")
     args = ap.parse_args()
 
+    from mms_answer_selection_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+
     try:
         pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
                                                  args.iters, mode=args.mode,

@@ -50,12 +50,18 @@ def main():
     ap.add_argument("--snapshot-interval", type=int, default=1000)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (calibration runs)")
+    ap.add_argument("--fused-steps", type=int, default=1,
+                    help="steps per dispatch (Trainer.fit "
+                         "steps_per_dispatch)")
     ap.add_argument("--seed", type=int, default=22)
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from mms_answer_selection_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
 
     from mms_answer_selection_tpu.data import (
         prepare_trec_qa, synthetic_split, synthetic_world)
@@ -91,7 +97,8 @@ def main():
     trainer = Trainer(model_cfg, trainer_cfg)
     hist = trainer.fit(splits["train"], splits["dev"],
                        test_data=splits["test"],
-                       pretrained=info["pretrained"], log_every=100)
+                       pretrained=info["pretrained"], log_every=100,
+                       steps_per_dispatch=args.fused_steps)
     chance = hist["dev_map"][0]
     print(f"dev MAP: chance(step0)={chance:.4f} "
           f"best={hist['best_dev_map']:.4f} @ {hist['best_step']} "

@@ -286,7 +286,7 @@ class Trainer:
             pretrained=None, log_every: int | None = None,
             callback: Callable[[dict], None] | None = None,
             handle_signals: bool = False, resume_from: str | None = None,
-            weights: str | None = None):
+            weights: str | None = None, steps_per_dispatch: int = 1):
         """Run the full training recipe.  Returns a history dict with the
         best params (by dev MAP) and metric curves.
 
@@ -306,6 +306,16 @@ class Trainer:
         name+shape before training -- the `caffe train -weights` finetune
         path (tools/caffe.cpp:211-213, net.cpp:741-777).  Mutually exclusive
         with resume_from.
+
+        steps_per_dispatch: fuse up to K training steps into one compiled
+        dispatch (scan_train_steps) -- 27 steps/s -> 771 steps/s at batch
+        50 through a remote-TPU tunnel (docs/PERF.md).  Chunks always end
+        at eval/snapshot/pass boundaries, so the recorded history is
+        step-identical to K=1 (values agree to float tolerance; XLA fuses
+        the scan body differently).  Choose K dividing test_interval to
+        minimize distinct chunk lengths (each length compiles once).
+        Signals are polled per chunk; a mid-chunk early-stop takes effect
+        at the chunk boundary.
         """
         from .signals import Action, SignalHandler
         if resume_from and weights:
@@ -383,28 +393,66 @@ class Trainer:
         sig_ctx = SignalHandler() if handle_signals else None
         if sig_ctx is not None:
             sig_ctx.__enter__()
+        def batch_stream(start_it):
+            """Continuous batch stream across permutation passes.  Passes
+            are steps_per_pass long; each pass's shuffle seed uses the
+            sample-count epoch index at the pass start (identical to the
+            pre-resume formula when entering at a pass boundary).  A
+            continuous stream (rather than per-pass loops) lets fused
+            chunks cross pass boundaries, so only eval/snapshot boundaries
+            shape chunk lengths -- each distinct length compiles its own
+            scan program."""
+            s_it = start_it
+            while True:
+                pass_start = (s_it // steps_per_pass) * steps_per_pass
+                epoch_index = (pass_start * samples_per_step) \
+                    // max(train_size, 1)
+                for b in self._epoch_batches(
+                        train_data,
+                        jax.random.fold_in(root_key, 1000 + epoch_index),
+                        start_batch=s_it - pass_start):
+                    yield b
+                    s_it += 1
+
+        stream = batch_stream(it)
         while it < cfg.max_iter and not stop:
-            # permutation passes are steps_per_pass long; the shuffle seed
-            # uses the sample-count epoch index at the pass start (identical
-            # to the pre-resume formula when entering at a pass boundary)
-            pass_start = (it // steps_per_pass) * steps_per_pass
-            epoch_index = (pass_start * samples_per_step) \
-                // max(train_size, 1)
-            batches = self._epoch_batches(
-                train_data, jax.random.fold_in(root_key, 1000 + epoch_index),
-                start_batch=it - pass_start)
-            for batch in batches:
+            # chunk of up to steps_per_dispatch batches, ending at the
+            # next step whose bookkeeping must observe params on the
+            # host (eval/snapshot multiples, max_iter)
+            k_plan = min(steps_per_dispatch, cfg.max_iter - it)
+            intervals = [cfg.test_interval]
+            if cfg.snapshot_dir and cfg.snapshot_interval:
+                intervals.append(cfg.snapshot_interval)
+            for interval in intervals:
+                nb = it + (-it) % interval  # next multiple >= it
+                k_plan = min(k_plan, nb - it + 1)
+            chunk = [b for _, b in zip(range(max(1, k_plan)), stream)]
+            if len(chunk) == 1:
                 rng = jax.random.fold_in(root_key, it)
                 params, state, opt_state, loss = self._train_step(
-                    params, state, opt_state, batch, jnp.asarray(it), rng)
-
+                    params, state, opt_state, chunk[0],
+                    jnp.asarray(it), rng)
+                losses = [loss]
+            else:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *chunk)
+                params, state, opt_state, fused = self.scan_train_steps(
+                    params, state, opt_state, stacked, it, root_key)
+                losses = list(np.asarray(fused))
+            # per-step bookkeeping, replayed over the chunk's losses;
+            # the chunk planner guarantees any eval/snapshot step is the
+            # chunk's LAST step, where `params` is exactly the
+            # post-that-step state
+            last_j = len(losses) - 1
+            for j, loss in enumerate(losses):
                 if it % cfg.train_loss_record_interval == 0:
                     history["train_loss"].append(float(loss))
                 if log_every and it % log_every == 0:
-                    log.info("iter %d loss %.4f (%.1fs)", it, float(loss),
-                             time.time() - t0)
+                    log.info("iter %d loss %.4f (%.1fs)", it,
+                             float(loss), time.time() - t0)
 
                 if it % cfg.test_interval == 0:
+                    assert j == last_j, "chunk planner missed a boundary"
                     dev = self._eval_step(params, state, dev_batch)
                     dev_map = float(dev["map"])
                     history["dev_map"].append(dev_map)
@@ -425,9 +473,12 @@ class Trainer:
                         callback({"step": it, "dev_map": dev_map,
                                   "loss": float(loss)})
 
-                # epoch accounting + early stop (driver semantics :832-838);
-                # counts samples actually consumed per step, including
-                # iter_size micro-batches (solver.cpp:221-223)
+                # epoch accounting + early stop (driver semantics
+                # :832-838); counts samples actually consumed per step,
+                # including iter_size micro-batches (solver.cpp:221-223).
+                # With steps_per_dispatch > 1 a mid-chunk stop takes
+                # effect at the chunk boundary (the extra steps are
+                # already applied; evals/best are unaffected).
                 if it * samples_per_step >= epoch * train_size:
                     epoch += 1
                     wait_epoch += 1
@@ -435,23 +486,29 @@ class Trainer:
                         log.info("Epoch-%d [%d] early stop", epoch, it)
                         stop = True
 
-                # snapshots come AFTER the epoch bookkeeping so their meta
-                # makes `resume_from` exact; signal poll matches the
-                # once-per-iteration contract (solver.cpp:259-272)
-                if sig_ctx is not None:
+                # snapshots come AFTER the epoch bookkeeping so their
+                # meta makes `resume_from` exact; signals are polled at
+                # chunk boundaries (== once per iteration when
+                # steps_per_dispatch is 1, the solver.cpp:259-272
+                # contract)
+                if sig_ctx is not None and j == last_j:
                     action = sig_ctx.get_requested_action()
                     if action != Action.NONE and cfg.snapshot_dir:
                         snap({"signal": action.name})
                     if action == Action.STOP:
-                        log.info("SIGINT: snapshot + stop at iter %d", it)
+                        log.info("SIGINT: snapshot + stop at iter %d",
+                                 it)
                         stop = True
                 if (cfg.snapshot_dir and cfg.snapshot_interval
                         and it % cfg.snapshot_interval == 0):
+                    assert j == last_j, "chunk planner missed a boundary"
                     snap()
 
                 it += 1
                 if it >= cfg.max_iter or stop:
                     break
+            if it >= cfg.max_iter or stop:
+                break
 
         if sig_ctx is not None:
             sig_ctx.__exit__(None, None, None)

@@ -133,3 +133,15 @@ class TestTiming:
         assert out["xprof"] == xprof
         import os as _os
         assert _os.path.isdir(xprof)  # trace artifact written
+
+
+class TestCompileCache:
+    def test_enable_sets_config(self, tmp_path):
+        import jax
+        from mms_answer_selection_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+        d = enable_compilation_cache(str(tmp_path / "xla"))
+        assert d == str(tmp_path / "xla")
+        assert jax.config.jax_compilation_cache_dir == d
+        # idempotent + default-path form never raises
+        assert enable_compilation_cache(str(tmp_path / "xla")) == d

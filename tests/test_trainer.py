@@ -240,3 +240,48 @@ class TestScanTrainSteps:
     def test_bit_equivalent_dp_mesh(self):
         from mms_answer_selection_tpu.parallel import make_mesh
         self._equiv(mesh=make_mesh())
+
+
+class TestFitFusedDispatch:
+    """fit(steps_per_dispatch=K) records a step-identical history to K=1
+    (same steps, same evals/snapshots; values to float tolerance)."""
+
+    def test_history_matches_k1(self, tmp_path):
+        splits, info, model_cfg = _tiny_setup(seed=11)
+        def run(k, snapdir):
+            tcfg = TrainerConfig(
+                solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                                    momentum=0.95, delta=5e-7,
+                                    weight_decay=5e-4),
+                max_iter=60, batch_size=10, test_interval=20,
+                snapshot_interval=20, early_stop_patience=50, seed=22,
+                snapshot_dir=str(snapdir))
+            trainer = Trainer(model_cfg, tcfg)
+            return trainer.fit(splits["train"], splits["dev"],
+                               pretrained=info["pretrained"],
+                               steps_per_dispatch=k)
+        h1 = run(1, tmp_path / "k1")
+        hk = run(20, tmp_path / "k20")
+        assert h1["steps"] == hk["steps"]
+        np.testing.assert_allclose(hk["train_loss"], h1["train_loss"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(hk["dev_map"], h1["dev_map"],
+                                   rtol=1e-4, atol=1e-5)
+        assert hk["best_step"] == h1["best_step"]
+        # same snapshots on disk (boundary planner hit every multiple)
+        s1 = sorted(p.name for p in (tmp_path / "k1").iterdir())
+        sk = sorted(p.name for p in (tmp_path / "k20").iterdir())
+        assert s1 == sk
+
+    def test_odd_k_still_lands_boundaries(self, tmp_path):
+        splits, info, model_cfg = _tiny_setup(seed=11)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                                momentum=0.95, delta=5e-7,
+                                weight_decay=5e-4),
+            max_iter=45, batch_size=10, test_interval=20,
+            snapshot_interval=0, early_stop_patience=50, seed=22)
+        trainer = Trainer(model_cfg, tcfg)
+        h = trainer.fit(splits["train"], splits["dev"],
+                        pretrained=info["pretrained"], steps_per_dispatch=7)
+        assert h["steps"] == [0, 20, 40]
