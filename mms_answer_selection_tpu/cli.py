@@ -152,7 +152,8 @@ def cmd_train(args):
             test_data=splits.get("test"), pretrained=vocab["pretrained"],
             patience_evals=trainer_cfg.early_stop_patience,
             handle_signals=True, resume_from=resume_from,
-            weights=getattr(args, "weights", None), log_every=50)
+            weights=getattr(args, "weights", None), log_every=50,
+            steps_per_dispatch=getattr(args, "fused_steps", 1) or 1)
     else:
         hist = trainer.fit(splits["train"], splits["dev"],
                            test_data=splits.get("test"),

@@ -530,7 +530,8 @@ class Trainer:
                    resume_from: str | None = None,
                    weights: str | None = None,
                    log_every: int | None = None,
-                   callback: Callable[[dict], None] | None = None):
+                   callback: Callable[[dict], None] | None = None,
+                   steps_per_dispatch: int = 1):
         """Train from a batch iterator (BatchIterator / NativePrefetcher /
         any ``__next__``-able yielding dicts of arrays) instead of in-memory
         split arrays -- the streaming path for pools that do not fit host
@@ -542,6 +543,11 @@ class Trainer:
         history/step/best -- the stream's position is the caller's to
         restore, matching the reference, whose .solverstate does not record
         data-layer cursors either), and `-weights` finetune loading.
+
+        steps_per_dispatch: fuse up to K stream steps per compiled
+        dispatch (scan_train_steps), chunks ending at eval/snapshot
+        boundaries exactly as in ``fit``; an exhausted iterator ends the
+        run after the partial chunk.
 
         Returns the same history dict shape as ``fit``."""
         from .signals import Action, SignalHandler
@@ -610,60 +616,97 @@ class Trainer:
         # to the device (zero host copies after the gather); plain iterators
         # go through jnp.asarray
         direct = hasattr(batches, "next_device")
-        for it in range(it_start, steps):
+
+        def pull():
             if direct:
                 raw = batches.next_device()
-                batch = {k: v for k, v in raw.items() if k != "group"}
+                b = {k: v for k, v in raw.items() if k != "group"}
             else:
                 raw = next(batches)
-                batch = {k: jnp.asarray(v) for k, v in raw.items()
-                         if k != "group"}
-            if "label" in batch and batch["label"].ndim == 2:
-                batch["label"] = batch["label"][:, 0]
-            params, state, opt_state, loss = self._train_step(
-                params, state, opt_state, batch, jnp.asarray(it),
-                jax.random.fold_in(root_key, it))
-            if it % cfg.train_loss_record_interval == 0:
-                history["train_loss"].append(float(loss))
-            if log_every and it % log_every == 0:
-                log.info("stream iter %d loss %.4f (%.1fs)", it, float(loss),
-                         time.time() - t0)
-            if it % eval_interval == 0:
-                dev = self._eval_step(params, state, dev_batch)
-                dev_map = float(dev["map"])
-                history["dev_map"].append(dev_map)
-                history["dev_mrr"].append(float(dev["mrr"]))
-                history["dev_auc"].append(float(dev["auc"]))
-                history["steps"].append(it)
-                if test_batch is not None:
-                    te = self._eval_step(params, state, test_batch)
-                    history["test_map"].append(float(te["map"]))
-                    history["test_mrr"].append(float(te["mrr"]))
-                    history["test_auc"].append(float(te["auc"]))
-                if dev_map > best["dev_map"]:
-                    waited = 0
-                    best = {"dev_map": dev_map, "step": it,
-                            "params": jax.device_get(params),
-                            "state": jax.device_get(state)}
-                else:
-                    waited += 1
-                    if patience_evals is not None and waited > patience_evals:
-                        stop = True
-                if callback:
-                    callback({"step": it, "dev_map": dev_map,
-                              "loss": float(loss)})
-            if sig_ctx is not None:
-                action = sig_ctx.get_requested_action()
-                if action != Action.NONE and cfg.snapshot_dir:
-                    snap(it, {"signal": action.name})
-                if action == Action.STOP:
-                    log.info("SIGINT: snapshot + stop at stream iter %d", it)
-                    stop = True
-            if (cfg.snapshot_dir and cfg.snapshot_interval
-                    and it % cfg.snapshot_interval == 0):
-                snap(it)
-            if stop:
+                b = {k: jnp.asarray(v) for k, v in raw.items()
+                     if k != "group"}
+            if "label" in b and b["label"].ndim == 2:
+                b["label"] = b["label"][:, 0]
+            return b
+
+        it = it_start
+        exhausted = False
+        while it < steps and not stop and not exhausted:
+            # same boundary-aligned chunking as fit(): fuse up to K steps
+            # per dispatch, always ending where bookkeeping needs params
+            k_plan = min(steps_per_dispatch, steps - it)
+            intervals = [eval_interval]
+            if cfg.snapshot_dir and cfg.snapshot_interval:
+                intervals.append(cfg.snapshot_interval)
+            for interval in intervals:
+                nb = it + (-it) % interval
+                k_plan = min(k_plan, nb - it + 1)
+            chunk = []
+            for _ in range(max(1, k_plan)):
+                try:
+                    chunk.append(pull())
+                except StopIteration:
+                    exhausted = True
+                    break
+            if not chunk:
                 break
+            if len(chunk) == 1:
+                params, state, opt_state, loss = self._train_step(
+                    params, state, opt_state, chunk[0], jnp.asarray(it),
+                    jax.random.fold_in(root_key, it))
+                losses = [loss]
+            else:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+                params, state, opt_state, fused = self.scan_train_steps(
+                    params, state, opt_state, stacked, it, root_key)
+                losses = list(np.asarray(fused))
+            last_j = len(losses) - 1
+            for j, loss in enumerate(losses):
+                if it % cfg.train_loss_record_interval == 0:
+                    history["train_loss"].append(float(loss))
+                if log_every and it % log_every == 0:
+                    log.info("stream iter %d loss %.4f (%.1fs)", it,
+                             float(loss), time.time() - t0)
+                if it % eval_interval == 0:
+                    assert j == last_j, "chunk planner missed a boundary"
+                    dev = self._eval_step(params, state, dev_batch)
+                    dev_map = float(dev["map"])
+                    history["dev_map"].append(dev_map)
+                    history["dev_mrr"].append(float(dev["mrr"]))
+                    history["dev_auc"].append(float(dev["auc"]))
+                    history["steps"].append(it)
+                    if test_batch is not None:
+                        te = self._eval_step(params, state, test_batch)
+                        history["test_map"].append(float(te["map"]))
+                        history["test_mrr"].append(float(te["mrr"]))
+                        history["test_auc"].append(float(te["auc"]))
+                    if dev_map > best["dev_map"]:
+                        waited = 0
+                        best = {"dev_map": dev_map, "step": it,
+                                "params": jax.device_get(params),
+                                "state": jax.device_get(state)}
+                    else:
+                        waited += 1
+                        if patience_evals is not None \
+                                and waited > patience_evals:
+                            stop = True
+                    if callback:
+                        callback({"step": it, "dev_map": dev_map,
+                                  "loss": float(loss)})
+                if sig_ctx is not None and j == last_j:
+                    action = sig_ctx.get_requested_action()
+                    if action != Action.NONE and cfg.snapshot_dir:
+                        snap(it, {"signal": action.name})
+                    if action == Action.STOP:
+                        log.info("SIGINT: snapshot + stop at stream iter %d",
+                                 it)
+                        stop = True
+                if (cfg.snapshot_dir and cfg.snapshot_interval
+                        and it % cfg.snapshot_interval == 0):
+                    snap(it)
+                it += 1
+                if it >= steps or stop:
+                    break
         if sig_ctx is not None:
             sig_ctx.__exit__(None, None, None)
         history["best_step"] = best["step"]

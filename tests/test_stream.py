@@ -140,3 +140,48 @@ class TestCLIStream:
         hist = json.loads((exp / "history.json").read_text())
         assert hist["steps"] == [0, 4]
         assert (exp / "models" / "qa_iter_4").exists()
+
+
+class TestStreamFusedDispatch:
+    def test_fused_matches_k1(self, corpus):
+        splits, info, model_cfg = corpus
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", weight_decay=5e-4),
+            max_iter=24, batch_size=15, test_interval=8,
+            snapshot_interval=0, early_stop_patience=99, seed=22)
+        h1 = Trainer(model_cfg, tcfg).fit_stream(
+            _iterator(splits), splits["dev"], steps=24,
+            pretrained=info["pretrained"])
+        hk = Trainer(model_cfg, tcfg).fit_stream(
+            _iterator(splits), splits["dev"], steps=24,
+            pretrained=info["pretrained"], steps_per_dispatch=8)
+        assert h1["steps"] == hk["steps"]
+        np.testing.assert_allclose(hk["train_loss"], h1["train_loss"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(hk["dev_map"], h1["dev_map"],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fused_native_prefetcher(self, corpus, tmp_path):
+        import shutil
+        if shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        from mms_answer_selection_tpu.native import (
+            NativePrefetcher, PackedStore, write_mmsp)
+        splits, info, model_cfg = corpus
+        path = str(tmp_path / "t.mmsp")
+        write_mmsp(path, {k: v for k, v in splits["train"].items()
+                          if k != "group"})
+        store = PackedStore(path)
+        pf = NativePrefetcher(
+            store, ["question", "answer", "label", "overlap_feat"], 15,
+            seed=22)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", weight_decay=5e-4),
+            max_iter=12, batch_size=15, test_interval=6,
+            snapshot_interval=0, early_stop_patience=99, seed=22)
+        hist = Trainer(model_cfg, tcfg).fit_stream(
+            pf, splits["dev"], steps=12, pretrained=info["pretrained"],
+            steps_per_dispatch=6)
+        assert len(hist["train_loss"]) > 0
+        assert np.isfinite(hist["train_loss"]).all()
+        pf.close(); store.close()
