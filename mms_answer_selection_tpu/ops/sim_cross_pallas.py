@@ -268,6 +268,11 @@ def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
     assert dp == dp2
     if c % c_block:
         raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
+    if c_block % c_sub:
+        # the kernel iterates range(c_block // c_sub) sub-chunks: a
+        # non-dividing c_sub would SILENTLY skip the remainder candidates
+        # (their output rows never written)
+        raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
     # pad query count: to the 128-lane output tile on TPU (so the output
     # streams block-by-block), to q_sub under the interpreter (cheap tests).
     # Padded queries are all-zero rows INCLUDING the mask-activation lane,
@@ -277,6 +282,9 @@ def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
     q_align = q_sub if interpret else (q_block or Q_BLOCK)
     nq_pad = _round_up(nq, q_align)
     q_sub = min(q_sub, nq_pad)  # tiny query batches shrink the inner chunk
+    if nq_pad % q_sub:
+        raise ValueError(f"q_sub {q_sub} must divide padded queries "
+                         f"{nq_pad}")
     if nq_pad != nq:
         qw = jnp.pad(qw, ((0, nq_pad - nq), (0, 0), (0, 0)))
     qw_flat = qw.reshape(nq_pad * rows_per_q, dp)
@@ -457,9 +465,14 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
     w2p = pool_i8.shape[1]
     if c % c_block:
         raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
+    if c_block % c_sub:
+        raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
     q_align = q_sub if interpret else (q_block or Q_BLOCK)
     nq_pad = _round_up(nq, q_align)
     q_sub = min(q_sub, nq_pad)
+    if nq_pad % q_sub:
+        raise ValueError(f"q_sub {q_sub} must divide padded queries "
+                         f"{nq_pad}")
     if nq_pad != nq:
         qw_i8 = jnp.pad(qw_i8, ((0, nq_pad - nq), (0, 0), (0, 0)))
         q_scales = jnp.pad(q_scales, ((0, nq_pad - nq), (0, 0)))

@@ -159,3 +159,37 @@ class TestInt4Scores:
         out = np.asarray(bilinear_maxsim_scores_int4(qw, qs, pool, aux,
                                                      interpret=True))
         assert out[0, -8:].max() < out[0, : C_BLOCK - 8].min()
+
+
+class TestTileValidation:
+    """Non-dividing tile sizes must raise, not silently skip candidates
+    (a c_sub of 80 against c_block 128 once benched 49% 'faster' by
+    leaving 48 of every 128 output rows unwritten)."""
+
+    def test_bad_c_sub_rejected(self):
+        q = jnp.ones((1, 2, 50), jnp.float32)
+        cand = jnp.ones((C_BLOCK, 3, 50), jnp.float32)
+        w = jnp.eye(50)[None]
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        with np.testing.assert_raises(ValueError):
+            bilinear_maxsim_scores_int8(qw, qs, pool, aux, c_sub=80,
+                                        interpret=True)
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            pack_candidate_pool, project_queries, bilinear_maxsim_scores)
+        qwf = project_queries(q, w)
+        poolf = pack_candidate_pool(cand)
+        with np.testing.assert_raises(ValueError):
+            bilinear_maxsim_scores(qwf, poolf, c_sub=80, interpret=True)
+
+    def test_bad_q_sub_rejected(self):
+        q = jnp.ones((32, 2, 50), jnp.float32)
+        cand = jnp.ones((C_BLOCK, 3, 50), jnp.float32)
+        w = jnp.eye(50)[None]
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        # interpret=False takes the TPU padding branch (nq_pad -> 128);
+        # the ValueError fires before any pallas lowering happens
+        with np.testing.assert_raises(ValueError):
+            bilinear_maxsim_scores_int8(qw, qs, pool, aux, q_sub=24,
+                                        interpret=False)
