@@ -33,6 +33,9 @@ def main():
     import jax.numpy as jnp
     from mms_answer_selection_tpu.models.mms_qa import V4, mms_qa_init
     from mms_answer_selection_tpu.serve import QueryEngine
+    from mms_answer_selection_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
 
     cfg = V4.__class__(**{**V4.__dict__, "vocab_size": args.vocab})
     params, _ = mms_qa_init(jax.random.PRNGKey(0), cfg)

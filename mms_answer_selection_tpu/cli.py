@@ -304,6 +304,18 @@ def cmd_time(args):
             lambda p, s, o: tr._train_step(p, s, o, batch, jnp.asarray(0),
                                            jax.random.PRNGKey(0))[3],
             tparams, tstate, topt, iters=args.iters)
+        scan_ms = None
+        if args.fused_steps > 1:
+            # K-steps-per-dispatch amortized rate (scan_train_steps);
+            # per-step cost without the per-dispatch host round-trip
+            k = args.fused_steps
+            stacked = {kk: jnp.stack([v] * k) for kk, v in batch.items()}
+            key = jax.random.PRNGKey(1)
+            scan_full = benchmark(
+                lambda p, s, o: tr.scan_train_steps(p, s, o, stacked, 0,
+                                                    key)[3][-1],
+                tparams, tstate, topt, iters=max(2, args.iters // 4))
+            scan_ms = scan_full["p50_s"] * 1e3 / k
     table = {name: {"forward_ms": round(r["forward_ms"], 4),
                     "backward_ms": round(r["backward_ms"], 4)}
              for name, r in stages.items()}
@@ -312,6 +324,9 @@ def cmd_time(args):
            "full_train_step_ms": round(train_full["p50_s"] * 1e3, 4),
            "note": "stage times are separately-jitted; the fused "
                    "full_forward/full_train_step are the real numbers"}
+    if scan_ms is not None:
+        out["fused_train_step_ms"] = round(scan_ms, 4)
+        out["fused_steps"] = args.fused_steps
     if args.xprof:
         out["xprof"] = args.xprof
     print(json.dumps(out))
@@ -493,6 +508,8 @@ def main(argv=None):
                        help="per-stage fwd+bwd + fused end-to-end timing")
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--fused-steps", type=int, default=1,
+                   help="also time the K-steps-per-dispatch scan path")
     p.add_argument("--xprof", metavar="DIR",
                    help="also capture a jax-profiler (xprof) trace to DIR")
     p.set_defaults(fn=cmd_time)

@@ -126,10 +126,12 @@ class TestTiming:
         from mms_answer_selection_tpu.cli import main
 
         xprof = str(tmp_path / "xprof")
-        main(["time", "--batch", "4", "--iters", "1", "--xprof", xprof])
+        main(["time", "--batch", "4", "--iters", "1", "--xprof", xprof,
+              "--fused-steps", "3"])
         out = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
         assert "full_train_step_ms" in out and out["full_train_step_ms"] > 0
         assert "backward_ms" in out["p50_ms_per_stage"]["sim_cross"]
+        assert out["fused_train_step_ms"] > 0 and out["fused_steps"] == 3
         assert out["xprof"] == xprof
         import os as _os
         assert _os.path.isdir(xprof)  # trace artifact written
