@@ -21,16 +21,28 @@ import time
 import numpy as np
 
 
+def _quant_fns(mode: str):
+    """(project, pack, score) triple for a quantized mode -- mirrors the
+    engine's _QUANT table."""
+    from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+        bilinear_maxsim_scores_int4, bilinear_maxsim_scores_int8,
+        pack_candidate_pool_int4, pack_candidate_pool_int8,
+        project_queries_int4, project_queries_int8)
+    return {
+        "int8": (project_queries_int8, pack_candidate_pool_int8,
+                 bilinear_maxsim_scores_int8),
+        "int4": (project_queries_int4, pack_candidate_pool_int4,
+                 bilinear_maxsim_scores_int4),
+    }[mode]
+
+
 def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
                      warmup: int = 2, mode: str = "int8",
                      c_sub: int | None = None):
     import jax
     import jax.numpy as jnp
     from mms_answer_selection_tpu.ops.sim_cross_pallas import (
-        bilinear_maxsim_scores, bilinear_maxsim_scores_int4,
-        bilinear_maxsim_scores_int8, pack_candidate_pool,
-        pack_candidate_pool_int4, pack_candidate_pool_int8, project_queries,
-        project_queries_int4, project_queries_int8)
+        bilinear_maxsim_scores, pack_candidate_pool, project_queries)
 
     d, w1, w2, m = 50, 40, 40, 4
     rng = np.random.default_rng(0)
@@ -45,12 +57,7 @@ def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
     if mode in ("int8", "int4"):
         # quantized serving paths (QueryEngine pool_dtype="int8"/"int4"):
         # ~0.4% / ~3-8% score error, exact padding, rerank for exactness
-        project_q = project_queries_int8 if mode == "int8" \
-            else project_queries_int4
-        pack_q = pack_candidate_pool_int8 if mode == "int8" \
-            else pack_candidate_pool_int4
-        scores_q = bilinear_maxsim_scores_int8 if mode == "int8" \
-            else bilinear_maxsim_scores_int4
+        project_q, pack_q, scores_q = _quant_fns(mode)
         kw = {} if c_sub is None else {"c_sub": c_sub}
         qw, qs = project_q(q, w)
         pool, aux = pack_q(cand)
@@ -90,10 +97,7 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     import jax
     import jax.numpy as jnp
     from mms_answer_selection_tpu.ops.sim_cross_pallas import (
-        bilinear_maxsim_scores, bilinear_maxsim_scores_int4,
-        bilinear_maxsim_scores_int8, pack_candidate_pool,
-        pack_candidate_pool_int4, pack_candidate_pool_int8, project_queries,
-        project_queries_int4, project_queries_int8)
+        bilinear_maxsim_scores, pack_candidate_pool, project_queries)
 
     d, w1, w2, m = 50, 40, 40, 4
     rng = np.random.default_rng(1)
@@ -103,12 +107,7 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     q_block = 16 if n_queries <= 32 else None
 
     if mode in ("int8", "int4"):
-        project_q = project_queries_int8 if mode == "int8" \
-            else project_queries_int4
-        pack_q = pack_candidate_pool_int8 if mode == "int8" \
-            else pack_candidate_pool_int4
-        scores_q = bilinear_maxsim_scores_int8 if mode == "int8" \
-            else bilinear_maxsim_scores_int4
+        project_q, pack_q, scores_q = _quant_fns(mode)
         pool, aux = pack_q(cand)
 
         def fn(q_, w_, pool_, aux_):

@@ -430,10 +430,6 @@ def cmd_device_query(args):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
-    # persistent XLA compile cache: executables (incl. the fused-steps
-    # scan program) compile once EVER, not once per process
-    from .utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="qa")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -549,6 +545,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_device_query)
 
     args = ap.parse_args(argv)
+    # persistent XLA compile cache: executables (incl. the fused-steps scan
+    # program) compile once EVER, not once per process.  AFTER parse_args
+    # so `qa --help` / arg errors never pay the jax import (1-7 min process
+    # startup in some sandboxes)
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args.fn(args)
 
 

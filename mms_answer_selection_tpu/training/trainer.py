@@ -232,6 +232,34 @@ class Trainer:
         return self._scan_steps_jit(params, state, opt_state, batches,
                                     jnp.asarray(step0), root_key)
 
+    # ----------------------------------------------------- chunked dispatch
+    @staticmethod
+    def _plan_chunk(it: int, k: int, limit: int, intervals) -> int:
+        """Length of the next fused chunk starting at step ``it``: at most
+        ``k`` and ``limit`` steps, and always ending exactly at the next
+        multiple of any bookkeeping interval (so eval/snapshot steps are a
+        chunk's LAST step, where params on the host are the post-that-step
+        state)."""
+        k_plan = min(k, limit)
+        for interval in intervals:
+            nb = it + (-it) % interval  # next multiple >= it
+            k_plan = min(k_plan, nb - it + 1)
+        return max(1, k_plan)
+
+    def _run_chunk(self, params, state, opt_state, chunk, it, root_key):
+        """Dispatch one chunk: a single _train_step for length 1, the
+        fused scan for longer.  Returns (params, state, opt_state,
+        per-step host losses)."""
+        if len(chunk) == 1:
+            params, state, opt_state, loss = self._train_step(
+                params, state, opt_state, chunk[0], jnp.asarray(it),
+                jax.random.fold_in(root_key, it))
+            return params, state, opt_state, [loss]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+        params, state, opt_state, fused = self.scan_train_steps(
+            params, state, opt_state, stacked, it, root_key)
+        return params, state, opt_state, list(np.asarray(fused))
+
     # ------------------------------------------------------------------ data
     def _epoch_batches(self, data: dict, epoch_key, start_batch: int = 0):
         """Deterministic reshuffle each epoch; fixed-size batches with
@@ -414,31 +442,16 @@ class Trainer:
                     yield b
                     s_it += 1
 
+        intervals = [cfg.test_interval]
+        if cfg.snapshot_dir and cfg.snapshot_interval:
+            intervals.append(cfg.snapshot_interval)
         stream = batch_stream(it)
         while it < cfg.max_iter and not stop:
-            # chunk of up to steps_per_dispatch batches, ending at the
-            # next step whose bookkeeping must observe params on the
-            # host (eval/snapshot multiples, max_iter)
-            k_plan = min(steps_per_dispatch, cfg.max_iter - it)
-            intervals = [cfg.test_interval]
-            if cfg.snapshot_dir and cfg.snapshot_interval:
-                intervals.append(cfg.snapshot_interval)
-            for interval in intervals:
-                nb = it + (-it) % interval  # next multiple >= it
-                k_plan = min(k_plan, nb - it + 1)
-            chunk = [b for _, b in zip(range(max(1, k_plan)), stream)]
-            if len(chunk) == 1:
-                rng = jax.random.fold_in(root_key, it)
-                params, state, opt_state, loss = self._train_step(
-                    params, state, opt_state, chunk[0],
-                    jnp.asarray(it), rng)
-                losses = [loss]
-            else:
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                       *chunk)
-                params, state, opt_state, fused = self.scan_train_steps(
-                    params, state, opt_state, stacked, it, root_key)
-                losses = list(np.asarray(fused))
+            k_plan = self._plan_chunk(it, steps_per_dispatch,
+                                      cfg.max_iter - it, intervals)
+            chunk = [b for _, b in zip(range(k_plan), stream)]
+            params, state, opt_state, losses = self._run_chunk(
+                params, state, opt_state, chunk, it, root_key)
             # per-step bookkeeping, replayed over the chunk's losses;
             # the chunk planner guarantees any eval/snapshot step is the
             # chunk's LAST step, where `params` is exactly the
@@ -629,20 +642,18 @@ class Trainer:
                 b["label"] = b["label"][:, 0]
             return b
 
+        intervals = [eval_interval]
+        if cfg.snapshot_dir and cfg.snapshot_interval:
+            intervals.append(cfg.snapshot_interval)
         it = it_start
         exhausted = False
         while it < steps and not stop and not exhausted:
             # same boundary-aligned chunking as fit(): fuse up to K steps
             # per dispatch, always ending where bookkeeping needs params
-            k_plan = min(steps_per_dispatch, steps - it)
-            intervals = [eval_interval]
-            if cfg.snapshot_dir and cfg.snapshot_interval:
-                intervals.append(cfg.snapshot_interval)
-            for interval in intervals:
-                nb = it + (-it) % interval
-                k_plan = min(k_plan, nb - it + 1)
+            k_plan = self._plan_chunk(it, steps_per_dispatch, steps - it,
+                                      intervals)
             chunk = []
-            for _ in range(max(1, k_plan)):
+            for _ in range(k_plan):
                 try:
                     chunk.append(pull())
                 except StopIteration:
@@ -650,16 +661,8 @@ class Trainer:
                     break
             if not chunk:
                 break
-            if len(chunk) == 1:
-                params, state, opt_state, loss = self._train_step(
-                    params, state, opt_state, chunk[0], jnp.asarray(it),
-                    jax.random.fold_in(root_key, it))
-                losses = [loss]
-            else:
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
-                params, state, opt_state, fused = self.scan_train_steps(
-                    params, state, opt_state, stacked, it, root_key)
-                losses = list(np.asarray(fused))
+            params, state, opt_state, losses = self._run_chunk(
+                params, state, opt_state, chunk, it, root_key)
             last_j = len(losses) - 1
             for j, loss in enumerate(losses):
                 if it % cfg.train_loss_record_interval == 0:

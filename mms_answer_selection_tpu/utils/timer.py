@@ -26,16 +26,35 @@ import jax
 import numpy as np
 
 
+def _fence(out):
+    """True completion fence: a HOST READ of the output.  A bare
+    block_until_ready can return early for queued work on remote-tunnel
+    backends (axon), under-reporting times.  Small leaves are fetched
+    whole (the float()-fence pattern of bench.py); large ones get a
+    1-element jitted slice fetched instead (host-indexing a large device
+    array through a tunnel stalls)."""
+    leaves = jax.tree.leaves(out)
+    small = [x for x in leaves
+             if getattr(x, "size", None) is not None and x.size <= 256]
+    if small:
+        np.asarray(small[0])
+    elif leaves:
+        jax.block_until_ready(leaves)
+        import jax.numpy as jnp
+        np.asarray(jnp.ravel(leaves[0])[:1])
+
+
 def benchmark(fn, *args, iters: int = 20, warmup: int = 3) -> dict:
-    """Time fn(*args) with device-completion fencing."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Time fn(*args) with device-completion fencing (host-read; see
+    _fence).  Prefer fns returning a small/scalar output so the fence is
+    the plain result fetch."""
+    _fence(fn(*args))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fence(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _fence(fn(*args))
         times.append(time.perf_counter() - t0)
     arr = np.asarray(times)
     return {
