@@ -261,6 +261,47 @@ def cmd_serve(args):
                                        np.asarray(vals[qi]))]}))
 
 
+# ------------------------------------------------------------------ convert
+def cmd_convert(args):
+    """Weight-format conversion, both directions:
+
+    export: qa convert --ckpt DIR --out model.caffemodel.h5
+    import: qa convert --caffemodel model.h5 --data DIR --out CKPT_DIR
+
+    Speaks the reference's Net::ToHDF5 / CopyTrainedLayersFromHDF5
+    layout (net.cpp:797-913), so weights move between the reference and
+    this framework without scripts (the upgrade_net_proto tool family's
+    role, modernized)."""
+    from .training.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.caffemodel import load_caffemodel_h5, save_caffemodel_h5
+
+    if args.caffemodel:  # import
+        import jax
+
+        from .models.mms_qa import mms_qa_init
+        splits, meta, vocab = _load_prepped(args.data)
+        args.exp = args.exp or args.out  # default snapshot root
+        model_cfg, trainer_cfg = _experiment_configs(args, meta)
+        params, state = mms_qa_init(jax.random.PRNGKey(trainer_cfg.seed),
+                                    model_cfg)
+        params, state, report = load_caffemodel_h5(args.caffemodel, params,
+                                                   state)
+        loaded = sum(1 for v in report.values() if v == "loaded")
+        save_checkpoint(args.out, 0, {"params": params, "state": state},
+                        prefix="imported",
+                        meta={"source": args.caffemodel})
+        print(json.dumps({"imported": loaded,
+                          "report": report, "out": args.out}))
+    else:  # export
+        if not args.ckpt:
+            sys.exit("convert needs --ckpt (export) or --caffemodel "
+                     "(import)")
+        bundle, _ = load_checkpoint(args.ckpt)
+        save_caffemodel_h5(args.out, bundle["params"],
+                           bundle.get("state") or {})
+        print(json.dumps({"exported": args.out}))
+
+
 # --------------------------------------------------------------------- time
 def cmd_time(args):
     """Per-stage forward + backward timing and fused end-to-end numbers --
@@ -499,6 +540,19 @@ def main(argv=None):
                         "rate, ~3-8%% score error; overrides --int8)")
     p.add_argument("--max-iter", type=int, default=40001)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("convert",
+                       help="weights <-> reference .caffemodel.h5")
+    p.add_argument("--ckpt", help="our checkpoint dir (export source)")
+    p.add_argument("--caffemodel",
+                   help="reference-layout .h5 (import source)")
+    p.add_argument("--data", help="prepped data dir (import: model shapes)")
+    p.add_argument("--config", help="experiment config json (import)")
+    p.add_argument("--exp", help="experiment dir (import: saved config)")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.add_argument("--out", required=True,
+                   help="output .h5 (export) or checkpoint dir (import)")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("time",
                        help="per-stage fwd+bwd + fused end-to-end timing")

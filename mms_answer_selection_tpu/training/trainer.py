@@ -301,6 +301,27 @@ class Trainer:
             raise FileNotFoundError(f"no checkpoint under {path}")
         return latest
 
+    def _load_weights(self, params, state, weights: str):
+        """The `caffe train -weights` finetune load: name+shape-checked
+        partial restore from our checkpoint format, or -- when the path
+        ends in .h5 -- from a reference-layout caffemodel HDF5 file
+        (Net::CopyTrainedLayersFromHDF5, net.cpp:797-844)."""
+        if weights.endswith(".h5"):
+            from ..utils.caffemodel import load_caffemodel_h5
+            params, state, report = load_caffemodel_h5(weights, params,
+                                                       state)
+            loaded = sum(1 for v in report.values() if v == "loaded")
+            log.info("finetune: %d tensors from caffemodel %s", loaded,
+                     weights)
+        else:
+            params, state, report = load_weights_into(
+                params, state, self._resolve_ckpt(weights))
+            skipped = {k: v for k, v in report.items() if v != "loaded"}
+            log.info("finetune: loaded %d/%d leaves from %s%s",
+                     len(report) - len(skipped), len(report), weights,
+                     f", skipped {sorted(skipped)}" if skipped else "")
+        return self._replicate(params, state)
+
     def _replicate(self, *trees):
         if self.mesh is None:
             return trees if len(trees) > 1 else trees[0]
@@ -352,13 +373,7 @@ class Trainer:
         cfg = self.cfg
         params, state, opt_state = self.init(pretrained=pretrained)
         if weights:
-            params, state, report = load_weights_into(
-                params, state, self._resolve_ckpt(weights))
-            skipped = {k: v for k, v in report.items() if v != "loaded"}
-            log.info("finetune: loaded %d/%d leaves from %s%s",
-                     len(report) - len(skipped), len(report), weights,
-                     f", skipped {sorted(skipped)}" if skipped else "")
-            params, state = self._replicate(params, state)
+            params, state = self._load_weights(params, state, weights)
         root_key = jax.random.PRNGKey(cfg.seed)
         dev_batch = self._full_batch(dev_data)
         test_batch = self._full_batch(test_data) if test_data else None
@@ -570,9 +585,7 @@ class Trainer:
         if params is None:
             params, state, opt_state = self.init(pretrained=pretrained)
         if weights:
-            params, state, report = load_weights_into(
-                params, state, self._resolve_ckpt(weights))
-            params, state = self._replicate(params, state)
+            params, state = self._load_weights(params, state, weights)
         eval_interval = eval_interval or cfg.test_interval
         dev_batch = self._full_batch(dev_data)
         test_batch = self._full_batch(test_data) if test_data else None

@@ -1,0 +1,183 @@
+"""Reference .caffemodel.h5 weight interop (net.cpp:797-913 layout):
+roundtrip, layout shape conventions, name-based partial loading, the
+finetune path, and the qa convert CLI."""
+
+import dataclasses
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.models.mms_qa import (
+    V4, mms_qa_apply, mms_qa_init)
+from mms_answer_selection_tpu.utils.caffemodel import (
+    load_caffemodel_h5, save_caffemodel_h5)
+
+CFG = dataclasses.replace(V4, vocab_size=60, embed_dim=50)
+
+
+def _init(seed=0):
+    return mms_qa_init(jax.random.PRNGKey(seed), CFG)
+
+
+def _batch(n=3, seed=5):
+    rng = np.random.default_rng(seed)
+    return {
+        "question": rng.integers(0, 60, (n, 40)).astype(np.int32),
+        "answer": rng.integers(0, 60, (n, 40)).astype(np.int32),
+        "overlap_feat": rng.random((n, 2)).astype(np.float32),
+        "label": rng.integers(0, 2, (n,)).astype(np.int32),
+    }
+
+
+class TestRoundtrip:
+    def test_forward_equivalence(self, tmp_path):
+        """save A -> load into a differently-seeded B -> B computes A's
+        exact outputs (every tensor restored, incl. BN running stats)."""
+        p_a, s_a = _init(seed=1)
+        # make the zero-init tensors distinctive so the roundtrip is real
+        p_a["sim"]["w"] = jax.random.normal(jax.random.PRNGKey(9),
+                                            p_a["sim"]["w"].shape) * 0.1
+        s_a["bn0"]["mean"] = s_a["bn0"]["mean"] + 0.25
+        s_a["bn0"]["var"] = s_a["bn0"]["var"] + 1.5
+        path = str(tmp_path / "a.caffemodel.h5")
+        save_caffemodel_h5(path, p_a, s_a)
+
+        p_b, s_b = _init(seed=2)
+        p_b, s_b, report = load_caffemodel_h5(path, p_b, s_b)
+        assert all(v in ("loaded", "absent (shared param)")
+                   for k, v in report.items() if not k.startswith("w2v_a"))
+        batch = _batch()
+        out_a, _ = mms_qa_apply(p_a, s_a, batch, CFG, train=False)
+        out_b, _ = mms_qa_apply(p_b, s_b, batch, CFG, train=False)
+        np.testing.assert_array_equal(np.asarray(out_a["prob"]),
+                                      np.asarray(out_b["prob"]))
+
+    def test_reference_layout_conventions(self, tmp_path):
+        """The file must hold reference-shaped tensors: conv OIHW, fc
+        (out, in), bn (1, C, 1, 1), embed bias (1, D) — net.cpp readers
+        would reject anything else."""
+        p, s = _init()
+        path = str(tmp_path / "m.h5")
+        save_caffemodel_h5(path, p, s)
+        with h5py.File(path, "r") as f:
+            d = f["data"]
+            b0 = CFG.blocks[0]
+            assert d["conv0/0"].shape == (b0.out_channels,
+                                          CFG.sim_channels(), b0.kh, b0.kw)
+            assert d["bn0/0"].shape == (1, b0.out_channels, 1, 1)
+            assert d["bn0/2"].shape == (1, b0.out_channels, 1, 1)
+            assert d["fc2/0"].shape == (CFG.num_classes, CFG.fc1_dim)
+            assert d["w2v_q/0"].shape == (60, 50)
+            assert d["w2v_q/1"].shape == (1, 50)
+            assert d["sim_cross/0"].shape == (CFG.sim_measures, 50, 50)
+            assert d["sim_cross/1"].shape == (CFG.sim_measures, 40, 40)
+            # shared-owner layer saved as an empty group (net.cpp:897:
+            # "Only save params that own themselves")
+            assert list(d["w2v_a"]) == []
+
+    def test_unknown_source_layer_ignored(self, tmp_path):
+        p, s = _init()
+        path = str(tmp_path / "m.h5")
+        save_caffemodel_h5(path, p, s)
+        with h5py.File(path, "a") as f:
+            g = f["data"].create_group("some_other_net_layer")
+            g.create_dataset("0", data=np.ones((3, 3), np.float32))
+        _, _, report = load_caffemodel_h5(path, p, s)
+        assert report["some_other_net_layer"].startswith("ignored")
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        p, s = _init()
+        path = str(tmp_path / "m.h5")
+        save_caffemodel_h5(path, p, s)
+        with h5py.File(path, "a") as f:
+            del f["data/fc1/0"]
+            f["data"]["fc1"].create_dataset(
+                "0", data=np.ones((7, 7), np.float32))
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_caffemodel_h5(path, p, s)
+
+
+class TestFinetunePath:
+    def test_fit_weights_accepts_h5(self, tmp_path):
+        """Trainer.fit(weights='*.h5') = `caffe train -weights x.h5`."""
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, Trainer, TrainerConfig)
+
+        xml, w2v = synthetic_corpus(n_questions=8, answers_per_q=5, seed=3)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                  embed_dim=50)
+        donor, donor_state = mms_qa_init(jax.random.PRNGKey(7), cfg)
+        donor["fc1"]["b"] = donor["fc1"]["b"] + 0.125
+        path = str(tmp_path / "donor.caffemodel.h5")
+        save_caffemodel_h5(path, donor, donor_state)
+
+        tcfg = TrainerConfig(solver=SolverConfig(solver_type="adadelta"),
+                             max_iter=1, batch_size=8, test_interval=1,
+                             snapshot_interval=0, seed=22)
+        captured = {}
+        trainer = Trainer(cfg, tcfg)
+        orig = trainer._train_step
+
+        def spy(params, state, opt_state, batch, step, rng):
+            captured.setdefault("fc1_b", np.asarray(params["fc1"]["b"]))
+            return orig(params, state, opt_state, batch, step, rng)
+
+        trainer._train_step = spy
+        trainer.fit(splits["train"], splits["dev"],
+                    pretrained=info["pretrained"], weights=path)
+        np.testing.assert_allclose(captured["fc1_b"],
+                                   np.asarray(donor["fc1"]["b"]))
+
+
+class TestConvertCLI:
+    def test_export_import_roundtrip(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.training.checkpoint import (
+            load_checkpoint, save_checkpoint)
+
+        # prepped data dir (shapes for import)
+        xml, w2v = synthetic_corpus(n_questions=6, answers_per_q=4, seed=4)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        data_dir = tmp_path / "prepped"
+        import json as _json
+        import os
+
+        from mms_answer_selection_tpu.data import save_dataset
+        os.makedirs(data_dir)
+        for name, split in splits.items():
+            save_dataset(str(data_dir / f"{name}.npz"), split)
+        np.savez_compressed(str(data_dir / "vocab.npz"),
+                            pretrained=info["pretrained"],
+                            words=np.asarray(list(info["vocab"])))
+        with open(data_dir / "meta.json", "w") as f:
+            _json.dump({"vocab_size": info["vocab_size"],
+                        "unknown_idx": info["unknown_idx"],
+                        "pad_idx": info["pad_idx"], "dim": 50,
+                        "q_len": 40, "a_len": 40}, f)
+
+        cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                  embed_dim=50)
+        params, state = mms_qa_init(jax.random.PRNGKey(11), cfg)
+        ckpt = tmp_path / "src"
+        save_checkpoint(str(ckpt), 5, {"params": params, "state": state})
+        h5 = tmp_path / "export.caffemodel.h5"
+        main(["convert", "--ckpt", str(ckpt / "qa_iter_5"),
+              "--out", str(h5)])
+        assert h5.exists()
+        out_dir = tmp_path / "imported"
+        main(["convert", "--caffemodel", str(h5), "--data", str(data_dir),
+              "--out", str(out_dir)])
+        bundle, _ = load_checkpoint(str(out_dir / "imported_iter_0"))
+        np.testing.assert_array_equal(
+            np.asarray(bundle["params"]["embed"]["w"]),
+            np.asarray(params["embed"]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(bundle["params"]["fc2"]["w"]),
+            np.asarray(params["fc2"]["w"]))
