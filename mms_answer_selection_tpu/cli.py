@@ -273,7 +273,9 @@ def cmd_convert(args):
     this framework without scripts (the upgrade_net_proto tool family's
     role, modernized)."""
     from .training.checkpoint import load_checkpoint, save_checkpoint
-    from .utils.caffemodel import load_caffemodel_h5, save_caffemodel_h5
+    from .utils.caffemodel import (
+        load_caffemodel_binaryproto, load_caffemodel_h5,
+        save_caffemodel_binaryproto, save_caffemodel_h5)
 
     if args.caffemodel:  # import
         import jax
@@ -284,8 +286,12 @@ def cmd_convert(args):
         model_cfg, trainer_cfg = _experiment_configs(args, meta)
         params, state = mms_qa_init(jax.random.PRNGKey(trainer_cfg.seed),
                                     model_cfg)
-        params, state, report = load_caffemodel_h5(args.caffemodel, params,
-                                                   state)
+        # dispatch on the HDF5 magic, like Solver::Restore dispatches on
+        # the extension (solver.cpp:470-481) -- magic is safer than names
+        with open(args.caffemodel, "rb") as f:
+            is_h5 = f.read(4) == b"\x89HDF"
+        loader = load_caffemodel_h5 if is_h5 else load_caffemodel_binaryproto
+        params, state, report = loader(args.caffemodel, params, state)
         loaded = sum(1 for v in report.values() if v == "loaded")
         save_checkpoint(args.out, 0, {"params": params, "state": state},
                         prefix="imported",
@@ -297,8 +303,9 @@ def cmd_convert(args):
             sys.exit("convert needs --ckpt (export) or --caffemodel "
                      "(import)")
         bundle, _ = load_checkpoint(args.ckpt)
-        save_caffemodel_h5(args.out, bundle["params"],
-                           bundle.get("state") or {})
+        saver = save_caffemodel_h5 if args.out.endswith(".h5") \
+            else save_caffemodel_binaryproto
+        saver(args.out, bundle["params"], bundle.get("state") or {})
         print(json.dumps({"exported": args.out}))
 
 

@@ -313,6 +313,13 @@ class Trainer:
             loaded = sum(1 for v in report.values() if v == "loaded")
             log.info("finetune: %d tensors from caffemodel %s", loaded,
                      weights)
+        elif os.path.isfile(weights):  # NetParameter binaryproto
+            from ..utils.caffemodel import load_caffemodel_binaryproto
+            params, state, report = load_caffemodel_binaryproto(
+                weights, params, state)
+            loaded = sum(1 for v in report.values() if v == "loaded")
+            log.info("finetune: %d tensors from binaryproto %s", loaded,
+                     weights)
         else:
             params, state, report = load_weights_into(
                 params, state, self._resolve_ckpt(weights))

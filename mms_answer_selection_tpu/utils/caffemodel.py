@@ -145,3 +145,191 @@ def load_caffemodel_h5(path, params, state):
                      jnp.asarray(src, jnp.asarray(dst).dtype))
                 report[f"{layer}/{idx}"] = "loaded"
     return params, state, report
+
+
+# ---------------------------------------------------------------------------
+# binaryproto `.caffemodel` (the reference's DEFAULT snapshot format:
+# SolverParameter.snapshot_format default BINARYPROTO, caffe.proto:198).
+#
+# A NetParameter binaryproto is, for weight-loading purposes, just:
+#   NetParameter { repeated LayerParameter layer = 100; }   (caffe.proto:92)
+#   LayerParameter { string name = 1; string type = 2;
+#                    repeated BlobProto blobs = 7; }        (:311-329)
+#   BlobProto { BlobShape shape = 7; repeated float data = 5 [packed];
+#               repeated double double_data = 8 [packed];
+#               int32 num/channels/height/width = 1..4 (legacy 4D) } (:10-21)
+#   BlobShape { repeated int64 dim = 1 [packed]; }          (:7)
+# The loader below is a minimal protobuf wire-format reader for exactly
+# that subset (varints + length-delimited groups + packed scalars),
+# written clean-room from the wire spec -- no generated code, no schema
+# copy.  Unknown fields are skipped, so full solver-written files parse.
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf, pos):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf):
+    """Yields (field_number, wire_type, value) over one message's bytes.
+    value: int for varint(0)/fixed(1,5), memoryview for length-delim(2)."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            val = buf[pos:pos + 8]
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _parse_blob(buf):
+    """BlobProto bytes -> float32 ndarray with its declared shape."""
+    shape = None
+    legacy = [0, 0, 0, 0]
+    data = []
+    for field, wt, val in _iter_fields(buf):
+        if field == 7 and wt == 2:  # shape: BlobShape{dim=1 packed varint}
+            dims = []
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 2:  # packed
+                    p = 0
+                    while p < len(v2):
+                        d, p = _read_varint(v2, p)
+                        dims.append(d)
+                elif f2 == 1 and w2 == 0:  # unpacked varint dim
+                    dims.append(v2)
+            shape = tuple(dims)
+        elif field == 5:  # float data
+            if wt == 2:  # packed
+                data.append(np.frombuffer(bytes(val), "<f4"))
+            else:  # unpacked fixed32
+                data.append(np.frombuffer(bytes(val), "<f4"))
+        elif field == 8 and wt == 2:  # double data
+            data.append(np.frombuffer(bytes(val), "<f8").astype(np.float32))
+        elif field in (1, 2, 3, 4) and wt == 0:  # legacy 4D dims
+            legacy[field - 1] = val
+    arr = np.concatenate(data) if data else np.zeros(0, np.float32)
+    if shape is None:
+        shape = tuple(d for d in legacy)
+    if int(np.prod(shape)) != arr.size:
+        raise ValueError(f"blob shape {shape} != data size {arr.size}")
+    return arr.reshape(shape).astype(np.float32)
+
+
+def _parse_layers(buf):
+    """NetParameter bytes -> [(layer_name, [blob arrays...]), ...]."""
+    layers = []
+    for field, wt, val in _iter_fields(buf):
+        if field == 100 and wt == 2:  # LayerParameter
+            name = ""
+            blobs = []
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 2:
+                    name = bytes(v2).decode("utf-8", "replace")
+                elif f2 == 7 and w2 == 2:
+                    blobs.append(_parse_blob(v2))
+            layers.append((name, blobs))
+    return layers
+
+
+def _varint(n):
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(num, wt, payload):
+    if wt == 2:
+        return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+    if wt == 0:
+        return _varint(num << 3) + _varint(payload)
+    raise ValueError(wt)
+
+
+def _emit_blob(arr):
+    shape = b"".join(_varint(int(d)) for d in arr.shape)
+    blob = _field(7, 2, _field(1, 2, shape))          # shape.dim packed
+    blob += _field(5, 2, np.asarray(arr, "<f4").tobytes())  # data packed
+    return blob
+
+
+def save_caffemodel_binaryproto(path, params, state):
+    """Write a NetParameter binaryproto `.caffemodel` the reference's
+    CopyTrainedLayersFromBinaryProto (net.cpp:789-795) can restore."""
+    import jax
+
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+    trees = {"params": params, "state": state}
+    out = bytearray()
+    for layer, rows in _layer_specs(params, state):
+        body = _field(1, 2, layer.encode())
+        for idx, tree, keypath, to_caffe, _ in rows:
+            arr = to_caffe(np.asarray(_get(trees, tree, keypath),
+                                      np.float32))
+            body += _field(7, 2, _emit_blob(arr))
+        out += _field(100, 2, bytes(body))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return path
+
+
+def load_caffemodel_binaryproto(path, params, state):
+    """Name-based, shape-checked load from a NetParameter binaryproto
+    (the `caffe train -weights x.caffemodel` path, net.cpp:741-777
+    semantics).  Returns (params, state, report)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: x, jax.device_get(params))
+    state = jax.tree.map(lambda x: x, jax.device_get(state))
+    trees = {"params": params, "state": state}
+    known = {name: rows for name, rows in _layer_specs(params, state)}
+    report: dict = {}
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    for layer, blobs in _parse_layers(buf):
+        if layer not in known:
+            report[layer] = "ignored (no such layer here)"
+            continue
+        rows = known[layer]
+        if len(blobs) > len(rows):
+            raise ValueError(
+                f"layer {layer}: file has {len(blobs)} blobs, model "
+                f"expects <= {len(rows)} (net.cpp:755 CHECKs the same)")
+        for (idx, tree, keypath, _, from_caffe), arr in zip(rows, blobs):
+            src = from_caffe(arr)
+            dst = _get(trees, tree, keypath)
+            if tuple(src.shape) != tuple(np.shape(dst)):
+                raise ValueError(
+                    f"shape mismatch for {layer} blob {idx}: file "
+                    f"{src.shape} vs model {np.shape(dst)}")
+            _set(trees, tree, keypath,
+                 jnp.asarray(src, jnp.asarray(dst).dtype))
+            report[f"{layer}/{idx}"] = "loaded"
+    return params, state, report

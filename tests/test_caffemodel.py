@@ -181,3 +181,111 @@ class TestConvertCLI:
         np.testing.assert_array_equal(
             np.asarray(bundle["params"]["fc2"]["w"]),
             np.asarray(params["fc2"]["w"]))
+
+        # binaryproto legs: extension-dispatched export, magic-dispatched
+        # import (solver.cpp:470-481's extension dispatch, modernized)
+        bp = tmp_path / "export.caffemodel"
+        main(["convert", "--ckpt", str(ckpt / "qa_iter_5"),
+              "--out", str(bp)])
+        with open(bp, "rb") as f:
+            assert f.read(4) != b"\x89HDF"  # really binaryproto
+        out_dir2 = tmp_path / "imported_bp"
+        main(["convert", "--caffemodel", str(bp), "--data", str(data_dir),
+              "--out", str(out_dir2)])
+        bundle2, _ = load_checkpoint(str(out_dir2 / "imported_iter_0"))
+        np.testing.assert_array_equal(
+            np.asarray(bundle2["params"]["fc2"]["w"]),
+            np.asarray(params["fc2"]["w"]))
+
+
+class TestBinaryproto:
+    def test_roundtrip_forward_equivalence(self, tmp_path):
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_binaryproto, save_caffemodel_binaryproto)
+        p_a, s_a = _init(seed=3)
+        p_a["sim"]["w"] = jax.random.normal(jax.random.PRNGKey(4),
+                                            p_a["sim"]["w"].shape) * 0.1
+        s_a["bn1"]["mean"] = s_a["bn1"]["mean"] - 0.5
+        path = str(tmp_path / "a.caffemodel")
+        save_caffemodel_binaryproto(path, p_a, s_a)
+        p_b, s_b = _init(seed=5)
+        p_b, s_b, report = load_caffemodel_binaryproto(path, p_b, s_b)
+        batch = _batch()
+        out_a, _ = mms_qa_apply(p_a, s_a, batch, CFG, train=False)
+        out_b, _ = mms_qa_apply(p_b, s_b, batch, CFG, train=False)
+        np.testing.assert_array_equal(np.asarray(out_a["prob"]),
+                                      np.asarray(out_b["prob"]))
+
+    def test_matches_h5_format_content(self, tmp_path):
+        """Both serializations of the same weights load back equal."""
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_binaryproto, save_caffemodel_binaryproto)
+        p, s = _init(seed=6)
+        bp = str(tmp_path / "w.caffemodel")
+        h5 = str(tmp_path / "w.caffemodel.h5")
+        save_caffemodel_binaryproto(bp, p, s)
+        save_caffemodel_h5(h5, p, s)
+        p1, s1, _ = load_caffemodel_binaryproto(bp, *_init(seed=7))
+        p2, s2, _ = load_caffemodel_h5(h5, *_init(seed=8))
+        for a, b in zip(jax.tree.leaves((p1, s1)),
+                        jax.tree.leaves((p2, s2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_wire_format_pinned_by_hand(self):
+        """Parse a NetParameter built from raw wire-format literals (not
+        our writer), pinning the field numbers/encodings against
+        caffe.proto:7-21,92,311-329."""
+        from mms_answer_selection_tpu.utils.caffemodel import _parse_layers
+
+        def varint_key(field, wt):
+            return bytes([(field << 3) | wt])
+
+        data = np.asarray([1.5, -2.0, 3.25, 0.0, 7.0, -0.5], "<f4")
+        shape_dims = bytes([2, 3])                      # dim=[2,3] packed
+        blobshape = varint_key(1, 2) + bytes([len(shape_dims)]) + shape_dims
+        blob = (varint_key(7, 2) + bytes([len(blobshape)]) + blobshape
+                + varint_key(5, 2) + bytes([data.nbytes]) + data.tobytes())
+        name = b"fc9"
+        layer = (varint_key(1, 2) + bytes([len(name)]) + name
+                 + varint_key(7, 2) + bytes([len(blob)]) + blob)
+        # field 100 key = 100<<3|2 = 802 -> varint a2 06
+        net = b"\xa2\x06" + bytes([len(layer)]) + layer
+        layers = _parse_layers(memoryview(net))
+        assert len(layers) == 1
+        lname, blobs = layers[0]
+        assert lname == "fc9"
+        assert blobs[0].shape == (2, 3)
+        np.testing.assert_array_equal(blobs[0].ravel(), data)
+
+    def test_fit_weights_accepts_binaryproto(self, tmp_path):
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, Trainer, TrainerConfig)
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            save_caffemodel_binaryproto)
+
+        xml, w2v = synthetic_corpus(n_questions=8, answers_per_q=5, seed=3)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                  embed_dim=50)
+        donor, donor_state = mms_qa_init(jax.random.PRNGKey(13), cfg)
+        donor["fc2"]["b"] = donor["fc2"]["b"] + 0.375
+        path = str(tmp_path / "donor.caffemodel")
+        save_caffemodel_binaryproto(path, donor, donor_state)
+        tcfg = TrainerConfig(solver=SolverConfig(solver_type="adadelta"),
+                             max_iter=1, batch_size=8, test_interval=1,
+                             snapshot_interval=0, seed=22)
+        captured = {}
+        trainer = Trainer(cfg, tcfg)
+        orig = trainer._train_step
+
+        def spy(params, state, opt_state, batch, step, rng):
+            captured.setdefault("fc2_b", np.asarray(params["fc2"]["b"]))
+            return orig(params, state, opt_state, batch, step, rng)
+
+        trainer._train_step = spy
+        trainer.fit(splits["train"], splits["dev"],
+                    pretrained=info["pretrained"], weights=path)
+        np.testing.assert_allclose(captured["fc2_b"],
+                                   np.asarray(donor["fc2"]["b"]))
