@@ -302,11 +302,27 @@ def cmd_convert(args):
         if not args.ckpt:
             sys.exit("convert needs --ckpt (export) or --caffemodel "
                      "(import)")
-        bundle, _ = load_checkpoint(args.ckpt)
-        saver = save_caffemodel_h5 if args.out.endswith(".h5") \
-            else save_caffemodel_binaryproto
-        saver(args.out, bundle["params"], bundle.get("state") or {})
-        print(json.dumps({"exported": args.out}))
+        bundle, meta = load_checkpoint(args.ckpt)
+        if args.out.endswith(".solverstate"):
+            # full resumable pair: OUT.solverstate + sibling .caffemodel
+            # (what `caffe train -snapshot` consumes)
+            from .utils.caffemodel import save_solverstate_binaryproto
+            if "opt_state" not in bundle:
+                sys.exit("checkpoint has no opt_state (training snapshot "
+                         "required for a .solverstate export)")
+            weights = args.out[: -len(".solverstate")] + ".caffemodel"
+            save_caffemodel_binaryproto(weights, bundle["params"],
+                                        bundle.get("state") or {})
+            save_solverstate_binaryproto(
+                args.out, bundle["params"], bundle.get("state") or {},
+                bundle["opt_state"], int(meta.get("step", 0)) + 1,
+                learned_net=os.path.basename(weights))
+            print(json.dumps({"exported": args.out, "weights": weights}))
+        else:
+            saver = save_caffemodel_h5 if args.out.endswith(".h5") \
+                else save_caffemodel_binaryproto
+            saver(args.out, bundle["params"], bundle.get("state") or {})
+            print(json.dumps({"exported": args.out}))
 
 
 # --------------------------------------------------------------------- time

@@ -397,7 +397,31 @@ class Trainer:
         stop = False
         it = 0
 
-        if resume_from:
+        if resume_from and resume_from.endswith(".solverstate"):
+            # resume a REFERENCE training run: restore solver history +
+            # iteration from the .solverstate and weights from its
+            # learned_net (Solver::Restore, solver.cpp:470-481 +
+            # sgd_solver.cpp:305-322).  The reference stores no epoch/
+            # early-stop counters, so the epoch index is re-derived from
+            # the iteration and the patience clock restarts.
+            from ..utils.caffemodel import load_solverstate
+            opt_state, it, _cur, learned, report = load_solverstate(
+                resume_from, params, state, opt_state)
+            if learned:
+                lp = learned if os.path.isabs(learned) else os.path.join(
+                    os.path.dirname(resume_from) or ".", learned)
+                if os.path.exists(lp):
+                    params, state = self._load_weights(params, state, lp)
+                else:
+                    log.warning("solverstate names learned_net %s which "
+                                "does not exist; weights stay at init",
+                                learned)
+            opt_state = self._replicate(opt_state)
+            epoch = (it * samples_per_step) // max(train_size, 1)
+            loaded = sum(1 for v in report.values() if v == "loaded")
+            log.info("resumed from reference solverstate %s: iter %d, "
+                     "%d history tensors", resume_from, it, loaded)
+        elif resume_from:
             ckpt = self._resolve_ckpt(resume_from)
             bundle, meta = load_checkpoint(
                 ckpt, template={"params": params, "state": state,

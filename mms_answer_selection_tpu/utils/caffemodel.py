@@ -333,3 +333,127 @@ def load_caffemodel_binaryproto(path, params, state):
                  jnp.asarray(src, jnp.asarray(dst).dtype))
             report[f"{layer}/{idx}"] = "loaded"
     return params, state, report
+
+
+# ---------------------------------------------------------------------------
+# `.solverstate` interop: resume a REFERENCE training run here (and export
+# ours back).  SolverState (caffe.proto:245-250): iter=1, learned_net=2,
+# history (repeated BlobProto)=3, current_step=4.  The history blobs are
+# ordered by the net's learnable params (layer order, owned params only,
+# net.cpp AppendParam), one pass per accumulator: SGD-family solvers store
+# n blobs; AdaDelta/Adam append a second n (grad^2/m first, then
+# update^2/v -- adadelta_solver.cpp:8-17, sgd_solver.cpp:305-322).  BN's
+# running-stat blobs are lr_mult-0 learnable params in the reference, so
+# they occupy history slots; their accumulators are meaningless and are
+# skipped on import / zero-filled on export.
+# ---------------------------------------------------------------------------
+
+
+def _solver_rows(params, state):
+    """(is_param, tree, keypath, to_caffe, from_caffe) in the reference
+    net's learnable-param order."""
+    rows = []
+    for _, specs in _layer_specs(params, state):
+        for idx, tree, keypath, to_c, from_c in specs:
+            rows.append((tree == "params", tree, keypath, to_c, from_c))
+    return rows
+
+
+def save_solverstate_binaryproto(path, params, state, opt_state, it, *,
+                                 current_step=0, learned_net=""):
+    """Write a reference-restorable SolverState binaryproto."""
+    import jax
+
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+    opt_state = jax.device_get(opt_state)
+    trees = {"params": params, "state": state}
+    rows = _solver_rows(params, state)
+    out = bytearray()
+    out += _field(1, 0, int(it))
+    if learned_net:
+        out += _field(2, 2, learned_net.encode())
+    for acc in ("h", "h2"):
+        if acc not in opt_state:
+            continue
+        for is_param, tree, keypath, to_c, _ in rows:
+            if is_param:
+                arr = to_c(np.asarray(
+                    _get({"params": opt_state[acc]}, "params", keypath),
+                    np.float32))
+            else:  # BN stat slot: lr_mult 0, accumulator is dead weight
+                arr = to_c(np.zeros_like(
+                    np.asarray(_get(trees, tree, keypath), np.float32)))
+            out += _field(3, 2, _emit_blob(arr))
+    out += _field(4, 0, int(current_step))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return path
+
+
+def load_solverstate(path, params, state, opt_state):
+    """Restore solver history + iteration from a reference `.solverstate`
+    (binaryproto or the HDF5 variant, dispatched on the file magic) into a
+    copy of ``opt_state``.  Returns (opt_state, iter, current_step,
+    learned_net, report).  The reference CHECKs history length == its
+    blob count (sgd_solver.cpp:316); we do the same modulo solver family
+    (n blobs = single-accumulator family, 2n = AdaDelta/Adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+    opt_state = jax.tree.map(lambda x: x, jax.device_get(opt_state))
+    rows = _solver_rows(params, state)
+    n = len(rows)
+
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head == b"\x89HDF":
+        import h5py
+        with h5py.File(path, "r") as f:
+            it = int(np.asarray(f["iter"]))
+            cur = int(np.asarray(f["current_step"])) \
+                if "current_step" in f else 0
+            learned = (bytes(np.asarray(f["learned_net"])).decode()
+                       if "learned_net" in f else "")
+            hist = [np.asarray(f["history"][str(i)], np.float32)
+                    for i in range(len(f["history"]))]
+    else:
+        with open(path, "rb") as f:
+            buf = memoryview(f.read())
+        it, cur, learned = 0, 0, ""
+        hist = []
+        for field, wt, val in _iter_fields(buf):
+            if field == 1 and wt == 0:
+                it = val
+            elif field == 2 and wt == 2:
+                learned = bytes(val).decode("utf-8", "replace")
+            elif field == 3 and wt == 2:
+                hist.append(_parse_blob(val))
+            elif field == 4 and wt == 0:
+                cur = val
+
+    accs = [a for a in ("h", "h2") if a in opt_state]
+    if len(hist) != n * len(accs):
+        raise ValueError(
+            f"history length {len(hist)} != {n} params x {len(accs)} "
+            f"accumulators -- solver family mismatch "
+            f"(sgd_solver.cpp:316 CHECKs the same)")
+    report: dict = {}
+    for a_i, acc in enumerate(accs):
+        for r_i, (is_param, tree, keypath, _, from_c) in enumerate(rows):
+            blob = hist[a_i * n + r_i]
+            name = f"{acc}/{'/'.join(keypath)}"
+            if not is_param:
+                report[name] = "skipped (BN stat slot)"
+                continue
+            src = from_c(blob)
+            dst = _get({"params": opt_state[acc]}, "params", keypath)
+            if tuple(src.shape) != tuple(np.shape(dst)):
+                raise ValueError(f"shape mismatch for history {name}: "
+                                 f"{src.shape} vs {np.shape(dst)}")
+            _set({"params": opt_state[acc]}, "params", keypath,
+                 jnp.asarray(src, jnp.asarray(dst).dtype))
+            report[name] = "loaded"
+    return opt_state, int(it), int(cur), learned, report

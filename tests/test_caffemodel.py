@@ -289,3 +289,84 @@ class TestBinaryproto:
                     pretrained=info["pretrained"], weights=path)
         np.testing.assert_allclose(captured["fc2_b"],
                                    np.asarray(donor["fc2"]["b"]))
+
+
+class TestSolverState:
+    def test_roundtrip(self, tmp_path):
+        from mms_answer_selection_tpu.training import SolverConfig, make_solver
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_solverstate, save_solverstate_binaryproto)
+        p, s = _init(seed=1)
+        solver = make_solver(SolverConfig(solver_type="adadelta"))
+        opt = solver.init(p)
+        # distinctive accumulator values
+        opt["h"] = jax.tree.map(lambda x: x + 0.5, opt["h"])
+        opt["h2"] = jax.tree.map(lambda x: x + 2.0, opt["h2"])
+        path = str(tmp_path / "x.solverstate")
+        save_solverstate_binaryproto(path, p, s, opt, 123,
+                                     learned_net="x.caffemodel")
+        opt2 = solver.init(p)
+        opt2, it, cur, learned, report = load_solverstate(path, p, s, opt2)
+        assert it == 123 and learned == "x.caffemodel"
+        for a, b in zip(jax.tree.leaves(opt["h"]),
+                        jax.tree.leaves(opt2["h"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(opt["h2"]),
+                        jax.tree.leaves(opt2["h2"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_family_mismatch_raises(self, tmp_path):
+        from mms_answer_selection_tpu.training import SolverConfig, make_solver
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_solverstate, save_solverstate_binaryproto)
+        p, s = _init(seed=1)
+        sgd = make_solver(SolverConfig(solver_type="sgd")).init(p)
+        path = str(tmp_path / "sgd.solverstate")
+        save_solverstate_binaryproto(path, p, s, sgd, 7)
+        ada = make_solver(SolverConfig(solver_type="adadelta")).init(p)
+        with pytest.raises(ValueError, match="solver family"):
+            load_solverstate(path, p, s, ada)
+
+    def test_resume_from_reference_pair_continues_exactly(self, tmp_path):
+        """Train 12 uninterrupted; separately snapshot at 4, export the
+        snapshot as a reference solverstate+caffemodel pair, resume a
+        FRESH trainer from the .solverstate -- the continuation's evals
+        and final params match the uninterrupted run (the
+        test_gradient_based_solver.cpp:490-540 pattern, across snapshot
+        FORMATS)."""
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, Trainer, TrainerConfig)
+
+        xml, w2v = synthetic_corpus(n_questions=8, answers_per_q=5, seed=6)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                  embed_dim=50)
+
+        def tcfg(snapdir):
+            return TrainerConfig(
+                solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                                    momentum=0.95, delta=5e-7,
+                                    weight_decay=5e-4),
+                max_iter=12, batch_size=10, test_interval=4,
+                snapshot_interval=4, early_stop_patience=99, seed=22,
+                snapshot_dir=str(snapdir))
+
+        h_full = Trainer(cfg, tcfg(tmp_path / "full")).fit(
+            splits["train"], splits["dev"], pretrained=info["pretrained"])
+
+        ss = tmp_path / "export.solverstate"
+        main(["convert", "--ckpt", str(tmp_path / "full" / "qa_iter_4"),
+              "--out", str(ss)])
+        h_res = Trainer(cfg, tcfg(tmp_path / "res")).fit(
+            splits["train"], splits["dev"], pretrained=info["pretrained"],
+            resume_from=str(ss))
+        # resumed at iter 5: evals at 8 must match the uninterrupted run
+        full = dict(zip(h_full["steps"], h_full["dev_map"]))
+        res = dict(zip(h_res["steps"], h_res["dev_map"]))
+        assert 8 in res and res[8] == full[8]
+        for a, b in zip(jax.tree.leaves(h_full["params"]),
+                        jax.tree.leaves(h_res["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
