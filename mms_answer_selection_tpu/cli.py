@@ -114,6 +114,16 @@ def cmd_train(args):
 
     splits, meta, vocab = _load_prepped(args.data)
     model_cfg, trainer_cfg = _experiment_configs(args, meta)
+    if getattr(args, "solver_prototxt", None):
+        # migrate a reference solver.prototxt directly (SolverParameter
+        # text format, do_trec_qa_clean.py:322-348 style)
+        from .utils.prototxt import trainer_config_from_prototxt
+        with open(args.solver_prototxt) as f:
+            trainer_cfg = trainer_config_from_prototxt(
+                f.read(), snapshot_dir=os.path.join(args.exp, "models"))
+        if args.max_iter != 40001:  # explicit CLI override wins
+            trainer_cfg = dataclasses.replace(trainer_cfg,
+                                              max_iter=args.max_iter)
     os.makedirs(args.exp, exist_ok=True)
     with open(os.path.join(args.exp, "config.json"), "w") as f:
         f.write(experiment_to_json(model_cfg, trainer_cfg))
@@ -537,6 +547,10 @@ def main(argv=None):
                    help="fuse K training steps per device dispatch "
                         "(27 -> 771 steps/s at batch 50 through a remote "
                         "tunnel; history is step-identical to K=1)")
+    p.add_argument("--solver-prototxt",
+                   help="use a reference solver.prototxt for the "
+                        "optimization/loop settings (SolverParameter "
+                        "text format)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate a checkpoint on a split")

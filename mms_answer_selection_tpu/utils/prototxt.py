@@ -1,0 +1,171 @@
+"""Text-prototxt ingestion: reference solver configs -> our typed configs.
+
+The reference configures everything through protobuf text files; the QA
+driver writes its `solver.prototxt` via `str(SolverParameter())`
+(do_trec_qa_clean.py:322-348).  Migrating users carry those files, so
+`qa train --solver-prototxt solver.prototxt` consumes them directly:
+a small generic text-proto parser (the subset protobuf's text format
+actually uses: `key: value` scalars, `key { ... }` nested messages,
+repeated fields, '#' comments) plus a field map onto SolverConfig /
+TrainerConfig (SolverParameter fields, caffe.proto:102-242; legacy enum
+`solver_type: ADADELTA` and the modern `type: "AdaDelta"` both accepted,
+upgrade_proto.cpp:937-1044's job).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(r"""
+    \s*(?:
+        (?P<comment>\#[^\n]*)
+      | (?P<brace_open>\{)
+      | (?P<brace_close>\})
+      | (?P<key>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<colon>:)?
+      | (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<scalar>[^\s{}#]+)
+    )""", re.VERBOSE)
+
+
+def parse_prototxt(text: str) -> dict:
+    """Protobuf text format -> nested dict; repeated fields -> lists."""
+    pos = 0
+    stack = [{}]
+    pending_key = None
+    n = len(text)
+
+    def store(key, value):
+        d = stack[-1]
+        if key in d:
+            if not isinstance(d[key], list):
+                d[key] = [d[key]]
+            d[key].append(value)
+        else:
+            d[key] = value
+
+    while pos < n:
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"prototxt parse error at {text[pos:pos+40]!r}")
+        pos = m.end()
+        if m.group("comment"):
+            continue
+        if m.group("brace_open"):
+            if pending_key is None:
+                raise ValueError("'{' without a field name")
+            child: dict = {}
+            store(pending_key, child)
+            stack.append(child)
+            pending_key = None
+        elif m.group("brace_close"):
+            if len(stack) == 1:
+                raise ValueError("unbalanced '}'")
+            stack.pop()
+        elif m.group("key") is not None:
+            if pending_key is not None and not m.group("colon"):
+                # bare identifier value (an enum like TRAIN or ADADELTA)
+                store(pending_key, m.group("key"))
+                pending_key = None
+            else:
+                pending_key = m.group("key")
+        elif m.group("string") is not None:
+            s = m.group("string")[1:-1]
+            s = s.encode().decode("unicode_escape")
+            store(pending_key, s)
+            pending_key = None
+        elif m.group("scalar") is not None:
+            raw = m.group("scalar")
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = {"true": True, "false": False}.get(raw, raw)
+            store(pending_key, value)
+            pending_key = None
+    if len(stack) != 1:
+        raise ValueError("unbalanced '{'")
+    return stack[0]
+
+
+# legacy SolverType enum (caffe.proto SolverParameter.SolverType) -> type
+_LEGACY_TYPES = {"SGD": "sgd", "NESTEROV": "nesterov", "ADAGRAD": "adagrad",
+                 "RMSPROP": "rmsprop", "ADADELTA": "adadelta",
+                 "ADAM": "adam"}
+
+
+def solver_config_from_prototxt(text: str):
+    """solver.prototxt -> (SolverConfig, extras dict with the loop-level
+    fields: max_iter/test_interval/snapshot/snapshot_prefix/random_seed/
+    display)."""
+    from ..training.optim import SolverConfig
+
+    d = parse_prototxt(text)
+
+    def last(key, default=None):
+        v = d.get(key, default)
+        return v[-1] if isinstance(v, list) else v
+
+    t = last("type")
+    if t is None and "solver_type" in d:
+        t = _LEGACY_TYPES.get(str(last("solver_type")).upper())
+    t = (t or "SGD").lower()
+    if t not in ("sgd", "nesterov", "adagrad", "rmsprop", "adadelta",
+                 "adam"):
+        raise ValueError(f"unknown solver type {t!r}")
+    stepvalues = d.get("stepvalue", ())
+    if not isinstance(stepvalues, (list, tuple)):
+        stepvalues = (stepvalues,)
+    cfg = SolverConfig(
+        solver_type=t,
+        base_lr=float(last("base_lr", 0.01)),
+        lr_policy=str(last("lr_policy", "fixed")),
+        gamma=float(last("gamma", 0.1)),
+        power=float(last("power", 1.0)),
+        stepsize=int(last("stepsize", 1)),
+        stepvalues=tuple(int(v) for v in stepvalues),
+        max_iter=int(last("max_iter", 40001)),
+        momentum=float(last("momentum", 0.95)),
+        momentum2=float(last("momentum2", 0.999)),
+        rms_decay=float(last("rms_decay", 0.99)),
+        delta=float(last("delta", 1e-8)),
+        weight_decay=float(last("weight_decay", 0.0)),
+        regularization_type=str(last("regularization_type", "L2")),
+        clip_gradients=float(last("clip_gradients", -1.0)),
+        iter_size=int(last("iter_size", 1)),
+    )
+    extras = {
+        "max_iter": int(last("max_iter", 40001)),
+        "test_interval": int(last("test_interval", 100)),
+        "snapshot": int(last("snapshot", 0)),
+        "snapshot_prefix": last("snapshot_prefix"),
+        "random_seed": last("random_seed"),
+        "display": int(last("display", 50)),
+    }
+    return cfg, extras
+
+
+def trainer_config_from_prototxt(text: str, **overrides):
+    """solver.prototxt -> TrainerConfig (our training-loop knobs driven by
+    the reference's SolverParameter fields); keyword overrides win."""
+    from ..training.trainer import TrainerConfig
+
+    solver, ex = solver_config_from_prototxt(text)
+    kwargs = dict(
+        solver=solver,
+        max_iter=ex["max_iter"],
+        test_interval=ex["test_interval"] or 100,
+        snapshot_interval=ex["snapshot"],
+        display=ex["display"],
+    )
+    if ex["random_seed"] is not None:
+        kwargs["seed"] = int(ex["random_seed"])
+    if ex["snapshot_prefix"]:
+        import os
+        kwargs["snapshot_prefix"] = os.path.basename(
+            str(ex["snapshot_prefix"]))
+    kwargs.update(overrides)
+    return TrainerConfig(**kwargs)
