@@ -124,6 +124,21 @@ def cmd_train(args):
         if args.max_iter != 40001:  # explicit CLI override wins
             trainer_cfg = dataclasses.replace(trainer_cfg,
                                               max_iter=args.max_iter)
+    if getattr(args, "net_prototxt", None):
+        # migrate a reference train-net prototxt (the network_v3/v4/v4_2/
+        # v5 family): architecture from the file, token lengths from the
+        # prepped data's meta
+        from .utils.prototxt import model_config_from_net_prototxt
+        with open(args.net_prototxt) as f:
+            model_cfg = model_config_from_net_prototxt(
+                f.read(), question_len=meta["q_len"],
+                answer_len=meta["a_len"])
+        if model_cfg.vocab_size != meta["vocab_size"]:
+            log.warning("net prototxt vocab %d != prepped vocab %d; "
+                        "using the data's", model_cfg.vocab_size,
+                        meta["vocab_size"])
+            model_cfg = dataclasses.replace(
+                model_cfg, vocab_size=meta["vocab_size"])
     os.makedirs(args.exp, exist_ok=True)
     with open(os.path.join(args.exp, "config.json"), "w") as f:
         f.write(experiment_to_json(model_cfg, trainer_cfg))
@@ -551,6 +566,10 @@ def main(argv=None):
                    help="use a reference solver.prototxt for the "
                         "optimization/loop settings (SolverParameter "
                         "text format)")
+    p.add_argument("--net-prototxt",
+                   help="use a reference train-net prototxt "
+                        "(network_v3/v4/v4_2/v5 family) for the model "
+                        "architecture")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate a checkpoint on a split")

@@ -148,6 +148,100 @@ def solver_config_from_prototxt(text: str):
     return cfg, extras
 
 
+def model_config_from_net_prototxt(text: str, **overrides):
+    """A driver-generated net prototxt (network_v3/v4/v4_2/v5 family,
+    do_trec_qa_clean.py:377-605) -> MMSQAConfig.
+
+    Walks the layer list in order and reads the architecture back out:
+    Embed (vocab/input_dim + embed dim), SimCross (dist_mode /
+    mesure_count / bias_term), the conv->BN->pool->TanH blocks
+    (kernel_h/w, num_output, pool AVE/MAX, pool kernel/stride), the two
+    InnerProducts (fc1 width, class count) and the two dropouts.  The
+    token lengths are data-shape facts not present in the prototxt --
+    pass ``question_len``/``answer_len`` (or any other field) as
+    overrides.  Raises for graphs outside the MMS family (this framework
+    builds models from typed configs, not arbitrary DAGs -- PARITY.md's
+    stated design stance)."""
+    import dataclasses
+
+    from ..models.mms_qa import ConvBlock, MMSQAConfig
+
+    d = parse_prototxt(text)
+    layers = d.get("layer", [])
+    if isinstance(layers, dict):
+        layers = [layers]
+    if not layers:
+        raise ValueError("no layer {} blocks found (V1 'layers' or "
+                         "non-net prototxt?)")
+
+    fields: dict = {}
+    blocks = []
+    current = None          # pending (kh, kw, out) awaiting its pool
+    ip_dims = []
+    saw_sim = False
+
+    def one(v, default=None):
+        if isinstance(v, list):
+            return v[-1]
+        return default if v is None else v
+
+    for layer in layers:
+        t = layer.get("type", "")
+        if t == "Embed" and "embed" not in fields:
+            ep = layer.get("embed_param", {})
+            fields["embed_dim"] = int(one(ep.get("num_output"), 50))
+            fields["vocab_size"] = int(one(ep.get("input_dim"), 100))
+            fields["embed"] = True
+        elif t == "SimCross":
+            sp = layer.get("sim_cross_param", {})
+            fields["sim_mode"] = int(one(sp.get("dist_mode"), 0))
+            fields["sim_measures"] = int(one(sp.get("mesure_count"), 1))
+            fields["sim_bias"] = bool(one(sp.get("bias_term"), False))
+            saw_sim = True
+        elif t == "Dropout":
+            ratio = float(one(layer.get("dropout_param", {})
+                              .get("dropout_ratio"), 0.5))
+            if saw_sim and not blocks and current is None and not ip_dims:
+                fields["sim_dropout"] = ratio
+            elif ip_dims:
+                fields["fc1_dropout"] = ratio
+        elif t == "Convolution":
+            cp = layer.get("convolution_param", {})
+            current = (int(one(cp.get("kernel_h"), 1)),
+                       int(one(cp.get("kernel_w"), 1)),
+                       int(one(cp.get("num_output"))))
+        elif t == "Pooling" and current is not None:
+            pp = layer.get("pooling_param", {})
+            pool = str(one(pp.get("pool"), "MAX")).lower()
+            if pool in ("0", "1"):  # enum by number
+                pool = "max" if pool == "0" else "ave"
+            blocks.append(ConvBlock(current[0], current[1], current[2],
+                                    pool,
+                                    int(one(pp.get("kernel_h"), 1)),
+                                    int(one(pp.get("stride_h"), 1))))
+            current = None
+        elif t == "InnerProduct":
+            ip_dims.append(int(one(layer.get("inner_product_param", {})
+                                   .get("num_output"))))
+    if "embed" not in fields or not saw_sim or not blocks \
+            or len(ip_dims) < 2:
+        raise ValueError(
+            "not an MMS-family net (need Embed + SimCross + conv blocks "
+            "+ two InnerProducts); this framework instantiates models "
+            "from typed configs, not arbitrary prototxt DAGs")
+    fields.pop("embed")
+    # a net with no Dropout layer has NO dropout -- never inherit the V4
+    # defaults for a net that didn't declare them
+    fields.setdefault("sim_dropout", 0.0)
+    fields.setdefault("fc1_dropout", 0.0)
+    cfg = MMSQAConfig(
+        blocks=tuple(blocks), fc1_dim=ip_dims[0],
+        num_classes=ip_dims[-1], **fields)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
 def trainer_config_from_prototxt(text: str, **overrides):
     """solver.prototxt -> TrainerConfig (our training-loop knobs driven by
     the reference's SolverParameter fields); keyword overrides win."""

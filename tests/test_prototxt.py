@@ -136,3 +136,92 @@ class TestCLI:
             saved = _json.load(f)
         txt = _json.dumps(saved)
         assert '"adadelta"' in txt and '"max_iter": 3' in txt
+
+
+# a NetSpec-printed V4 train net (the exact field set network_v4 emits,
+# do_trec_qa_clean.py:452-498), hand-rendered in protobuf text format
+V4_NET = """
+layer { name: "data" type: "HDF5Data" top: "question" top: "answer"
+  top: "label" top: "overlap_feat"
+  hdf5_data_param { source: "train.txt" batch_size: 50 shuffle: true } }
+layer { name: "w2v_q" type: "Embed" bottom: "question" top: "w2v_q"
+  param { name: "w2v-weights" lr_mult: 1 decay_mult: 0 }
+  param { name: "w2v-bias" lr_mult: 2 decay_mult: 0 }
+  embed_param { num_output: 50 input_dim: 19804
+    weight_filler { type: "uniform" min: -0.08 max: 0.08 } } }
+layer { name: "w2v_a" type: "Embed" bottom: "answer" top: "w2v_a"
+  param { name: "w2v-weights" lr_mult: 1 decay_mult: 0 }
+  param { name: "w2v-bias" lr_mult: 2 decay_mult: 0 }
+  embed_param { num_output: 50 input_dim: 19804 } }
+layer { name: "sim_cross" type: "SimCross" bottom: "w2v_q" bottom: "w2v_a"
+  top: "sim_cross" param { name: "embed-weights" decay_mult: 1 lr_mult: 1 }
+  sim_cross_param { dist_mode: 2 mesure_count: 4 bias_term: true } }
+layer { name: "sim_drop" type: "Dropout" bottom: "sim_cross"
+  top: "sim_drop" dropout_param { dropout_ratio: 0.1 } }
+layer { name: "conv0" type: "Convolution" bottom: "sim_drop" top: "conv0"
+  convolution_param { kernel_h: 5 kernel_w: 5 stride: 1 num_output: 32 } }
+layer { name: "bn0" type: "BN" bottom: "conv0" top: "bn0"
+  bn_param { scale_filler { type: "constant" value: 1 }
+             shift_filler { type: "constant" value: 0.001 } } }
+layer { name: "pool0" type: "Pooling" bottom: "bn0" top: "pool0"
+  pooling_param { pool: AVE kernel_h: 4 kernel_w: 4 stride_h: 4
+                  stride_w: 4 } }
+layer { name: "relu0" type: "TanH" bottom: "pool0" top: "pool0" }
+layer { name: "conv1" type: "Convolution" bottom: "pool0" top: "conv1"
+  convolution_param { kernel_h: 5 kernel_w: 5 stride: 1 num_output: 64 } }
+layer { name: "bn1" type: "BN" bottom: "conv1" top: "bn1" }
+layer { name: "pool1" type: "Pooling" bottom: "bn1" top: "pool1"
+  pooling_param { pool: AVE kernel_h: 5 kernel_w: 5 stride_h: 1
+                  stride_w: 1 } }
+layer { name: "relu1" type: "TanH" bottom: "pool1" top: "pool1" }
+layer { name: "flt" type: "Flatten" bottom: "pool1" top: "flt" }
+layer { name: "feat" type: "Concat" bottom: "flt" bottom: "overlap_feat"
+  top: "feat" concat_param { concat_dim: 1 } }
+layer { name: "fc1" type: "InnerProduct" bottom: "feat" top: "fc1"
+  inner_product_param { num_output: 32 weight_filler { type: "xavier" } } }
+layer { name: "relu2" type: "TanH" bottom: "fc1" top: "fc1" }
+layer { name: "drop1" type: "Dropout" bottom: "fc1" top: "fc1"
+  dropout_param { dropout_ratio: 0.5 } }
+layer { name: "fc2" type: "InnerProduct" bottom: "fc1" top: "fc2"
+  inner_product_param { num_output: 2 } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "fc2" bottom: "label"
+  top: "loss" }
+"""
+
+
+class TestNetPrototxt:
+    def test_v4_net_recovers_the_v4_config(self):
+        from mms_answer_selection_tpu.models.mms_qa import V4
+        from mms_answer_selection_tpu.utils.prototxt import (
+            model_config_from_net_prototxt)
+        import dataclasses as dc
+        cfg = model_config_from_net_prototxt(V4_NET)
+        expect = dc.replace(V4, vocab_size=19804, embed_dim=50)
+        assert cfg == expect  # blocks, sim params, dropouts, fc dims, all
+
+    def test_derived_config_actually_runs(self):
+        import jax
+        import numpy as np
+        from mms_answer_selection_tpu.models.mms_qa import (
+            mms_qa_apply, mms_qa_init)
+        from mms_answer_selection_tpu.utils.prototxt import (
+            model_config_from_net_prototxt)
+        cfg = model_config_from_net_prototxt(V4_NET, vocab_size=50)
+        params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        batch = {"question": rng.integers(0, 50, (2, 40)).astype(np.int32),
+                 "answer": rng.integers(0, 50, (2, 40)).astype(np.int32),
+                 "overlap_feat": rng.random((2, 2)).astype(np.float32),
+                 "label": rng.integers(0, 2, (2,)).astype(np.int32)}
+        out, _ = mms_qa_apply(params, state, batch, cfg, train=False)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_non_mms_net_rejected(self):
+        from mms_answer_selection_tpu.utils.prototxt import (
+            model_config_from_net_prototxt)
+        with pytest.raises(ValueError, match="MMS-family"):
+            model_config_from_net_prototxt("""
+            layer { name: "d" type: "Input" top: "x" }
+            layer { name: "ip" type: "InnerProduct" bottom: "x" top: "y"
+              inner_product_param { num_output: 10 } }
+            """)
