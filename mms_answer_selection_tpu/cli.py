@@ -323,6 +323,32 @@ def cmd_convert(args):
                         meta={"source": args.caffemodel})
         print(json.dumps({"imported": loaded,
                           "report": report, "out": args.out}))
+    elif args.out.endswith(".prototxt"):
+        # config export: our typed config -> reference prototxt trio
+        # (train net, eval net w/ metric heads, solver) -- the NetSpec
+        # generation step of do_trec_qa_clean.py:350-615, reversed
+        from .utils.config import experiment_from_json
+        from .utils.prototxt import (
+            net_prototxt_from_config, solver_prototxt_from_config)
+        cfg_path = args.config or (
+            os.path.join(args.exp, "config.json") if args.exp else None)
+        if not cfg_path or not os.path.exists(cfg_path):
+            sys.exit("prototxt export needs --config (or --exp with a "
+                     "saved config.json)")
+        with open(cfg_path) as f:
+            model_cfg, trainer_cfg = experiment_from_json(f.read())
+        base = args.out[: -len(".prototxt")]
+        with open(args.out, "w") as f:
+            f.write(net_prototxt_from_config(
+                model_cfg, batch_size=trainer_cfg.batch_size))
+        with open(base + "_eval.prototxt", "w") as f:
+            f.write(net_prototxt_from_config(model_cfg, phase="eval"))
+        with open(base + "_solver.prototxt", "w") as f:
+            f.write(solver_prototxt_from_config(
+                trainer_cfg, train_net=os.path.basename(args.out)))
+        print(json.dumps({"exported": [args.out,
+                                       base + "_eval.prototxt",
+                                       base + "_solver.prototxt"]}))
     else:  # export
         if not args.ckpt:
             sys.exit("convert needs --ckpt (export) or --caffemodel "

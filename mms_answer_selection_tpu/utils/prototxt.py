@@ -65,8 +65,10 @@ def parse_prototxt(text: str) -> dict:
             stack.pop()
         elif m.group("key") is not None:
             if pending_key is not None and not m.group("colon"):
-                # bare identifier value (an enum like TRAIN or ADADELTA)
-                store(pending_key, m.group("key"))
+                # bare identifier value: a bool or an enum (TRAIN, ADADELTA)
+                word = m.group("key")
+                store(pending_key,
+                      {"true": True, "false": False}.get(word, word))
                 pending_key = None
             else:
                 pending_key = m.group("key")
@@ -240,6 +242,160 @@ def model_config_from_net_prototxt(text: str, **overrides):
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg
+
+
+def solver_prototxt_from_config(trainer_cfg, *, train_net="train.prototxt",
+                                test_net=None) -> str:
+    """TrainerConfig -> a solver.prototxt the reference can consume (the
+    reverse of solver_config_from_prototxt; round-trips exactly)."""
+    s = trainer_cfg.solver
+    type_names = {"sgd": "SGD", "nesterov": "Nesterov",
+                  "adagrad": "AdaGrad", "rmsprop": "RMSProp",
+                  "adadelta": "AdaDelta", "adam": "Adam"}
+    lines = [f'train_net: "{train_net}"']
+    if test_net:
+        lines += [f'test_net: "{test_net}"', "test_iter: 1"]
+    lines += [
+        f"test_interval: {trainer_cfg.test_interval}",
+        f"base_lr: {s.base_lr}",
+        f"display: {trainer_cfg.display}",
+        f"max_iter: {trainer_cfg.max_iter}",
+        f'lr_policy: "{s.lr_policy}"',
+    ]
+    if s.lr_policy in ("step", "exp", "inv", "multistep", "sigmoid"):
+        lines.append(f"gamma: {s.gamma}")
+    if s.lr_policy in ("inv", "poly"):
+        lines.append(f"power: {s.power}")
+    if s.lr_policy in ("step", "sigmoid"):
+        lines.append(f"stepsize: {s.stepsize}")
+    for v in s.stepvalues:
+        lines.append(f"stepvalue: {v}")
+    lines += [
+        f"momentum: {s.momentum}",
+        f"weight_decay: {s.weight_decay}",
+        f'regularization_type: "{s.regularization_type}"',
+        f"snapshot: {trainer_cfg.snapshot_interval}",
+        f'snapshot_prefix: "{trainer_cfg.snapshot_prefix}"',
+        f"random_seed: {trainer_cfg.seed}",
+        f"delta: {s.delta}",
+        f'type: "{type_names[s.solver_type]}"',
+    ]
+    if s.clip_gradients > 0:
+        lines.append(f"clip_gradients: {s.clip_gradients}")
+    if s.iter_size != 1:
+        lines.append(f"iter_size: {s.iter_size}")
+    if s.solver_type == "adam":
+        lines.append(f"momentum2: {s.momentum2}")
+    if s.solver_type == "rmsprop":
+        lines.append(f"rms_decay: {s.rms_decay}")
+    return "\n".join(lines) + "\n"
+
+
+def net_prototxt_from_config(cfg, *, batch_size=50, source="train.txt",
+                             phase="train") -> str:
+    """MMSQAConfig -> a reference-loadable train-net prototxt in the
+    driver's network_v* shape (do_trec_qa_clean.py:452-498): HDF5Data ->
+    shared Embed pair -> SimCross -> [Dropout] -> conv/BN/pool/TanH
+    blocks -> Flatten+Concat -> fc1 -> TanH -> [Dropout] -> fc2 ->
+    SoftmaxWithLoss (+ the eval heads when phase='eval').  Round-trips
+    through model_config_from_net_prototxt exactly (tested)."""
+    L = []
+    tops = ['top: "question" top: "answer" top: "label"']
+    if phase == "eval":
+        tops.append('top: "group"')
+    tops.append('top: "overlap_feat"')
+    shuffle = "true" if phase == "train" else "false"
+    L.append(f'layer {{ name: "data" type: "HDF5Data" {" ".join(tops)}\n'
+             f'  hdf5_data_param {{ source: "{source}" '
+             f'batch_size: {batch_size} shuffle: {shuffle} }} }}')
+    for nm, bottom in (("w2v_q", "question"), ("w2v_a", "answer")):
+        L.append(
+            f'layer {{ name: "{nm}" type: "Embed" bottom: "{bottom}" '
+            f'top: "{nm}"\n'
+            f'  param {{ name: "w2v-weights" lr_mult: 1 decay_mult: 0 }}\n'
+            f'  param {{ name: "w2v-bias" lr_mult: 2 decay_mult: 0 }}\n'
+            f'  embed_param {{ num_output: {cfg.embed_dim} '
+            f'input_dim: {cfg.vocab_size}\n'
+            f'    weight_filler {{ type: "uniform" '
+            f'min: -{cfg.embed_init_range} max: {cfg.embed_init_range} }} '
+            f'}} }}')
+    bias = "true" if cfg.sim_bias else "false"
+    L.append(
+        'layer { name: "sim_cross" type: "SimCross" bottom: "w2v_q" '
+        'bottom: "w2v_a" top: "sim_cross"\n'
+        '  param { name: "embed-weights" decay_mult: 1 lr_mult: 1 }\n'
+        f'  sim_cross_param {{ dist_mode: {cfg.sim_mode} '
+        f'mesure_count: {cfg.sim_measures} bias_term: {bias} }} }}')
+    prev = "sim_cross"
+    if cfg.sim_dropout > 0:
+        L.append(f'layer {{ name: "sim_drop" type: "Dropout" '
+                 f'bottom: "{prev}" top: "sim_drop"\n'
+                 f'  dropout_param {{ dropout_ratio: {cfg.sim_dropout} }} '
+                 f'}}')
+        prev = "sim_drop"
+    for i, b in enumerate(cfg.blocks):
+        L.append(
+            f'layer {{ name: "conv{i}" type: "Convolution" '
+            f'bottom: "{prev}" top: "conv{i}"\n'
+            f'  param {{ name: "conv_{i}_w" lr_mult: 1 }}\n'
+            f'  param {{ name: "conv_{i}_b" lr_mult: 2 decay_mult: 0 }}\n'
+            f'  convolution_param {{ kernel_h: {b.kh} kernel_w: {b.kw} '
+            f'stride: 1 num_output: {b.out_channels}\n'
+            f'    weight_filler {{ type: "xavier" }} }} }}')
+        L.append(
+            f'layer {{ name: "bn{i}" type: "BN" bottom: "conv{i}" '
+            f'top: "bn{i}"\n'
+            f'  bn_param {{ scale_filler {{ type: "constant" value: 1 }}\n'
+            f'    shift_filler {{ type: "constant" '
+            f'value: {cfg.bn_shift_init} }} }} }}')
+        pool = "AVE" if b.pool == "ave" else "MAX"
+        L.append(
+            f'layer {{ name: "pool{i}" type: "Pooling" bottom: "bn{i}" '
+            f'top: "pool{i}"\n'
+            f'  pooling_param {{ pool: {pool} kernel_h: {b.pool_k} '
+            f'kernel_w: {b.pool_k} stride_h: {b.pool_stride} '
+            f'stride_w: {b.pool_stride} }} }}')
+        L.append(f'layer {{ name: "relu{i}" type: "TanH" '
+                 f'bottom: "pool{i}" top: "pool{i}" }}')
+        prev = f"pool{i}"
+    L.append(f'layer {{ name: "flt" type: "Flatten" bottom: "{prev}" '
+             f'top: "flt" }}')
+    L.append('layer { name: "feat" type: "Concat" bottom: "flt" '
+             'bottom: "overlap_feat" top: "feat"\n'
+             '  concat_param { concat_dim: 1 } }')
+    L.append(
+        f'layer {{ name: "fc1" type: "InnerProduct" bottom: "feat" '
+        f'top: "fc1"\n'
+        f'  param {{ name: "fc1-w" lr_mult: 1 decay_mult: 0 }}\n'
+        f'  param {{ name: "fc1-b" lr_mult: 2 decay_mult: 0 }}\n'
+        f'  inner_product_param {{ num_output: {cfg.fc1_dim}\n'
+        f'    weight_filler {{ type: "xavier" }} }} }}')
+    L.append('layer { name: "relu_fc1" type: "TanH" bottom: "fc1" '
+             'top: "fc1" }')
+    prev = "fc1"
+    if cfg.fc1_dropout > 0:
+        L.append(f'layer {{ name: "drop1" type: "Dropout" '
+                 f'bottom: "{prev}" top: "{prev}"\n'
+                 f'  dropout_param {{ dropout_ratio: {cfg.fc1_dropout} }} '
+                 f'}}')
+    L.append(
+        f'layer {{ name: "fc2" type: "InnerProduct" bottom: "{prev}" '
+        f'top: "fc2"\n'
+        f'  param {{ name: "fc2-w" lr_mult: 1 decay_mult: 0 }}\n'
+        f'  param {{ name: "fc2-b" lr_mult: 2 decay_mult: 0 }}\n'
+        f'  inner_product_param {{ num_output: {cfg.num_classes} }} }}')
+    L.append('layer { name: "loss" type: "SoftmaxWithLoss" '
+             'bottom: "fc2" bottom: "label" top: "loss" }')
+    if phase == "eval":
+        L.append('layer { name: "prob" type: "Softmax" bottom: "fc2" '
+                 'top: "prob" }')
+        L.append('layer { name: "mrr" type: "MRR" bottom: "prob" '
+                 'bottom: "label" bottom: "group" top: "mrr" }')
+        L.append('layer { name: "map" type: "MAP" bottom: "prob" '
+                 'bottom: "label" bottom: "group" top: "map" }')
+        L.append('layer { name: "auc" type: "AUC" bottom: "prob" '
+                 'bottom: "label" top: "auc" }')
+    return "\n".join(L) + "\n"
 
 
 def trainer_config_from_prototxt(text: str, **overrides):

@@ -225,3 +225,83 @@ class TestNetPrototxt:
             layer { name: "ip" type: "InnerProduct" bottom: "x" top: "y"
               inner_product_param { num_output: 10 } }
             """)
+
+
+class TestExport:
+    def test_net_roundtrip_all_presets(self):
+        """config -> prototxt -> config is the identity for every
+        reference model variant."""
+        import dataclasses as dc
+
+        from mms_answer_selection_tpu.models.mms_qa import (
+            V3, V4, V4_2, V5, V4_WIDE)
+        from mms_answer_selection_tpu.utils.prototxt import (
+            model_config_from_net_prototxt, net_prototxt_from_config)
+        for preset in (V3, V4, V4_2, V5, V4_WIDE):
+            cfg = dc.replace(preset, vocab_size=1234)
+            text = net_prototxt_from_config(cfg)
+            back = model_config_from_net_prototxt(
+                text, question_len=cfg.question_len,
+                answer_len=cfg.answer_len)
+            assert back == cfg, preset
+
+    def test_solver_roundtrip(self):
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, TrainerConfig)
+        from mms_answer_selection_tpu.utils.prototxt import (
+            solver_prototxt_from_config, trainer_config_from_prototxt)
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                                momentum=0.95, delta=5e-7,
+                                weight_decay=5e-4, clip_gradients=3.0),
+            max_iter=40001, test_interval=100, snapshot_interval=100,
+            seed=22)
+        text = solver_prototxt_from_config(tcfg)
+        back = trainer_config_from_prototxt(text)
+        assert back.solver == tcfg.solver
+        assert back.max_iter == tcfg.max_iter
+        assert back.test_interval == tcfg.test_interval
+        assert back.snapshot_interval == tcfg.snapshot_interval
+        assert back.seed == tcfg.seed
+
+    def test_eval_net_has_metric_heads(self):
+        from mms_answer_selection_tpu.models.mms_qa import V4
+        from mms_answer_selection_tpu.utils.prototxt import (
+            net_prototxt_from_config, parse_prototxt)
+        text = net_prototxt_from_config(V4, phase="eval")
+        d = parse_prototxt(text)
+        types = [la["type"] for la in d["layer"]]
+        assert "MRR" in types and "MAP" in types and "AUC" in types
+        assert 'top: "group"' in text
+
+
+class TestConvertPrototxtCLI:
+    def test_export_trio_roundtrips(self, tmp_path):
+        import dataclasses as dc
+        import json as _json
+
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.models.mms_qa import V4
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, TrainerConfig)
+        from mms_answer_selection_tpu.utils.config import experiment_to_json
+        from mms_answer_selection_tpu.utils.prototxt import (
+            model_config_from_net_prototxt, trainer_config_from_prototxt)
+
+        model_cfg = dc.replace(V4, vocab_size=777)
+        trainer_cfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", clip_gradients=3.0,
+                                max_iter=123),  # poly-policy horizon: keep
+            max_iter=123, test_interval=10,     # consistent w/ the loop's
+            snapshot_interval=10, seed=22)
+        cfg_json = tmp_path / "config.json"
+        cfg_json.write_text(experiment_to_json(model_cfg, trainer_cfg))
+        out = tmp_path / "v4.prototxt"
+        main(["convert", "--config", str(cfg_json), "--out", str(out)])
+        back_model = model_config_from_net_prototxt(out.read_text())
+        assert back_model == model_cfg
+        back_tcfg = trainer_config_from_prototxt(
+            (tmp_path / "v4_solver.prototxt").read_text())
+        assert back_tcfg.solver == trainer_cfg.solver
+        assert back_tcfg.max_iter == 123
+        assert "MRR" in (tmp_path / "v4_eval.prototxt").read_text()
