@@ -104,7 +104,7 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     q = jnp.asarray(rng.normal(size=(n_queries, w1, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
     cand = jnp.asarray(rng.normal(size=(pool_size, w2, d)).astype(np.float32))
-    q_block = 16 if n_queries <= 32 else None
+    q_block = 8 if n_queries <= 8 else 16 if n_queries <= 32 else None
 
     if mode in ("int8", "int4"):
         project_q, pack_q, scores_q = _quant_fns(mode)

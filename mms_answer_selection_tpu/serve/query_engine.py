@@ -207,8 +207,10 @@ class QueryEngine:
 
         def score_local(query_ids, pool, aux):
             # small query batches skip the 128-lane output padding
-            # (q_block): latency-path queries score 8x less padded work
-            q_block = 16 if query_ids.shape[0] <= 32 else None
+            # (q_block): 1-8 queries pad to 8 (16x less padded work than
+            # the full 128-lane tile), 9-32 to 16
+            nq = query_ids.shape[0]
+            q_block = 8 if nq <= 8 else 16 if nq <= 32 else None
             if query_ids.ndim == 3:  # precomputed token embeddings
                 q_tokens = query_ids
             else:
@@ -278,7 +280,8 @@ class QueryEngine:
         chunk_size = self.chunk_size
 
         def query_fn(query_ids, pools, auxs):
-            q_block = 16 if query_ids.shape[0] <= 32 else None
+            nq0 = query_ids.shape[0]
+            q_block = 8 if nq0 <= 8 else 16 if nq0 <= 32 else None
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
