@@ -100,7 +100,8 @@ def _experiment_configs(args, meta):
         V4, vocab_size=meta["vocab_size"], embed_dim=meta["dim"],
         question_len=meta["q_len"], answer_len=meta["a_len"])
     trainer_cfg = TrainerConfig(
-        solver=SolverConfig(), max_iter=args.max_iter,
+        solver=SolverConfig(),
+        max_iter=getattr(args, "max_iter", None) or 40001,
         snapshot_dir=os.path.join(args.exp, "models"))
     return model_cfg, trainer_cfg
 
@@ -121,18 +122,30 @@ def cmd_train(args):
         with open(args.solver_prototxt) as f:
             trainer_cfg = trainer_config_from_prototxt(
                 f.read(), snapshot_dir=os.path.join(args.exp, "models"))
-        if args.max_iter != 40001:  # explicit CLI override wins
+        if args.max_iter is not None:  # explicit CLI override wins
             trainer_cfg = dataclasses.replace(trainer_cfg,
                                               max_iter=args.max_iter)
     if getattr(args, "net_prototxt", None):
         # migrate a reference train-net prototxt (the network_v3/v4/v4_2/
         # v5 family): architecture from the file, token lengths from the
-        # prepped data's meta
-        from .utils.prototxt import model_config_from_net_prototxt
+        # prepped data's meta; the HDF5Data batch_size in the file drives
+        # the training batch (a silently different batch changes gradient
+        # noise and the epoch/early-stop clock)
+        from .utils.prototxt import (
+            model_config_from_net_prototxt, parse_prototxt)
         with open(args.net_prototxt) as f:
-            model_cfg = model_config_from_net_prototxt(
-                f.read(), question_len=meta["q_len"],
-                answer_len=meta["a_len"])
+            net_text = f.read()
+        model_cfg = model_config_from_net_prototxt(
+            net_text, question_len=meta["q_len"],
+            answer_len=meta["a_len"])
+        layers = parse_prototxt(net_text).get("layer", [])
+        for la in (layers if isinstance(layers, list) else [layers]):
+            bs = la.get("hdf5_data_param", {}).get("batch_size")
+            if bs:
+                trainer_cfg = dataclasses.replace(
+                    trainer_cfg,
+                    batch_size=bs[-1] if isinstance(bs, list) else bs)
+                break
         if model_cfg.vocab_size != meta["vocab_size"]:
             log.warning("net prototxt vocab %d != prepped vocab %d; "
                         "using the data's", model_cfg.vocab_size,
@@ -571,7 +584,9 @@ def main(argv=None):
     p.add_argument("--data", required=True)
     p.add_argument("--exp", required=True)
     p.add_argument("--config", help="experiment config json")
-    p.add_argument("--max-iter", type=int, default=40001)
+    p.add_argument("--max-iter", type=int, default=None,
+                   help="iterations (default 40001; always overrides a "
+                        "--solver-prototxt's max_iter when given)")
     p.add_argument("--resume", nargs="?", const="auto",
                    help="resume training from a checkpoint dir (default: "
                         "latest under <exp>/models) -- `caffe train "

@@ -397,7 +397,8 @@ class Trainer:
         stop = False
         it = 0
 
-        if resume_from and resume_from.endswith(".solverstate"):
+        if resume_from and resume_from.endswith((".solverstate",
+                                                 ".solverstate.h5")):
             # resume a REFERENCE training run: restore solver history +
             # iteration from the .solverstate and weights from its
             # learned_net (Solver::Restore, solver.cpp:470-481 +
@@ -488,7 +489,7 @@ class Trainer:
                     yield b
                     s_it += 1
 
-        intervals = [cfg.test_interval]
+        intervals = [cfg.test_interval] if cfg.test_interval else []
         if cfg.snapshot_dir and cfg.snapshot_interval:
             intervals.append(cfg.snapshot_interval)
         stream = batch_stream(it)
@@ -510,7 +511,7 @@ class Trainer:
                     log.info("iter %d loss %.4f (%.1fs)", it,
                              float(loss), time.time() - t0)
 
-                if it % cfg.test_interval == 0:
+                if cfg.test_interval and it % cfg.test_interval == 0:
                     assert j == last_j, "chunk planner missed a boundary"
                     dev = self._eval_step(params, state, dev_batch)
                     dev_map = float(dev["map"])
@@ -541,7 +542,10 @@ class Trainer:
                 if it * samples_per_step >= epoch * train_size:
                     epoch += 1
                     wait_epoch += 1
-                    if wait_epoch > cfg.early_stop_patience:
+                    # early stop needs a dev signal; with test_interval 0
+                    # ("never test", the proto default) train to max_iter
+                    if cfg.test_interval \
+                            and wait_epoch > cfg.early_stop_patience:
                         log.info("Epoch-%d [%d] early stop", epoch, it)
                         stop = True
 
@@ -686,7 +690,7 @@ class Trainer:
                 b["label"] = b["label"][:, 0]
             return b
 
-        intervals = [eval_interval]
+        intervals = [eval_interval] if eval_interval else []
         if cfg.snapshot_dir and cfg.snapshot_interval:
             intervals.append(cfg.snapshot_interval)
         it = it_start
@@ -714,7 +718,7 @@ class Trainer:
                 if log_every and it % log_every == 0:
                     log.info("stream iter %d loss %.4f (%.1fs)", it,
                              float(loss), time.time() - t0)
-                if it % eval_interval == 0:
+                if eval_interval and it % eval_interval == 0:
                     assert j == last_j, "chunk planner missed a boundary"
                     dev = self._eval_step(params, state, dev_batch)
                     dev_map = float(dev["map"])

@@ -28,9 +28,14 @@ import numpy as np
 
 
 def _layer_specs(params, state):
-    """Yields (layer_name, [(param_index, tree, key_path, to_caffe,
-    from_caffe), ...]) for every reference layer present in the trees.
-    ``tree`` is 'params' or 'state'."""
+    """Yields (layer_name, rows, shared) for every reference layer present
+    in the trees; rows = [(param_index, tree, key_path, to_caffe,
+    from_caffe), ...], ``tree`` is 'params' or 'state'.  ``shared`` marks
+    a layer whose params are OWNED elsewhere (w2v_a shares w2v_q's): the
+    HDF5 writer emits it as an empty group (ToHDF5 only saves owners,
+    net.cpp:889-897) while the binaryproto writer duplicates the shared
+    blobs (Net::ToProto serializes every layer's blob list, data-shared,
+    net.cpp:847-856) -- and the loaders accept both conventions."""
     t = lambda *axes: (lambda a: np.transpose(a, axes))  # noqa: E731
     ident = lambda a: a  # noqa: E731
 
@@ -42,19 +47,19 @@ def _layer_specs(params, state):
             rows.append((1, "params", ("embed", "b"),
                          lambda a: np.reshape(a, (1, d)),
                          lambda a: np.reshape(a, (d,))))
-        specs.append(("w2v_q", rows))
-        specs.append(("w2v_a", []))  # shares w2v_q's params: empty group
+        specs.append(("w2v_q", rows, False))
+        specs.append(("w2v_a", rows, True))  # shares w2v_q's params
     if "sim" in params:
         rows = [(0, "params", ("sim", "w"), ident, ident)]
         if "b" in params["sim"]:
             rows.append((1, "params", ("sim", "b"), ident, ident))
-        specs.append(("sim_cross", rows))
+        specs.append(("sim_cross", rows, False))
     i = 0
     while f"conv{i}" in params:
         specs.append((f"conv{i}", [
             (0, "params", (f"conv{i}", "w"), t(3, 2, 0, 1), t(2, 3, 1, 0)),
             (1, "params", (f"conv{i}", "b"), ident, ident),
-        ]))
+        ], False))
         if f"bn{i}" in params:
             c = params[f"bn{i}"]["scale"].shape[0]
             wide = lambda a, c=c: np.reshape(a, (1, c, 1, 1))  # noqa: E731
@@ -64,14 +69,14 @@ def _layer_specs(params, state):
                 (1, "params", (f"bn{i}", "shift"), wide, flat),
                 (2, "state", (f"bn{i}", "mean"), wide, flat),
                 (3, "state", (f"bn{i}", "var"), wide, flat),
-            ]))
+            ], False))
         i += 1
     for name in ("fc1", "fc2"):
         if name in params:
             specs.append((name, [
                 (0, "params", (name, "w"), t(1, 0), t(1, 0)),
                 (1, "params", (name, "b"), ident, ident),
-            ]))
+            ], False))
     return specs
 
 
@@ -99,8 +104,10 @@ def save_caffemodel_h5(path, params, state):
     trees = {"params": params, "state": state}
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
-        for layer, rows in _layer_specs(params, state):
+        for layer, rows, shared in _layer_specs(params, state):
             g = data.create_group(layer)
+            if shared:  # ToHDF5 only saves params that own themselves
+                continue
             for idx, tree, keypath, to_caffe, _ in rows:
                 arr = np.asarray(_get(trees, tree, keypath), np.float32)
                 g.create_dataset(str(idx), data=to_caffe(arr))
@@ -120,7 +127,7 @@ def load_caffemodel_h5(path, params, state):
     params = jax.tree.map(lambda x: x, jax.device_get(params))
     state = jax.tree.map(lambda x: x, jax.device_get(state))
     trees = {"params": params, "state": state}
-    known = {name: rows for name, rows in _layer_specs(params, state)}
+    known = {name: rows for name, rows, _ in _layer_specs(params, state)}
     report: dict = {}
     with h5py.File(path, "r") as f:
         data = f["data"]
@@ -287,8 +294,11 @@ def save_caffemodel_binaryproto(path, params, state):
     state = jax.device_get(state)
     trees = {"params": params, "state": state}
     out = bytearray()
-    for layer, rows in _layer_specs(params, state):
+    for layer, rows, _shared in _layer_specs(params, state):
         body = _field(1, 2, layer.encode())
+        # unlike ToHDF5, Net::ToProto serializes EVERY layer's blob list,
+        # so shared layers carry duplicated (data-shared) blobs too
+        # (net.cpp:847-856) -- CopyTrainedLayersFrom CHECK_EQs the count
         for idx, tree, keypath, to_caffe, _ in rows:
             arr = to_caffe(np.asarray(_get(trees, tree, keypath),
                                       np.float32))
@@ -309,7 +319,7 @@ def load_caffemodel_binaryproto(path, params, state):
     params = jax.tree.map(lambda x: x, jax.device_get(params))
     state = jax.tree.map(lambda x: x, jax.device_get(state))
     trees = {"params": params, "state": state}
-    known = {name: rows for name, rows in _layer_specs(params, state)}
+    known = {name: rows for name, rows, _ in _layer_specs(params, state)}
     report: dict = {}
     with open(path, "rb") as f:
         buf = memoryview(f.read())
@@ -351,9 +361,12 @@ def load_caffemodel_binaryproto(path, params, state):
 
 def _solver_rows(params, state):
     """(is_param, tree, keypath, to_caffe, from_caffe) in the reference
-    net's learnable-param order."""
+    net's learnable-param order (OWNED params only -- shared layers do
+    not add learnable_params entries, net.cpp AppendParam)."""
     rows = []
-    for _, specs in _layer_specs(params, state):
+    for _, specs, shared in _layer_specs(params, state):
+        if shared:
+            continue
         for idx, tree, keypath, to_c, from_c in specs:
             rows.append((tree == "params", tree, keypath, to_c, from_c))
     return rows
@@ -415,7 +428,10 @@ def load_solverstate(path, params, state, opt_state):
             it = int(np.asarray(f["iter"]))
             cur = int(np.asarray(f["current_step"])) \
                 if "current_step" in f else 0
-            learned = (bytes(np.asarray(f["learned_net"])).decode()
+            # hdf5_save_string stores strlen+1 incl. the NUL terminator
+            # (util/hdf5.cpp); strip it or the path never resolves
+            learned = (bytes(np.asarray(f["learned_net"]))
+                       .decode("utf-8", "replace").rstrip("\x00")
                        if "learned_net" in f else "")
             hist = [np.asarray(f["history"][str(i)], np.float32)
                     for i in range(len(f["history"]))]

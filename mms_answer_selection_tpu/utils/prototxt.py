@@ -121,16 +121,20 @@ def solver_config_from_prototxt(text: str):
     stepvalues = d.get("stepvalue", ())
     if not isinstance(stepvalues, (list, tuple)):
         stepvalues = (stepvalues,)
+    # defaults mirror SolverParameter's proto defaults exactly (fields
+    # without a declared default read as 0/empty) so an omitted field
+    # means the same thing it means to the reference -- e.g. momentum has
+    # NO default, so absent momentum is 0, not some house value
     cfg = SolverConfig(
         solver_type=t,
-        base_lr=float(last("base_lr", 0.01)),
+        base_lr=float(last("base_lr", 0.0)),
         lr_policy=str(last("lr_policy", "fixed")),
-        gamma=float(last("gamma", 0.1)),
-        power=float(last("power", 1.0)),
+        gamma=float(last("gamma", 0.0)),
+        power=float(last("power", 0.0)),
         stepsize=int(last("stepsize", 1)),
         stepvalues=tuple(int(v) for v in stepvalues),
         max_iter=int(last("max_iter", 40001)),
-        momentum=float(last("momentum", 0.95)),
+        momentum=float(last("momentum", 0.0)),
         momentum2=float(last("momentum2", 0.999)),
         rms_decay=float(last("rms_decay", 0.99)),
         delta=float(last("delta", 1e-8)),
@@ -141,7 +145,7 @@ def solver_config_from_prototxt(text: str):
     )
     extras = {
         "max_iter": int(last("max_iter", 40001)),
-        "test_interval": int(last("test_interval", 100)),
+        "test_interval": int(last("test_interval", 0)),  # proto default 0
         "snapshot": int(last("snapshot", 0)),
         "snapshot_prefix": last("snapshot_prefix"),
         "random_seed": last("random_seed"),
@@ -261,13 +265,12 @@ def solver_prototxt_from_config(trainer_cfg, *, train_net="train.prototxt",
         f"display: {trainer_cfg.display}",
         f"max_iter: {trainer_cfg.max_iter}",
         f'lr_policy: "{s.lr_policy}"',
+        # written unconditionally (inert for policies that ignore them)
+        # so export -> ingest is the exact identity
+        f"gamma: {s.gamma}",
+        f"power: {s.power}",
+        f"stepsize: {s.stepsize}",
     ]
-    if s.lr_policy in ("step", "exp", "inv", "multistep", "sigmoid"):
-        lines.append(f"gamma: {s.gamma}")
-    if s.lr_policy in ("inv", "poly"):
-        lines.append(f"power: {s.power}")
-    if s.lr_policy in ("step", "sigmoid"):
-        lines.append(f"stepsize: {s.stepsize}")
     for v in s.stepvalues:
         lines.append(f"stepvalue: {v}")
     lines += [
@@ -345,6 +348,14 @@ def net_prototxt_from_config(cfg, *, batch_size=50, source="train.txt",
         L.append(
             f'layer {{ name: "bn{i}" type: "BN" bottom: "conv{i}" '
             f'top: "bn{i}"\n'
+            # the driver pins the running-stat blobs at lr_mult 0
+            # (do_trec_qa_clean.py:357-359) -- omitting these specs would
+            # let a reference run solver-update the BN statistics
+            f'  param {{ name: "bn_{i}_shape" lr_mult: 1 decay_mult: 0 }}\n'
+            f'  param {{ name: "bn_{i}_shift" lr_mult: 1 decay_mult: 0 }}\n'
+            f'  param {{ name: "bn_{i}_mean" lr_mult: 0 decay_mult: 0 }}\n'
+            f'  param {{ name: "bn_{i}_variance" lr_mult: 0 '
+            f'decay_mult: 0 }}\n'
             f'  bn_param {{ scale_filler {{ type: "constant" value: 1 }}\n'
             f'    shift_filler {{ type: "constant" '
             f'value: {cfg.bn_shift_init} }} }} }}')
@@ -383,7 +394,8 @@ def net_prototxt_from_config(cfg, *, batch_size=50, source="train.txt",
         f'top: "fc2"\n'
         f'  param {{ name: "fc2-w" lr_mult: 1 decay_mult: 0 }}\n'
         f'  param {{ name: "fc2-b" lr_mult: 2 decay_mult: 0 }}\n'
-        f'  inner_product_param {{ num_output: {cfg.num_classes} }} }}')
+        f'  inner_product_param {{ num_output: {cfg.num_classes}\n'
+        f'    weight_filler {{ type: "xavier" }} }} }}')  # :438-440
     L.append('layer { name: "loss" type: "SoftmaxWithLoss" '
              'bottom: "fc2" bottom: "label" top: "loss" }')
     if phase == "eval":
@@ -407,7 +419,10 @@ def trainer_config_from_prototxt(text: str, **overrides):
     kwargs = dict(
         solver=solver,
         max_iter=ex["max_iter"],
-        test_interval=ex["test_interval"] or 100,
+        # 0 (the proto default) means "never test" in the reference
+        # (TestAll gated on test_interval, solver.cpp:204-212) -- honored
+        # by the trainer, not coerced to a house default
+        test_interval=ex["test_interval"],
         snapshot_interval=ex["snapshot"],
         display=ex["display"],
     )

@@ -370,3 +370,131 @@ class TestSolverState:
         for a, b in zip(jax.tree.leaves(h_full["params"]),
                         jax.tree.leaves(h_res["params"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestReferenceConventions:
+    """Review findings: the formats must match what the reference ACTUALLY
+    writes/reads, not just our own writer<->reader pair."""
+
+    def test_binaryproto_writes_shared_layer_blobs(self, tmp_path):
+        """Net::ToProto serializes EVERY layer's blobs (shared ones
+        duplicated, net.cpp:847-856); CopyTrainedLayersFrom CHECK_EQs the
+        count, so w2v_a must carry its 2 (data-shared) blobs."""
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            _parse_layers, save_caffemodel_binaryproto)
+        p, s = _init()
+        path = str(tmp_path / "w.caffemodel")
+        save_caffemodel_binaryproto(path, p, s)
+        with open(path, "rb") as f:
+            layers = dict(_parse_layers(memoryview(f.read())))
+        assert len(layers["w2v_a"]) == 2  # duplicated shared blobs
+        np.testing.assert_array_equal(layers["w2v_a"][0],
+                                      layers["w2v_q"][0])
+
+    def test_h5_keeps_shared_group_empty(self, tmp_path):
+        """...while ToHDF5 only saves owners (net.cpp:889-897)."""
+        p, s = _init()
+        path = str(tmp_path / "w.h5")
+        save_caffemodel_h5(path, p, s)
+        with h5py.File(path, "r") as f:
+            assert list(f["data"]["w2v_a"]) == []
+
+    def test_load_binaryproto_with_duplicated_shared_blobs(self, tmp_path):
+        """A real reference-written .caffemodel (w2v_a WITH blobs) loads
+        without error -- the regression the first version raised on."""
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_binaryproto, save_caffemodel_binaryproto)
+        p, s = _init(seed=3)
+        path = str(tmp_path / "w.caffemodel")
+        save_caffemodel_binaryproto(path, p, s)
+        p2, s2, report = load_caffemodel_binaryproto(path, *_init(seed=4))
+        np.testing.assert_array_equal(np.asarray(p2["embed"]["w"]),
+                                      np.asarray(p["embed"]["w"]))
+
+    def test_h5_solverstate_with_nul_learned_net(self, tmp_path):
+        """caffe's hdf5_save_string stores the NUL terminator; the loader
+        must strip it, and fit must route *.solverstate.h5 files."""
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, make_solver)
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_solverstate)
+        p, s = _init(seed=5)
+        solver = make_solver(SolverConfig(solver_type="adadelta"))
+        opt = solver.init(p)
+        opt["h"] = jax.tree.map(lambda x: x + 1.0, opt["h"])
+        # hand-build the HDF5 layout SnapshotSolverStateToHDF5 writes
+        from mms_answer_selection_tpu.utils.caffemodel import _solver_rows
+        rows = _solver_rows(p, s)
+        path = str(tmp_path / "x.solverstate.h5")
+        trees = {"params": p, "state": s}
+        from mms_answer_selection_tpu.utils.caffemodel import _get
+        with h5py.File(path, "w") as f:
+            f.create_dataset("iter", data=np.int64(77))
+            f.create_dataset("current_step", data=np.int64(0))
+            f.create_dataset(
+                "learned_net",
+                data=np.frombuffer(b"net.caffemodel.h5\x00", np.uint8))
+            hist = f.create_group("history")
+            i = 0
+            for acc in ("h", "h2"):
+                for is_param, tree, keypath, to_c, _ in rows:
+                    if is_param:
+                        arr = to_c(np.asarray(
+                            _get({"params": opt[acc]}, "params", keypath),
+                            np.float32))
+                    else:
+                        arr = to_c(np.zeros_like(np.asarray(
+                            _get(trees, tree, keypath), np.float32)))
+                    hist.create_dataset(str(i), data=arr)
+                    i += 1
+        opt2, it, cur, learned, report = load_solverstate(
+            path, p, s, solver.init(p))
+        assert it == 77
+        assert learned == "net.caffemodel.h5"  # NUL stripped
+        for a, b in zip(jax.tree.leaves(opt["h"]),
+                        jax.tree.leaves(opt2["h"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fit_routes_solverstate_h5(self, tmp_path):
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, Trainer, TrainerConfig, make_solver)
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            _get, _solver_rows, save_caffemodel_h5)
+
+        xml, w2v = synthetic_corpus(n_questions=8, answers_per_q=5, seed=9)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                  embed_dim=50)
+        p, s = mms_qa_init(jax.random.PRNGKey(1), cfg)
+        solver = make_solver(SolverConfig(solver_type="adadelta"))
+        opt = solver.init(p)
+        rows = _solver_rows(p, s)
+        trees = {"params": p, "state": s}
+        save_caffemodel_h5(str(tmp_path / "net.caffemodel.h5"), p, s)
+        path = str(tmp_path / "run.solverstate.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("iter", data=np.int64(2))
+            f.create_dataset(
+                "learned_net",
+                data=np.frombuffer(b"net.caffemodel.h5\x00", np.uint8))
+            hist = f.create_group("history")
+            i = 0
+            for acc in ("h", "h2"):
+                for is_param, tree, keypath, to_c, _ in rows:
+                    arr = to_c(np.zeros_like(np.asarray(
+                        _get(trees, tree, keypath), np.float32))) \
+                        if not is_param else to_c(np.asarray(
+                            _get({"params": opt[acc]}, "params", keypath),
+                            np.float32))
+                    hist.create_dataset(str(i), data=arr)
+                    i += 1
+        tcfg = TrainerConfig(solver=SolverConfig(solver_type="adadelta"),
+                             max_iter=4, batch_size=8, test_interval=2,
+                             snapshot_interval=0, seed=22)
+        hist = Trainer(cfg, tcfg).fit(
+            splits["train"], splits["dev"], pretrained=info["pretrained"],
+            resume_from=path)
+        # resumed at iter 2: only the step-2 eval happened
+        assert hist["steps"] == [2]

@@ -305,3 +305,106 @@ class TestConvertPrototxtCLI:
         assert back_tcfg.solver == trainer_cfg.solver
         assert back_tcfg.max_iter == 123
         assert "MRR" in (tmp_path / "v4_eval.prototxt").read_text()
+
+
+class TestProtoFaithfulDefaults:
+    """Review findings: omitted SolverParameter fields must mean what they
+    mean to the reference (proto defaults), and test_interval 0 = never
+    test (solver.cpp:204-212)."""
+
+    def test_absent_momentum_is_zero(self):
+        cfg, _ = solver_config_from_prototxt(
+            'base_lr: 0.01\nlr_policy: "fixed"\ntype: "SGD"')
+        assert cfg.momentum == 0.0  # proto has NO default for momentum
+
+    def test_test_interval_zero_honored(self):
+        tcfg = trainer_config_from_prototxt(
+            'base_lr: 1.0\nlr_policy: "fixed"\ntype: "AdaDelta"\n'
+            'max_iter: 5')
+        assert tcfg.test_interval == 0
+
+    def test_fit_with_test_interval_zero_never_evals(self):
+        import dataclasses as dc
+
+        import numpy as np
+
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.models.mms_qa import V4
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, Trainer, TrainerConfig)
+        xml, w2v = synthetic_corpus(n_questions=6, answers_per_q=4, seed=1)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        cfg = dc.replace(V4, vocab_size=info["vocab_size"], embed_dim=50)
+        tcfg = TrainerConfig(solver=SolverConfig(solver_type="adadelta"),
+                             max_iter=6, batch_size=8, test_interval=0,
+                             snapshot_interval=0, early_stop_patience=1,
+                             train_loss_record_interval=1, seed=22)
+        hist = Trainer(cfg, tcfg).fit(splits["train"], splits["dev"],
+                                      pretrained=info["pretrained"])
+        assert hist["steps"] == [] and hist["dev_map"] == []
+        # no dev signal -> no early stop: ALL 6 iterations ran even with
+        # patience 1 (per-step loss records prove the count)
+        assert len(hist["train_loss"]) == 6
+        assert np.isfinite(hist["train_loss"]).all()
+
+    def test_cli_explicit_max_iter_overrides_prototxt(self, tmp_path):
+        import argparse
+
+        from mms_answer_selection_tpu.cli import main  # noqa: F401
+        # parser-level check: default None distinguishes "not given"
+        from mms_answer_selection_tpu import cli as cli_mod
+        ap = argparse.ArgumentParser()
+        # replicate: the train subparser stores None by default
+        ns = cli_mod.main.__module__  # noqa: F841  (import guard)
+        # functional check via the real parser
+        import sys
+        from unittest import mock
+        captured = {}
+
+        def fake_train(args):
+            captured["max_iter"] = args.max_iter
+        with mock.patch.object(cli_mod, "cmd_train", fake_train):
+            cli_mod.main(["train", "--data", "d", "--exp", "e"])
+            assert captured["max_iter"] is None
+            cli_mod.main(["train", "--data", "d", "--exp", "e",
+                          "--max-iter", "40001"])
+            assert captured["max_iter"] == 40001
+
+
+class TestNetPrototxtCLI:
+    def test_train_with_net_prototxt_takes_batch_size(self, tmp_path):
+        import json as _json
+
+        import numpy as np
+
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, save_dataset, synthetic_corpus)
+
+        xml, w2v = synthetic_corpus(n_questions=6, answers_per_q=4, seed=3)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        data_dir = tmp_path / "prepped"
+        data_dir.mkdir()
+        for name, split in splits.items():
+            save_dataset(str(data_dir / f"{name}.npz"), split)
+        np.savez_compressed(str(data_dir / "vocab.npz"),
+                            pretrained=info["pretrained"],
+                            words=np.asarray(list(info["vocab"])))
+        with open(data_dir / "meta.json", "w") as f:
+            _json.dump({"vocab_size": info["vocab_size"],
+                        "unknown_idx": info["unknown_idx"],
+                        "pad_idx": info["pad_idx"], "dim": 50,
+                        "q_len": 40, "a_len": 40}, f)
+        net = tmp_path / "train.prototxt"
+        net.write_text(V4_NET.replace("batch_size: 50", "batch_size: 10"))
+        exp = tmp_path / "run"
+        main(["train", "--data", str(data_dir), "--exp", str(exp),
+              "--net-prototxt", str(net), "--max-iter", "2"])
+        with open(exp / "config.json") as f:
+            saved = _json.dumps(_json.load(f))
+        # architecture from the file, batch from its hdf5_data_param,
+        # vocab corrected to the prepped data's
+        assert '"batch_size": 10' in saved
+        assert '"sim_measures": 4' in saved
+        assert f'"vocab_size": {info["vocab_size"]}' in saved
