@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--fused-steps", type=int, default=1,
                     help="steps per dispatch (Trainer.fit "
                          "steps_per_dispatch)")
+    ap.add_argument("--hard", action="store_true",
+                    help="inject intrinsic Bayes error (weak positives + "
+                         "on-topic distractor negatives) so MAP converges "
+                         "to an interior asymptote like real data")
     ap.add_argument("--seed", type=int, default=22)
     args = ap.parse_args()
 
@@ -75,9 +79,17 @@ def main():
     t0 = time.time()
     world = synthetic_world(vocab_words=args.vocab_words,
                             n_topics=args.topics, seed=args.seed)
-    train_xml = synthetic_split(world, args.train_q, 30, 50, seed=101)
-    dev_xml = synthetic_split(world, args.dev_q, 12, 24, seed=202)
-    test_xml = synthetic_split(world, args.test_q, 15, 29, seed=303)
+    # distractor negatives are MORE on-topic (0.30) than weak positives
+    # (0.12): the Bayes-optimal ranker must misorder those pairs, so MAP
+    # converges to an interior asymptote (like real data) by construction
+    hard = dict(weak_pos_frac=0.35, weak_topic_rate=0.12,
+                distractor_frac=0.30, distractor_topic_rate=0.30) \
+        if args.hard else {}
+    train_xml = synthetic_split(world, args.train_q, 30, 50, seed=101,
+                                **hard)
+    dev_xml = synthetic_split(world, args.dev_q, 12, 24, seed=202, **hard)
+    test_xml = synthetic_split(world, args.test_q, 15, 29, seed=303,
+                               **hard)
     splits, info = prepare_trec_qa(train_xml, dev_xml, test_xml,
                                    world["w2v"])
     sizes = {k: int(len(v["label"])) for k, v in splits.items()}

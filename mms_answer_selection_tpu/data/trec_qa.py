@@ -255,7 +255,9 @@ def synthetic_world(vocab_words=22500, n_topics=250, n_common=500, dim=50,
 
 def synthetic_split(world, n_questions, answers_lo, answers_hi, seed, *,
                     pos_frac=0.25, q_tokens=(5, 10), a_tokens=(10, 28),
-                    literal_rate=0.10, topic_rate=0.45, all_neg_frac=0.03):
+                    literal_rate=0.10, topic_rate=0.45, all_neg_frac=0.03,
+                    weak_pos_frac=0.0, weak_topic_rate=0.2,
+                    distractor_frac=0.0, distractor_topic_rate=0.2):
     """One TREC-QA-format XML split over a :func:`synthetic_world`.
 
     Per question: a topic t, question tokens mostly from pool t; positive
@@ -266,6 +268,14 @@ def synthetic_split(world, n_questions, answers_lo, answers_hi, seed, *,
     embedding-space topic structure.  ``all_neg_frac`` questions have no
     positive answer (the effective-group filter case, map_layer.cpp:50-55).
     Answer counts vary per question like the real corpus (~22/q on test).
+
+    Hardness knobs (default off; the 'hard' rehearsal variant uses them to
+    give the task intrinsic Bayes error, so MAP converges to an interior
+    asymptote like real data instead of saturating at 1.0):
+    ``weak_pos_frac`` of positives draw topic words at only
+    ``weak_topic_rate`` (barely-relevant answers), and ``distractor_frac``
+    of negatives additionally draw ``distractor_topic_rate`` of their
+    tokens from the QUESTION's topic pool (on-topic-but-wrong answers).
     """
     rng = np.random.default_rng(seed)
     pools = world["topic_pools"]
@@ -299,14 +309,28 @@ def synthetic_split(world, n_questions, answers_lo, answers_hi, seed, *,
             pos = bool(ai < n_pos)
             na = int(rng.integers(a_tokens[0], a_tokens[1] + 1))
             n_lit = int(round(na * literal_rate))
-            n_top = int(round(na * topic_rate))
+            rate = topic_rate
             src = pos_pool if pos else \
                 pools[(t + 1 + int(rng.integers(0, n_topics - 1)))
                       % n_topics]
+            # short-circuit so disabled knobs consume NO rng draws (the
+            # default stream -- and the committed artifacts -- stay exact)
+            if weak_pos_frac and pos and rng.random() < weak_pos_frac:
+                rate = weak_topic_rate        # barely-relevant positive
+            if distractor_frac and not pos \
+                    and rng.random() < distractor_frac:
+                # on-topic-but-wrong: question-topic words at
+                # distractor_topic_rate and NO foreign-topic block --
+                # token-for-token the weak-positive recipe, so when the
+                # two rates' densities overlap, no ranker can separate
+                # these from weak positives (intrinsic Bayes error)
+                rate = distractor_topic_rate
+                src = pos_pool
+            n_top = int(round(na * rate))
             toks = (draw(src, n_top)
                     + [q_toks[i] for i in rng.integers(0, len(q_toks),
-                                                       size=n_lit)]
-                    + draw(common, na - n_top - n_lit))
+                                                       size=n_lit)])
+            toks += draw(common, max(0, na - len(toks)))
             rng.shuffle(toks)
             tag = "positive" if pos else "negative"
             lines.append(f"<{tag}>")
