@@ -90,3 +90,41 @@ def test_full_v4_learns_above_chance():
     assert abs(float(res["mrr"]) - np_mrr) < 1e-5
     assert abs(ev["map"] - np_map) < 1e-9
     assert abs(ev["recip_rank"] - np_mrr) < 1e-9
+
+
+def test_hard_variant_has_intrinsic_bayes_error():
+    """The --hard construction: distractor negatives are built from the
+    weak-positive recipe with HIGHER topic density, so a density-optimal
+    ranker must misorder those pairs -- an irreducible error floor (the
+    docs/runs/recipe_scale_v4_hard artifact's claim, checked on the
+    corpus itself)."""
+    world = synthetic_world(vocab_words=3000, n_topics=60, seed=22)
+    xml = synthetic_split(world, 150, 30, 50, seed=7,
+                          weak_pos_frac=0.35, weak_topic_rate=0.12,
+                          distractor_frac=0.30, distractor_topic_rate=0.30)
+    splits, info = prepare_trec_qa(xml, xml, xml, world["w2v"])
+    tr = splits["train"]
+    # density of question-topic tokens per answer, computed from the raw
+    # corpus via the vocab: words named t<topic>w<i>
+    qids, questions, answers, labels = \
+        __import__("mms_answer_selection_tpu.data.trec_qa",
+                   fromlist=["parse_trec_xml"]).parse_trec_xml(xml)
+
+    def topic_of(tok):
+        return int(tok[1:].split("w")[0]) if tok.startswith("t") else -1
+
+    weak_pos, distract = [], []
+    for q, a, lab in zip(questions, answers, labels):
+        q_topics = [topic_of(w) for w in q if topic_of(w) >= 0]
+        if not q_topics:
+            continue
+        t = max(set(q_topics), key=q_topics.count)
+        dens = sum(1 for w in a if topic_of(w) == t) / len(a)
+        if lab == 1 and dens < 0.2:
+            weak_pos.append(dens)
+        if lab == 0 and dens > 0.2:
+            distract.append(dens)
+    assert len(weak_pos) > 50 and len(distract) > 100
+    # the discriminative feature ORDERS THE CLASSES BACKWARDS for these
+    # subsets: every such distractor outranks every such weak positive
+    assert float(np.mean(distract)) > float(np.mean(weak_pos)) + 0.1

@@ -185,3 +185,48 @@ class TestStreamFusedDispatch:
         assert len(hist["train_loss"]) > 0
         assert np.isfinite(hist["train_loss"]).all()
         pf.close(); store.close()
+
+
+class TestFusedOnMesh:
+    def test_fit_fused_on_dp_mesh_matches_k1(self, corpus):
+        """fit(steps_per_dispatch=K) under a dp mesh: step-identical
+        history to K=1 on the same mesh (the P2PSync-replacement path
+        combined with the fused dispatch)."""
+        from mms_answer_selection_tpu.parallel import make_mesh
+        splits, info, model_cfg = corpus
+        mesh = make_mesh()
+        # dev sliced to a dp-divisible row count (the eval step shards
+        # the batch over dp)
+        dev = {k: v[:56] for k, v in splits["dev"].items()}
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", weight_decay=5e-4),
+            max_iter=16, batch_size=16, test_interval=8,
+            snapshot_interval=0, early_stop_patience=99, seed=22)
+        h1 = Trainer(model_cfg, tcfg, mesh=mesh).fit(
+            splits["train"], dev, pretrained=info["pretrained"])
+        hk = Trainer(model_cfg, tcfg, mesh=mesh).fit(
+            splits["train"], dev, pretrained=info["pretrained"],
+            steps_per_dispatch=8)
+        assert h1["steps"] == hk["steps"]
+        np.testing.assert_allclose(hk["train_loss"], h1["train_loss"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(hk["dev_map"], h1["dev_map"],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fit_stream_fused_on_dp_mesh(self, corpus):
+        from mms_answer_selection_tpu.parallel import make_mesh
+        splits, info, model_cfg = corpus
+        mesh = make_mesh()
+        tcfg = TrainerConfig(
+            solver=SolverConfig(solver_type="adadelta", weight_decay=5e-4),
+            max_iter=12, batch_size=16, test_interval=6,
+            snapshot_interval=0, early_stop_patience=99, seed=22)
+        it = BatchIterator(
+            ArrayDataset({k: v for k, v in splits["train"].items()
+                          if k != "group"}), 16, seed=22)
+        dev = {k: v[:56] for k, v in splits["dev"].items()}
+        hist = Trainer(model_cfg, tcfg, mesh=mesh).fit_stream(
+            it, dev, steps=12, pretrained=info["pretrained"],
+            steps_per_dispatch=6)
+        assert np.isfinite(hist["train_loss"]).all()
+        assert len(hist["dev_map"]) == 2  # evals at 0 and 6
