@@ -447,10 +447,14 @@ def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
 
 C_SUB_INT8 = 64   # tuned on v5e: 64 > 32 > 16 > 8 (154.7M pairs/s);
                   # 128 overflows the compiler's scoped-vmem budget
+C_BLOCK_INT8 = 256  # int8-only: halving the grid count bought +3%
+                    # (180.2M vs 175.0M at 256q x 262k); bf16 at 256
+                    # overflows scoped vmem (2x the chunk bytes), so the
+                    # global C_BLOCK stays 128
 
 
 def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
-                                c_block: int = C_BLOCK,
+                                c_block: int = C_BLOCK_INT8,
                                 c_sub: int = C_SUB_INT8,
                                 q_sub: int = Q_SUB,
                                 q_block: int | None = None,
@@ -463,6 +467,7 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
     nq, rows_per_q, dp = qw_i8.shape
     c = pool_i8.shape[0]
     w2p = pool_i8.shape[1]
+    c_block = min(c_block, c)  # small pools: one tile covers everything
     if c % c_block:
         raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
     if c_block % c_sub:

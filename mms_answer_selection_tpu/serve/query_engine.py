@@ -129,12 +129,14 @@ class QueryEngine:
         return self._build(candidate_tokens, lambda chunk: chunk)
 
     def _build(self, candidates, to_tokens):
+        from ..ops.sim_cross_pallas import C_BLOCK_INT8
         c = candidates.shape[0]
         shards = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        # pad pool to a multiple of (shards * C_BLOCK); single-device
-        # pools above chunk_size additionally pad to a chunk multiple
-        mult = shards * C_BLOCK
+        # pad pool to a multiple of (shards * the mode's c_block); single-
+        # device pools above chunk_size additionally pad to a chunk multiple
+        blk = C_BLOCK_INT8 if self.quant == "int8" else C_BLOCK
+        mult = shards * blk
         chunked = self.mesh is None and c > self.chunk_size
         if chunked:
             mult = max(mult, self.chunk_size)
