@@ -367,17 +367,22 @@ def cmd_convert(args):
             sys.exit("convert needs --ckpt (export) or --caffemodel "
                      "(import)")
         bundle, meta = load_checkpoint(args.ckpt)
-        if args.out.endswith(".solverstate"):
-            # full resumable pair: OUT.solverstate + sibling .caffemodel
-            # (what `caffe train -snapshot` consumes)
-            from .utils.caffemodel import save_solverstate_binaryproto
+        if args.out.endswith((".solverstate", ".solverstate.h5")):
+            # full resumable pair: OUT.solverstate[.h5] + sibling
+            # .caffemodel[.h5] (what `caffe train -snapshot` consumes),
+            # format picked by the suffix like Solver::SnapshotSolverState
+            from .utils.caffemodel import (
+                save_solverstate_binaryproto, save_solverstate_h5)
             if "opt_state" not in bundle:
                 sys.exit("checkpoint has no opt_state (training snapshot "
                          "required for a .solverstate export)")
-            weights = args.out[: -len(".solverstate")] + ".caffemodel"
-            save_caffemodel_binaryproto(weights, bundle["params"],
-                                        bundle.get("state") or {})
-            save_solverstate_binaryproto(
+            h5 = args.out.endswith(".h5")
+            stem = args.out[: -len(".solverstate.h5" if h5
+                                   else ".solverstate")]
+            weights = stem + (".caffemodel.h5" if h5 else ".caffemodel")
+            (save_caffemodel_h5 if h5 else save_caffemodel_binaryproto)(
+                weights, bundle["params"], bundle.get("state") or {})
+            (save_solverstate_h5 if h5 else save_solverstate_binaryproto)(
                 args.out, bundle["params"], bundle.get("state") or {},
                 bundle["opt_state"], int(meta.get("step", 0)) + 1,
                 learned_net=os.path.basename(weights))

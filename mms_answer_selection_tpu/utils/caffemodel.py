@@ -404,6 +404,46 @@ def save_solverstate_binaryproto(path, params, state, opt_state, it, *,
     return path
 
 
+def save_solverstate_h5(path, params, state, opt_state, it, *,
+                        current_step=0, learned_net=""):
+    """The HDF5 solverstate variant (SnapshotSolverStateToHDF5,
+    sgd_solver.cpp:279-302): int datasets `iter`/`current_step`, a
+    NUL-terminated `learned_net` string (hdf5_save_string convention),
+    and a `history` group of 0..k-1 datasets in learnable-param order."""
+    import h5py
+    import jax
+
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+    opt_state = jax.device_get(opt_state)
+    trees = {"params": params, "state": state}
+    rows = _solver_rows(params, state)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("iter", data=np.int64(it))
+        f.create_dataset("current_step", data=np.int64(current_step))
+        if learned_net:
+            f.create_dataset(
+                "learned_net",
+                data=np.frombuffer(learned_net.encode() + b"\x00",
+                                   np.uint8))
+        hist = f.create_group("history")
+        i = 0
+        for acc in ("h", "h2"):
+            if acc not in opt_state:
+                continue
+            for is_param, tree, keypath, to_c, _ in rows:
+                if is_param:
+                    arr = to_c(np.asarray(
+                        _get({"params": opt_state[acc]}, "params",
+                             keypath), np.float32))
+                else:  # BN stat slot: lr_mult 0, dead weight
+                    arr = to_c(np.zeros_like(np.asarray(
+                        _get(trees, tree, keypath), np.float32)))
+                hist.create_dataset(str(i), data=arr)
+                i += 1
+    return path
+
+
 def load_solverstate(path, params, state, opt_state):
     """Restore solver history + iteration from a reference `.solverstate`
     (binaryproto or the HDF5 variant, dispatched on the file magic) into a

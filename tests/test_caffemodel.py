@@ -498,3 +498,61 @@ class TestReferenceConventions:
             resume_from=path)
         # resumed at iter 2: only the step-2 eval happened
         assert hist["steps"] == [2]
+
+
+class TestSolverStateH5Export:
+    def test_h5_roundtrip(self, tmp_path):
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, make_solver)
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_solverstate, save_solverstate_h5)
+        p, s = _init(seed=2)
+        solver = make_solver(SolverConfig(solver_type="adam"))
+        opt = solver.init(p)
+        opt["h"] = jax.tree.map(lambda x: x + 0.25, opt["h"])
+        path = str(tmp_path / "x.solverstate.h5")
+        save_solverstate_h5(path, p, s, opt, 55,
+                            learned_net="x.caffemodel.h5")
+        opt2, it, cur, learned, _ = load_solverstate(path, p, s,
+                                                     solver.init(p))
+        assert it == 55 and learned == "x.caffemodel.h5"
+        for a, b in zip(jax.tree.leaves(opt["h"]),
+                        jax.tree.leaves(opt2["h"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cli_h5_pair_resumes(self, tmp_path):
+        """qa convert --out x.solverstate.h5 writes a pair that
+        fit(resume_from=...) restores exactly (the .h5 flavor of the
+        cross-format continuation test)."""
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data import (
+            prepare_trec_qa, synthetic_corpus)
+        from mms_answer_selection_tpu.training import (
+            SolverConfig, Trainer, TrainerConfig)
+
+        xml, w2v = synthetic_corpus(n_questions=8, answers_per_q=5, seed=6)
+        splits, info = prepare_trec_qa(xml, xml, xml, w2v)
+        cfg = dataclasses.replace(V4, vocab_size=info["vocab_size"],
+                                  embed_dim=50)
+
+        def tcfg(snapdir):
+            return TrainerConfig(
+                solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                                    momentum=0.95, delta=5e-7,
+                                    weight_decay=5e-4),
+                max_iter=12, batch_size=10, test_interval=4,
+                snapshot_interval=4, early_stop_patience=99, seed=22,
+                snapshot_dir=str(snapdir))
+
+        h_full = Trainer(cfg, tcfg(tmp_path / "full")).fit(
+            splits["train"], splits["dev"], pretrained=info["pretrained"])
+        ss = tmp_path / "export.solverstate.h5"
+        main(["convert", "--ckpt", str(tmp_path / "full" / "qa_iter_4"),
+              "--out", str(ss)])
+        assert (tmp_path / "export.caffemodel.h5").exists()
+        h_res = Trainer(cfg, tcfg(tmp_path / "res")).fit(
+            splits["train"], splits["dev"], pretrained=info["pretrained"],
+            resume_from=str(ss))
+        full = dict(zip(h_full["steps"], h_full["dev_map"]))
+        res = dict(zip(h_res["steps"], h_res["dev_map"]))
+        assert 8 in res and res[8] == full[8]
