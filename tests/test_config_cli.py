@@ -111,6 +111,20 @@ class TestCLI:
         rec = json.loads(lines[-1])
         assert len(rec["topk"]) == 3
 
+        # quantized pool flags: --int8 compat switch and --pool-dtype int4
+        main(["serve", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path), "--k", "3", "--n-queries", "1", "--int8"])
+        rec8 = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        assert len(rec8["topk"]) == 3
+        main(["serve", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path), "--k", "3", "--n-queries", "1",
+              "--pool-dtype", "int4"])
+        rec4 = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        assert len(rec4["topk"]) == 3
+        # quantized top-k stays close to exact for this tiny pool
+        exact = {i for i, _ in rec["topk"]}
+        assert len(exact & {i for i, _ in rec4["topk"]}) >= 1
+
     def test_device_query(self, capsys):
         from mms_answer_selection_tpu.cli import main
         main(["device_query"])
