@@ -44,7 +44,15 @@ def run_maxsim_bench(pool_size: int, n_queries: int, iters: int,
     from mms_answer_selection_tpu.ops.sim_cross_pallas import (
         bilinear_maxsim_scores, pack_candidate_pool, project_queries)
 
+    from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+        C_BLOCK, C_BLOCK_BY_MODE)
+
     d, w1, w2, m = 50, 40, 40, 4
+    blk = C_BLOCK_BY_MODE.get(mode, C_BLOCK)
+    if pool_size % blk:  # kernel scores c_block-sized candidate tiles
+        pool_size = -(-pool_size // blk) * blk
+        print(f"pool rounded up to {pool_size} (c_block {blk})",
+              file=sys.stderr)
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(n_queries, w1, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)

@@ -452,6 +452,11 @@ C_BLOCK_INT8 = 256  # int8-only: halving the grid count bought +3%
                     # overflows scoped vmem (2x the chunk bytes), so the
                     # global C_BLOCK stays 128
 
+# per-mode candidate-tile defaults -- pool padding/chunking must use the
+# mode's block (the engine reads this table; keeping it NEXT to the
+# kernels prevents the pairing from drifting)
+C_BLOCK_BY_MODE = {"int8": C_BLOCK_INT8, "int4": C_BLOCK}
+
 
 def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
                                 c_block: int = C_BLOCK_INT8,

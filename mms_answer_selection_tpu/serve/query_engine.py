@@ -29,6 +29,7 @@ from ..models.mms_qa import MMSQAConfig, mms_qa_apply
 from ..ops.embed import embed_lookup
 from ..ops.sim_cross_pallas import (
     C_BLOCK,
+    C_BLOCK_BY_MODE,
     bilinear_maxsim_scores,
     bilinear_maxsim_scores_int4,
     bilinear_maxsim_scores_int8,
@@ -129,13 +130,16 @@ class QueryEngine:
         return self._build(candidate_tokens, lambda chunk: chunk)
 
     def _build(self, candidates, to_tokens):
-        from ..ops.sim_cross_pallas import C_BLOCK_INT8
         c = candidates.shape[0]
         shards = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         # pad pool to a multiple of (shards * the mode's c_block); single-
         # device pools above chunk_size additionally pad to a chunk multiple
-        blk = C_BLOCK_INT8 if self.quant == "int8" else C_BLOCK
+        blk = C_BLOCK_BY_MODE.get(self.quant, C_BLOCK)
+        if self.chunk_size % blk:
+            # chunks are scored as standalone pools, so each must divide
+            # the mode's c_block -- round the user's chunk_size up
+            self.chunk_size = -(-self.chunk_size // blk) * blk
         mult = shards * blk
         chunked = self.mesh is None and c > self.chunk_size
         if chunked:

@@ -380,67 +380,65 @@ def save_solverstate_binaryproto(path, params, state, opt_state, it, *,
     params = jax.device_get(params)
     state = jax.device_get(state)
     opt_state = jax.device_get(opt_state)
-    trees = {"params": params, "state": state}
-    rows = _solver_rows(params, state)
     out = bytearray()
     out += _field(1, 0, int(it))
     if learned_net:
         out += _field(2, 2, learned_net.encode())
-    for acc in ("h", "h2"):
-        if acc not in opt_state:
-            continue
-        for is_param, tree, keypath, to_c, _ in rows:
-            if is_param:
-                arr = to_c(np.asarray(
-                    _get({"params": opt_state[acc]}, "params", keypath),
-                    np.float32))
-            else:  # BN stat slot: lr_mult 0, accumulator is dead weight
-                arr = to_c(np.zeros_like(
-                    np.asarray(_get(trees, tree, keypath), np.float32)))
-            out += _field(3, 2, _emit_blob(arr))
+    for arr in _solver_history_arrays(params, state, opt_state):
+        out += _field(3, 2, _emit_blob(arr))
     out += _field(4, 0, int(current_step))
     with open(path, "wb") as f:
         f.write(bytes(out))
     return path
 
 
+def _solver_history_arrays(params, state, opt_state):
+    """Yields the ordered history blobs both solverstate exporters write:
+    per accumulator ('h' then 'h2' when present), one caffe-layout array
+    per learnable-param row, with BN stat slots zero-filled (their
+    lr_mult is 0 -- dead weight either way)."""
+    trees = {"params": params, "state": state}
+    rows = _solver_rows(params, state)
+    for acc in ("h", "h2"):
+        if acc not in opt_state:
+            continue
+        for is_param, tree, keypath, to_c, _ in rows:
+            if is_param:
+                yield to_c(np.asarray(
+                    _get({"params": opt_state[acc]}, "params", keypath),
+                    np.float32))
+            else:
+                yield to_c(np.zeros_like(np.asarray(
+                    _get(trees, tree, keypath), np.float32)))
+
+
 def save_solverstate_h5(path, params, state, opt_state, it, *,
                         current_step=0, learned_net=""):
     """The HDF5 solverstate variant (SnapshotSolverStateToHDF5,
     sgd_solver.cpp:279-302): int datasets `iter`/`current_step`, a
-    NUL-terminated `learned_net` string (hdf5_save_string convention),
-    and a `history` group of 0..k-1 datasets in learnable-param order."""
+    `learned_net` STRING dataset in the H5LTmake_dataset_string
+    convention (scalar fixed-length string of strlen+1 incl. the NUL
+    terminator -- hdf5_load_string allocates by the TYPE size, so a
+    uint8-array dataset would make it under-allocate), and a `history`
+    group of 0..k-1 datasets in learnable-param order."""
     import h5py
     import jax
 
     params = jax.device_get(params)
     state = jax.device_get(state)
     opt_state = jax.device_get(opt_state)
-    trees = {"params": params, "state": state}
-    rows = _solver_rows(params, state)
     with h5py.File(path, "w") as f:
         f.create_dataset("iter", data=np.int64(it))
         f.create_dataset("current_step", data=np.int64(current_step))
         if learned_net:
-            f.create_dataset(
-                "learned_net",
-                data=np.frombuffer(learned_net.encode() + b"\x00",
-                                   np.uint8))
+            dt = h5py.string_dtype(encoding="ascii",
+                                   length=len(learned_net) + 1)
+            f.create_dataset("learned_net", data=learned_net.encode(),
+                             dtype=dt)
         hist = f.create_group("history")
-        i = 0
-        for acc in ("h", "h2"):
-            if acc not in opt_state:
-                continue
-            for is_param, tree, keypath, to_c, _ in rows:
-                if is_param:
-                    arr = to_c(np.asarray(
-                        _get({"params": opt_state[acc]}, "params",
-                             keypath), np.float32))
-                else:  # BN stat slot: lr_mult 0, dead weight
-                    arr = to_c(np.zeros_like(np.asarray(
-                        _get(trees, tree, keypath), np.float32)))
-                hist.create_dataset(str(i), data=arr)
-                i += 1
+        for i, arr in enumerate(
+                _solver_history_arrays(params, state, opt_state)):
+            hist.create_dataset(str(i), data=arr)
     return path
 
 

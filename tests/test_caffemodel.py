@@ -513,6 +513,10 @@ class TestSolverStateH5Export:
         path = str(tmp_path / "x.solverstate.h5")
         save_solverstate_h5(path, p, s, opt, 55,
                             learned_net="x.caffemodel.h5")
+        # learned_net must be a STRING-typed dataset (hdf5_load_string
+        # allocates by the type size; a uint8 array would under-allocate)
+        with h5py.File(path, "r") as f:
+            assert h5py.check_string_dtype(f["learned_net"].dtype)
         opt2, it, cur, learned, _ = load_solverstate(path, p, s,
                                                      solver.init(p))
         assert it == 55 and learned == "x.caffemodel.h5"

@@ -275,3 +275,20 @@ class TestInt4Engine:
         _, params, state, cand_ids = _engine(n_cand=64)
         with pytest.raises(ValueError):
             QueryEngine(params, CFG, pool_dtype="int2")
+
+
+class TestChunkBlockAlignment:
+    def test_odd_chunk_size_rounded_to_mode_block(self):
+        """Review regression: an int8 chunk_size that is not a multiple of
+        the mode's c_block must be rounded up at build, not explode at
+        query time."""
+        _, params, state, cand_ids = _engine(n_cand=64)
+        rng2 = np.random.default_rng(1)
+        big = rng2.integers(0, 64, (600, 6)).astype(np.int32)
+        eng = QueryEngine(params, CFG, pool_dtype="int8", chunk_size=300,
+                          interpret=True).build_index(big)
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            C_BLOCK_BY_MODE)
+        assert eng.chunk_size % C_BLOCK_BY_MODE["int8"] == 0
+        v, i = eng.query(rng2.integers(0, 64, (2, 6)), k=5)
+        assert np.isfinite(np.asarray(v)).all()

@@ -98,17 +98,15 @@ def test_hard_variant_has_intrinsic_bayes_error():
     ranker must misorder those pairs -- an irreducible error floor (the
     docs/runs/recipe_scale_v4_hard artifact's claim, checked on the
     corpus itself)."""
+    from mms_answer_selection_tpu.data.trec_qa import parse_trec_xml
+
     world = synthetic_world(vocab_words=3000, n_topics=60, seed=22)
     xml = synthetic_split(world, 150, 30, 50, seed=7,
                           weak_pos_frac=0.35, weak_topic_rate=0.12,
                           distractor_frac=0.30, distractor_topic_rate=0.30)
-    splits, info = prepare_trec_qa(xml, xml, xml, world["w2v"])
-    tr = splits["train"]
     # density of question-topic tokens per answer, computed from the raw
-    # corpus via the vocab: words named t<topic>w<i>
-    qids, questions, answers, labels = \
-        __import__("mms_answer_selection_tpu.data.trec_qa",
-                   fromlist=["parse_trec_xml"]).parse_trec_xml(xml)
+    # corpus directly: words are named t<topic>w<i>
+    qids, questions, answers, labels = parse_trec_xml(xml)
 
     def topic_of(tok):
         return int(tok[1:].split("w")[0]) if tok.startswith("t") else -1
