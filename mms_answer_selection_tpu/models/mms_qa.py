@@ -179,17 +179,24 @@ def sim_map(params, q_emb, a_emb, cfg: MMSQAConfig):
 
 
 def mms_qa_apply(params, state, batch, cfg: MMSQAConfig, *, train: bool,
-                 rng=None, compute_dtype=None):
+                 rng=None, compute_dtype=None, q_emb=None, a_emb=None):
     """Forward pass.
 
     batch: {'question': int (N, W1), 'answer': int (N, W2),
             'overlap_feat': (N, F), optional 'label': int (N,)}
     Returns (out, new_state) with out = {'logits', 'prob'[, 'loss']}.
+
+    q_emb/a_emb: optional precomputed (N, W, D) embedding activations that
+    REPLACE the table lookups -- differentiating the loss w.r.t. these is
+    exactly the reference's embedding-output backprop (the saliency path,
+    do_trec_qa_clean.py:654-779) without duplicating the forward chain.
     """
     if train and rng is None:
         raise ValueError("training forward needs a dropout rng")
-    q_emb = embed_lookup(params["embed"], batch["question"])
-    a_emb = embed_lookup(params["embed"], batch["answer"])
+    if q_emb is None:
+        q_emb = embed_lookup(params["embed"], batch["question"])
+    if a_emb is None:
+        a_emb = embed_lookup(params["embed"], batch["answer"])
     x = sim_map(params, q_emb, a_emb, cfg)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -57,6 +57,26 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _fit_c_block(c: int, c_block: int, c_sub: int) -> int:
+    """Candidate tile that tiles a pool of ``c`` rows: min(c_block, c) when
+    that divides c, else the largest divisor of c that is <= c_block and a
+    multiple of c_sub.  Direct callers with pools sized off the default
+    block (e.g. 384 against the int8 default of 256) keep working; only
+    QueryEngine pads pools to C_BLOCK_BY_MODE multiples."""
+    c_block = min(c_block, c)
+    if c % c_block == 0:
+        return c_block
+    b = c_block - c_block % c_sub
+    while b >= c_sub:
+        if c % b == 0:
+            return b
+        b -= c_sub
+    raise ValueError(
+        f"pool size {c} has no tile <= {c_block} that is a multiple of "
+        f"c_sub {c_sub}; pad the pool to a c_block multiple "
+        f"(C_BLOCK_BY_MODE) the way QueryEngine does")
+
+
 # ===========================================================================
 # training-path pair maps with analytic VJP
 # ===========================================================================
@@ -266,8 +286,8 @@ def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
     nq, rows_per_q, dp = qw.shape
     c, w2p, dp2 = pool.shape
     assert dp == dp2
-    if c % c_block:
-        raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
+    c_block = _fit_c_block(c, c_block, min(c_sub, c))
+    c_sub = min(c_sub, c_block)
     if c_block % c_sub:
         # the kernel iterates range(c_block // c_sub) sub-chunks: a
         # non-dividing c_sub would SILENTLY skip the remainder candidates
@@ -472,9 +492,10 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
     nq, rows_per_q, dp = qw_i8.shape
     c = pool_i8.shape[0]
     w2p = pool_i8.shape[1]
-    c_block = min(c_block, c)  # small pools: one tile covers everything
-    if c % c_block:
-        raise ValueError(f"pool size {c} not divisible by c_block {c_block}")
+    # small pools: one tile covers everything; pools that are 128- but not
+    # 256-multiples shrink to the largest fitting c_sub-multiple tile
+    c_block = _fit_c_block(c, c_block, min(c_sub, c))
+    c_sub = min(c_sub, c_block)
     if c_block % c_sub:
         raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
     q_align = q_sub if interpret else (q_block or Q_BLOCK)

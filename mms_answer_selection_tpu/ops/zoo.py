@@ -108,6 +108,26 @@ def lrn_across_channels(x, *, local_size: int = 5, alpha: float = 1.0,
     return x / (k + (alpha / local_size) * window) ** beta
 
 
+def lrn_within_channel(x, *, local_size: int = 5, alpha: float = 1.0,
+                       beta: float = 0.75):
+    """LRNLayer WITHIN_CHANNEL mode over NHWC (lrn_layer.cpp:17-67):
+    y = x * (1 + alpha * avepool(x^2))^-beta, with an AVE pool of kernel
+    local_size, stride 1, pad (local_size-1)/2.  Two reference quirks
+    reproduced: ``k`` is IGNORED in this mode (the internal PowerLayer's
+    shift is hardcoded to 1, lrn_layer.cpp:53) and alpha is NOT divided by
+    the window size (the AVE pool's divisor supplies the /N^2, :47-54,
+    including its count-padded-cells boundary behavior)."""
+    if local_size % 2 != 1:
+        raise ValueError("LRN only supports odd local_size "
+                         "(lrn_layer.cpp:12 CHECKs the same)")
+    from .pooling import pool2d_padded
+    pre_pad = (local_size - 1) // 2
+    pooled = pool2d_padded(x * x, local_size, local_size, stride_h=1,
+                           stride_w=1, pad_h=pre_pad, pad_w=pre_pad,
+                           mode="ave")
+    return x * (1.0 + alpha * pooled) ** (-beta)
+
+
 def scale(x, scale_param, bias_param=None, *, channel_axis: int = -1):
     """ScaleLayer (+ fused bias): per-channel learned multiplier
     (scale_layer.cpp)."""
@@ -117,6 +137,49 @@ def scale(x, scale_param, bias_param=None, *, channel_axis: int = -1):
     if bias_param is not None:
         y = y + jnp.reshape(bias_param, shape)
     return y
+
+
+# ------------------------------------------------------------- convolution
+
+
+def deconv2d(x, weight, bias=None, *, stride: int = 1, pad: int = 0,
+             dilation: int = 1, group: int = 1):
+    """DeconvolutionLayer (deconv_layer.cpp): a convolution's backward-data
+    pass run as the forward -- output spatial size
+    ``stride*(in-1) + dilation*(k-1) + 1 - 2*pad`` (compute_output_shape,
+    deconv_layer.cpp:8-22).
+
+    x: (N, H, W, Cin) NHWC.  weight: the caffe blob layout
+    (Cin, Cout//group, kh, kw) -- the FORWARD conv's weights with the
+    reversed in/out roles (base_conv_layer.cpp reverse_dimensions(), so a
+    reference .caffemodel deconv blob drops in unchanged).  Expressed as
+    one ``conv_general_dilated`` with lhs_dilation=stride (fractional
+    stride) and the spatially-flipped, IO-swapped kernel -- XLA lowers it
+    onto the MXU like any conv; no col2im machinery."""
+    cin, og, kh, kw = weight.shape
+    if x.shape[-1] != cin:
+        raise ValueError(f"x channels {x.shape[-1]} != weight Cin {cin}")
+    if cin % group:
+        raise ValueError(f"Cin {cin} not divisible by group {group}")
+    # (Cin, Og, kh, kw) -> HWIO of the equivalent fractionally-strided
+    # conv: spatial-flip + swap I/O => (kh, kw, Cin/group per group, Og)
+    k = jnp.transpose(weight, (2, 3, 0, 1))[::-1, ::-1]
+    pads = [(dilation * (kh - 1) - pad,) * 2, (dilation * (kw - 1) - pad,) * 2]
+    outs = []
+    cig = cin // group
+    for gi in range(group):  # tiny static loop; XLA fuses the concat
+        y = jax.lax.conv_general_dilated(
+            x[..., gi * cig:(gi + 1) * cig],
+            k[:, :, gi * cig:(gi + 1) * cig, :],
+            window_strides=(1, 1), padding=pads,
+            lhs_dilation=(stride, stride), rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        outs.append(y)
+    out = outs[0] if group == 1 else jnp.concatenate(outs, axis=-1)
+    if bias is not None:
+        out = out + jnp.reshape(bias, (1, 1, 1, -1))
+    return out
 
 
 # -------------------------------------------------------------- reductions
@@ -188,9 +251,56 @@ def batch_reindex(x, permutation):
     return jnp.take(x, permutation.astype(jnp.int32), axis=0)
 
 
-def filter_rows(x, selector):
-    """FilterLayer semantics need dynamic shapes; on TPU express it as a
-    mask-and-weight pattern instead.  Returns (x, weights) where weights
-    zero out filtered rows -- callers reduce with the weights (this is the
-    static-shape idiom the reference's dynamic row dropping maps to)."""
-    return x, selector.astype(x.dtype)
+def filter_rows(x, selector, *, capacity: int | None = None):
+    """FilterLayer (filter_layer.cpp:15-67): keep the rows whose selector
+    entry is nonzero, preserving input order.  Dynamic output shapes don't
+    exist under XLA, so the kept rows are COMPACTED to the front of a
+    fixed-``capacity`` result (default: the full batch -- the layer's own
+    upper bound) and the true row count is returned alongside.
+
+    Returns (filtered, count): ``filtered[:count]`` equals the reference
+    layer's output exactly; rows at and past ``count`` are zeroed.  Pass a
+    tuple of arrays to filter several bottoms by one selector (the layer's
+    multi-bottom form)."""
+    multi = isinstance(x, (tuple, list))
+    xs = tuple(x) if multi else (x,)
+    selector = jnp.reshape(jnp.asarray(selector), (-1,))
+    keep = selector != 0
+    n = keep.shape[0]
+    cap = n if capacity is None else capacity
+    # stable argsort keeps the kept rows in input order (the layer copies
+    # them in selector order, filter_layer.cpp:56-66)
+    order = jnp.argsort(jnp.logical_not(keep).astype(jnp.int8),
+                        stable=True)[:cap]
+    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), cap)
+    valid = jnp.arange(cap) < count
+
+    def one(a):
+        y = jnp.take(a, order, axis=0)
+        mask = valid.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, y, jnp.zeros((), a.dtype))
+
+    out = tuple(one(a) for a in xs)
+    return (out if multi else out[0]), count
+
+
+def filter_reduce(x, selector, *, operation: str = "mean"):
+    """Reduce over only the rows FilterLayer would keep -- the fused form
+    of Filter -> Reduction that skips the compaction entirely (the common
+    reason the reference inserts a FilterLayer before a metric/loss).
+    operation: sum | mean | max.  An all-zero selector yields 0 for
+    sum/mean and the dtype's lowest value for max."""
+    selector = jnp.reshape(jnp.asarray(selector), (-1,))
+    keep = selector != 0
+    mask = keep.reshape((-1,) + (1,) * (x.ndim - 1))
+    if operation == "sum":
+        return jnp.sum(jnp.where(mask, x, 0), axis=0)
+    if operation == "mean":
+        n = jnp.maximum(jnp.sum(keep.astype(x.dtype)), 1)
+        return jnp.sum(jnp.where(mask, x, 0), axis=0) / n
+    if operation == "max":
+        lowest = jnp.finfo(x.dtype).min \
+            if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.iinfo(x.dtype).min
+        return jnp.max(jnp.where(mask, x, lowest), axis=0)
+    raise ValueError(operation)

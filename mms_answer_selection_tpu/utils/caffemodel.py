@@ -43,9 +43,13 @@ def _layer_specs(params, state):
     if "embed" in params:
         rows = [(0, "params", ("embed", "w"), ident, ident)]
         if "b" in params["embed"]:
+            # the reference EmbedLayer's bias blob is 1-D (N,)
+            # (embed_layer.cpp: vector<int> bias_shape(1, N_)); export the
+            # identity shape -- Blob::ShapeEquals compares dims exactly, so
+            # a (1, N) export would LOG(FATAL) on load.  Import stays
+            # reshape-tolerant for files written with the old convention.
             d = params["embed"]["b"].shape[0]
-            rows.append((1, "params", ("embed", "b"),
-                         lambda a: np.reshape(a, (1, d)),
+            rows.append((1, "params", ("embed", "b"), ident,
                          lambda a: np.reshape(a, (d,))))
         specs.append(("w2v_q", rows, False))
         specs.append(("w2v_a", rows, True))  # shares w2v_q's params
@@ -328,10 +332,13 @@ def load_caffemodel_binaryproto(path, params, state):
             report[layer] = "ignored (no such layer here)"
             continue
         rows = known[layer]
-        if len(blobs) > len(rows):
+        if len(blobs) != len(rows):
+            # CopyTrainedLayersFrom CHECK_EQs the blob count (net.cpp:755):
+            # a bias-less source conv must hard-fail, not silently leave
+            # init values in the unfilled rows
             raise ValueError(
                 f"layer {layer}: file has {len(blobs)} blobs, model "
-                f"expects <= {len(rows)} (net.cpp:755 CHECKs the same)")
+                f"expects {len(rows)} (net.cpp:755 CHECK_EQs the same)")
         for (idx, tree, keypath, _, from_caffe), arr in zip(rows, blobs):
             src = from_caffe(arr)
             dst = _get(trees, tree, keypath)

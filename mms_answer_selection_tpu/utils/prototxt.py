@@ -131,7 +131,7 @@ def solver_config_from_prototxt(text: str):
         lr_policy=str(last("lr_policy", "fixed")),
         gamma=float(last("gamma", 0.0)),
         power=float(last("power", 0.0)),
-        stepsize=int(last("stepsize", 1)),
+        stepsize=int(last("stepsize", 0)),  # proto default 0, like the rest
         stepvalues=tuple(int(v) for v in stepvalues),
         max_iter=int(last("max_iter", 40001)),
         momentum=float(last("momentum", 0.0)),
@@ -143,6 +143,11 @@ def solver_config_from_prototxt(text: str):
         clip_gradients=float(last("clip_gradients", -1.0)),
         iter_size=int(last("iter_size", 1)),
     )
+    if cfg.lr_policy == "step" and cfg.stepsize <= 0:
+        # the reference would integer-divide by zero in GetLearningRate
+        # (sgd_solver.cpp:37); fail loudly instead of inventing a default
+        raise ValueError("lr_policy 'step' requires stepsize > 0 "
+                         "(omitted stepsize reads as the proto default 0)")
     extras = {
         "max_iter": int(last("max_iter", 40001)),
         "test_interval": int(last("test_interval", 0)),  # proto default 0

@@ -12,41 +12,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mms_qa import MMSQAConfig
+from ..models.mms_qa import MMSQAConfig, mms_qa_apply
 from ..ops.embed import embed_lookup
 
 
 def token_saliency(params, state, batch, cfg: MMSQAConfig):
     """Returns (q_saliency (N, W1), a_saliency (N, W2)): per-token summed
     |d loss / d embedding| -- the np.sum(np.fabs(diff), 1) of the reference
-    (do_trec_qa_clean.py:773)."""
+    (do_trec_qa_clean.py:773).  Differentiates through the REAL model
+    (mms_qa_apply with explicit embedding activations), so any architecture
+    change is saliency-visible automatically."""
 
     def loss_from_embeddings(q_emb, a_emb):
-        x_batch = dict(batch)
-
-        def apply_with(q_e, a_e):
-            # re-run the model with explicit embedding activations
-            from ..models.mms_qa import sim_map
-            from ..ops import avg_pool2d, bn_apply, conv2d, max_pool2d
-            from ..ops.losses import softmax_cross_entropy
-
-            x = sim_map(params, q_e, a_e, cfg)
-            for i, b in enumerate(cfg.blocks):
-                x = conv2d(params[f"conv{i}"], x)
-                x, _ = bn_apply(params[f"bn{i}"], state[f"bn{i}"], x,
-                                train=False)
-                pool = max_pool2d if b.pool == "max" else avg_pool2d
-                x = pool(x, b.pool_k, b.pool_k, stride_h=b.pool_stride,
-                         stride_w=b.pool_stride)
-                x = jnp.tanh(x)
-            flat = x.reshape(x.shape[0], -1)
-            feat = jnp.concatenate(
-                [flat, x_batch["overlap_feat"].astype(flat.dtype)], axis=1)
-            h = jnp.tanh(feat @ params["fc1"]["w"] + params["fc1"]["b"])
-            logits = h @ params["fc2"]["w"] + params["fc2"]["b"]
-            return softmax_cross_entropy(logits, x_batch["label"])
-
-        return apply_with(q_emb, a_emb)
+        out, _ = mms_qa_apply(params, state, batch, cfg, train=False,
+                              q_emb=q_emb, a_emb=a_emb)
+        return out["loss"]
 
     q_emb = embed_lookup(params["embed"], batch["question"])
     a_emb = embed_lookup(params["embed"], batch["answer"])

@@ -56,7 +56,7 @@ class TestRoundtrip:
 
     def test_reference_layout_conventions(self, tmp_path):
         """The file must hold reference-shaped tensors: conv OIHW, fc
-        (out, in), bn (1, C, 1, 1), embed bias (1, D) — net.cpp readers
+        (out, in), bn (1, C, 1, 1), embed bias 1-D (D,) — net.cpp readers
         would reject anything else."""
         p, s = _init()
         path = str(tmp_path / "m.h5")
@@ -70,7 +70,7 @@ class TestRoundtrip:
             assert d["bn0/2"].shape == (1, b0.out_channels, 1, 1)
             assert d["fc2/0"].shape == (CFG.num_classes, CFG.fc1_dim)
             assert d["w2v_q/0"].shape == (60, 50)
-            assert d["w2v_q/1"].shape == (1, 50)
+            assert d["w2v_q/1"].shape == (50,)
             assert d["sim_cross/0"].shape == (CFG.sim_measures, 50, 50)
             assert d["sim_cross/1"].shape == (CFG.sim_measures, 40, 40)
             # shared-owner layer saved as an empty group (net.cpp:897:
@@ -560,3 +560,21 @@ class TestSolverStateH5Export:
         full = dict(zip(h_full["steps"], h_full["dev_map"]))
         res = dict(zip(h_res["steps"], h_res["dev_map"]))
         assert 8 in res and res[8] == full[8]
+
+
+class TestBlobCountCheck:
+    def test_fewer_blobs_than_model_raises(self, tmp_path):
+        """CopyTrainedLayersFrom CHECK_EQs the per-layer blob count
+        (net.cpp:755): a bias-less source conv must hard-fail rather than
+        silently leave init values in the unfilled rows."""
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            _emit_blob, _field, load_caffemodel_binaryproto)
+        p, s = _init()
+        path = str(tmp_path / "m.caffemodel")
+        # a file holding ONLY conv0's weight blob (no bias)
+        body = _field(1, 2, b"conv0") + _field(7, 2, _emit_blob(
+            np.transpose(np.asarray(p["conv0"]["w"]), (3, 2, 0, 1))))
+        with open(path, "wb") as f:
+            f.write(_field(100, 2, bytes(body)))
+        with pytest.raises(ValueError, match="blobs"):
+            load_caffemodel_binaryproto(path, p, s)

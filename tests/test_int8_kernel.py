@@ -193,3 +193,21 @@ class TestTileValidation:
         with np.testing.assert_raises(ValueError):
             bilinear_maxsim_scores_int8(qw, qs, pool, aux, q_sub=24,
                                         interpret=False)
+
+    def test_off_block_pool_shrinks_tile(self):
+        """A 384-candidate pool (a 128- but not 256-multiple) must score
+        correctly via the gcd-style c_block shrink rather than raise --
+        only QueryEngine pads pools to C_BLOCK_BY_MODE multiples; direct
+        callers get the largest fitting tile."""
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores_reference)
+        q = jnp.asarray(rng.normal(size=(2, 3, 50)).astype(np.float32))
+        cand = jnp.asarray(rng.normal(size=(384, 4, 50)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(1, 50, 50)).astype(np.float32) * 0.1)
+        ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w))
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand)
+        out = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                     interpret=True))
+        assert out.shape == (2, 384)
+        np.testing.assert_allclose(out, ref, atol=0.05 * np.abs(ref).max())

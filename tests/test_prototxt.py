@@ -408,3 +408,20 @@ class TestNetPrototxtCLI:
         assert '"batch_size": 10' in saved
         assert '"sim_measures": 4' in saved
         assert f'"vocab_size": {info["vocab_size"]}' in saved
+
+
+class TestStepsizeDefault:
+    def test_omitted_stepsize_reads_proto_default_zero(self):
+        from mms_answer_selection_tpu.utils.prototxt import (
+            solver_config_from_prototxt)
+        cfg, _ = solver_config_from_prototxt('base_lr: 0.1\n')
+        assert cfg.stepsize == 0  # SolverParameter has no declared default
+
+    def test_step_policy_without_stepsize_rejected(self):
+        """The reference would integer-divide by zero in GetLearningRate
+        (sgd_solver.cpp:37); we fail loudly instead of inventing one."""
+        from mms_answer_selection_tpu.utils.prototxt import (
+            solver_config_from_prototxt)
+        with pytest.raises(ValueError, match="stepsize"):
+            solver_config_from_prototxt(
+                'base_lr: 0.1\nlr_policy: "step"\ngamma: 0.5\n')
