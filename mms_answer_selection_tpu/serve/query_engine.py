@@ -79,9 +79,10 @@ class QueryEngine:
         int8 MXU rate, ~3-8% score error).  Rerank with score_pairs when
         exactness matters.
 
-        chunk_size: single-device pools larger than this are scored in
-        chunks with incremental top-k merging, so the (Nq, C) score tensor
-        never materializes for huge pools.
+        chunk_size: pools whose PER-SHARD size exceeds this are scored in
+        chunks with incremental top-k merging (on a mesh: a lax.scan
+        inside shard_map, one chunk stack per device), so the (Nq, C)
+        score tensor never materializes for huge pools at any mesh size.
 
         scan_chunks: when True (default), chunked pools are scored by ONE
         jitted lax.scan over the stacked chunk axis -- a single dispatch
@@ -133,17 +134,21 @@ class QueryEngine:
         c = candidates.shape[0]
         shards = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        # pad pool to a multiple of (shards * the mode's c_block); single-
-        # device pools above chunk_size additionally pad to a chunk multiple
+        # pad pool to a multiple of (shards * the mode's c_block); pools
+        # whose PER-SHARD size exceeds chunk_size additionally pad to a
+        # (shards * chunk) multiple and are scored by the chunk scan --
+        # on a mesh the scan runs inside shard_map, so arbitrary pool
+        # sizes shard over the devices AND never materialize more than
+        # (Nq, chunk) scores per device
         blk = C_BLOCK_BY_MODE.get(self.quant, C_BLOCK)
         if self.chunk_size % blk:
             # chunks are scored as standalone pools, so each must divide
             # the mode's c_block -- round the user's chunk_size up
             self.chunk_size = -(-self.chunk_size // blk) * blk
         mult = shards * blk
-        chunked = self.mesh is None and c > self.chunk_size
+        chunked = c > self.chunk_size * shards
         if chunked:
-            mult = max(mult, self.chunk_size)
+            mult = max(mult, shards * self.chunk_size)
         c_pad = (c + mult - 1) // mult * mult
         if c_pad != c:
             pad_rows = jnp.zeros((c_pad - c,) + candidates.shape[1:],
@@ -168,21 +173,50 @@ class QueryEngine:
         if chunked:
             # per-chunk embed+pack: a 1M-candidate pool never materializes
             # multi-GB f32 intermediates (and each chunk's executables stay
-            # within the compiler's buffer budget)
-            n_chunks = c_pad // self.chunk_size
-            parts = []
-            for i in range(n_chunks):
-                lo, hi = i * self.chunk_size, (i + 1) * self.chunk_size
-                mask_from = c - lo if lo <= c < hi else None
-                parts.append(pack(candidates[lo:hi], mask_from))
-            if self.scan_chunks:
-                # one (n_chunks, chunk, ...) device buffer; query() scans it
-                pools = jnp.stack([p for p, _ in parts])
-                auxs = jnp.stack([a for _, a in parts]) \
-                    if parts[0][1] is not None else None
+            # within the compiler's buffer budget).  Candidate order: shard
+            # s owns the contiguous global range [s*per_shard, (s+1)*
+            # per_shard); its chunk i covers s*per_shard + i*chunk.
+            per_shard = c_pad // shards
+            n_chunks = per_shard // self.chunk_size
+
+            def pack_at(g0):
+                """pack the chunk whose global range starts at g0; padding
+                rows [max(0, c - g0):] masked (possibly the whole chunk)."""
+                hi = g0 + self.chunk_size
+                mask_from = max(0, c - g0) if c < hi else None
+                return pack(candidates[g0:hi], mask_from)
+
+            if self.mesh is not None:
+                # stacked (n_chunks, shards*chunk, ...): sharding axis 1
+                # over the mesh hands device s exactly its chunk stack
+                rows = []
+                for i in range(n_chunks):
+                    row = [pack_at(s * per_shard + i * self.chunk_size)
+                           for s in range(shards)]
+                    rows.append((jnp.concatenate([p for p, _ in row]),
+                                 jnp.concatenate([a for _, a in row])
+                                 if row[0][1] is not None else None))
+                pools = jnp.stack([p for p, _ in rows])
+                auxs = jnp.stack([a for _, a in rows]) \
+                    if rows[0][1] is not None else None
+                axes = self.mesh.axis_names if len(self.mesh.axis_names) > 1 \
+                    else self.mesh.axis_names[0]
+                spec = NamedSharding(self.mesh, P(None, axes))
+                pools = jax.device_put(pools, spec)
+                if auxs is not None:
+                    auxs = jax.device_put(auxs, spec)
                 self.chunks = (pools, auxs)
             else:
-                self.chunks = parts
+                parts = [pack_at(i * self.chunk_size)
+                         for i in range(n_chunks)]
+                if self.scan_chunks:
+                    # one (n_chunks, chunk, ...) buffer; query() scans it
+                    pools = jnp.stack([p for p, _ in parts])
+                    auxs = jnp.stack([a for _, a in parts]) \
+                        if parts[0][1] is not None else None
+                    self.chunks = (pools, auxs)
+                else:
+                    self.chunks = parts
             self.pool, self.aux = None, None
         else:
             pool, aux = pack(candidates, c if c_pad != c else None)
@@ -276,7 +310,10 @@ class QueryEngine:
         """One jitted executable scoring EVERY chunk via lax.scan with an
         incremental top-k merge in the carry: a single dispatch for the
         whole pool, and the (Nq, C) score tensor never exceeds
-        (Nq, chunk_size)."""
+        (Nq, chunk_size).  On a mesh the scan runs INSIDE shard_map --
+        each device scans its own chunk stack, then the per-shard winners
+        (only (shards x k) rows) cross the ICI for the global merge -- so
+        chunking and sharding compose for pools of any size."""
         cfg = self.cfg  # noqa: F841  (kept for parity with _build_query_fn)
         interpret = self.interpret
         w = self.params["sim"]["w"]
@@ -284,8 +321,9 @@ class QueryEngine:
         pool_dtype = self.pool_dtype
         quant = self.quant
         chunk_size = self.chunk_size
+        mesh = self.mesh
 
-        def query_fn(query_ids, pools, auxs):
+        def local_scan(query_ids, pools, auxs):
             nq0 = query_ids.shape[0]
             q_block = 8 if nq0 <= 8 else 16 if nq0 <= 32 else None
             if query_ids.ndim == 3:
@@ -324,7 +362,38 @@ class QueryEngine:
             (vals, idxs), _ = jax.lax.scan(body, init, xs)
             return vals, idxs
 
-        return jax.jit(query_fn)
+        if mesh is None:
+            return jax.jit(local_scan)
+
+        axes = mesh.axis_names if len(mesh.axis_names) > 1 \
+            else mesh.axis_names[0]
+
+        def shard_fn(query_ids, pools, auxs):
+            # pools: this shard's (n_chunks, chunk, ...) stack; indices
+            # from local_scan are per-shard [0, n_chunks*chunk)
+            vals, idx = local_scan(query_ids, pools, auxs)
+            per_shard = pools.shape[0] * chunk_size
+            if isinstance(axes, tuple):
+                shard_i = jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]] \
+                    + jax.lax.axis_index(axes[1])
+            else:
+                shard_i = jax.lax.axis_index(axes)
+            idx = idx + shard_i * per_shard
+            vals_all = jax.lax.all_gather(vals, axes)     # (S, Nq, k)
+            idx_all = jax.lax.all_gather(idx, axes)
+            if isinstance(axes, tuple):
+                s = vals_all.shape[0] * vals_all.shape[1]
+                vals_all = vals_all.reshape((s,) + vals.shape)
+                idx_all = idx_all.reshape((s,) + idx.shape)
+            return topk_merge(vals_all, idx_all, k)
+
+        chunk_spec = P(None, axes)
+        mapped = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), chunk_spec, chunk_spec),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(mapped)
 
     def query(self, query_ids, k: int = 10):
         """query_ids: int (Nq, W1).  Returns (scores (Nq, k'), indices
@@ -335,7 +404,9 @@ class QueryEngine:
             raise RuntimeError("build_index first")
         if self.chunks is not None:
             k_eff = min(k, self.pool_size, self.chunk_size)
-            if self.scan_chunks:
+            if self.scan_chunks or self.mesh is not None:
+                # a meshed chunked pool is always scored by the in-
+                # shard_map scan (the host chunk loop cannot shard)
                 key = ("scan", k_eff)
                 if self._query_jit is None or self._query_jit[0] != key:
                     self._query_jit = (key, self._build_scan_query_fn(k_eff))

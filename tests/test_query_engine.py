@@ -177,6 +177,50 @@ class TestChunkedPool:
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(ic))
 
+    def test_mesh_and_chunks_compose(self):
+        """VERDICT r2 #1: a pool larger than chunk_size x shards shards
+        over the 8-device mesh AND chunks per shard (lax.scan inside
+        shard_map), agreeing exactly with the single-device scan path."""
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        _, params, state, _ = _engine(n_cand=16)
+        # 2300 > 8 shards * 128 chunk -> per-shard chunking kicks in
+        cand_ids = rng.integers(0, 64, (2300, 6))
+        eng_m = QueryEngine(params, CFG, mesh=mesh, pool_dtype=jnp.float32,
+                            interpret=True,
+                            chunk_size=128).build_index(cand_ids)
+        pools, _ = eng_m.chunks
+        assert pools.shape[:2] == (3, 8 * 128)  # (n_chunks, shards*chunk)
+        eng_s = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True,
+                            chunk_size=128).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (2, 6))
+        vm, im = eng_m.query(query_ids, k=9)
+        vs, is_ = eng_s.query(query_ids, k=9)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(im), np.asarray(is_))
+        # padding (2300 -> 3072 spans whole shards) never surfaces
+        assert np.asarray(im).max() < 2300
+
+    def test_mesh_and_chunks_int8(self):
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        _, params, state, _ = _engine(n_cand=16)
+        # int8 blk is 256: 2500 > 8 * 256 -> chunked on the mesh
+        cand_ids = rng.integers(0, 64, (2500, 6))
+        eng_m = QueryEngine(params, CFG, mesh=mesh, pool_dtype="int8",
+                            interpret=True,
+                            chunk_size=256).build_index(cand_ids)
+        eng_s = QueryEngine(params, CFG, pool_dtype="int8",
+                            interpret=True,
+                            chunk_size=256).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (2, 6))
+        vm, im = eng_m.query(query_ids, k=7)
+        vs, is_ = eng_s.query(query_ids, k=7)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(im), np.asarray(is_))
+        assert np.asarray(im).max() < 2500
+
     def test_chunked_padding_rows_never_returned(self):
         # 300 candidates over 128-chunks pads chunk 3 with 84 masked rows;
         # k large enough to reach them must still return real indices only
