@@ -551,6 +551,71 @@ def cmd_summarize(args):
         print(f"wrote {base}.train.csv / {base}.eval.csv")
 
 
+def cmd_reproduce(args):
+    """The real-data parity gate: run the EXACT published recipe (README.md
+    table, produced by do_trec_qa_clean.py:650,782-867) from the raw
+    inputs -- TREC-QA XML (jacana) + GloVe-6B -- print the README-shaped
+    trec_eval table, and exit nonzero unless MAP/MRR land within the
+    stated tolerance of the published 0.7793 / 0.8487."""
+    import dataclasses as dc
+
+    from .data import prepare_trec_qa
+    from .metrics import format_trec_table, trec_eval, write_trec_files
+    from .models.mms_qa import V4
+    from .ops.embed import load_pretrained_vectors
+    from .training import SolverConfig, Trainer, TrainerConfig
+
+    words, vecs = load_pretrained_vectors(args.glove, args.dim)
+    w2v = dict(zip(words, vecs))
+    log.info("loaded %d pretrained vectors", len(w2v))
+    splits, info = prepare_trec_qa(args.train_xml, args.dev_xml,
+                                   args.test_xml, w2v,
+                                   q_len=args.q_len, a_len=args.a_len)
+    for name, split in splits.items():
+        log.info("%s: %d pairs", name, len(split["label"]))
+
+    model_cfg = dc.replace(V4, vocab_size=info["vocab_size"],
+                           embed_dim=args.dim, question_len=args.q_len,
+                           answer_len=args.a_len)
+    # the published hyperparameters verbatim (do_trec_qa_clean.py:48-73):
+    # AdaDelta base_lr 1.0, rho 0.95, delta 5e-7, weight decay 5e-4, fixed
+    # LR, batch 50, eval every 100 iters, patience 5 epochs, seed 22
+    trainer_cfg = TrainerConfig(
+        solver=SolverConfig(solver_type="adadelta", base_lr=1.0,
+                            momentum=0.95, delta=5e-7, weight_decay=5e-4),
+        max_iter=args.max_iter, batch_size=50, test_interval=100,
+        early_stop_patience=5, seed=22, snapshot_interval=0,
+        snapshot_dir=None)
+    os.makedirs(args.out, exist_ok=True)
+    trainer = Trainer(model_cfg, trainer_cfg)
+    hist = trainer.fit(splits["train"], splits["dev"],
+                       pretrained=info["pretrained"], log_every=100,
+                       steps_per_dispatch=args.fused_steps or 1)
+    log.info("best dev MAP %.4f @ step %d", hist["best_dev_map"],
+             hist["best_step"])
+
+    res = trainer.evaluate(hist["params"], hist["state"], splits["test"])
+    truth = os.path.join(args.out, "truth")
+    result = os.path.join(args.out, "result")
+    write_trec_files(truth, result, res["prob"][:, 1],
+                     splits["test"]["label"], splits["test"]["group"])
+    ev = trec_eval(truth, result)
+    print(format_trec_table(ev))
+    with open(os.path.join(args.out, "trec_eval.json"), "w") as f:
+        json.dump({k: v for k, v in ev.items()}, f, indent=1)
+
+    got_map, got_mrr = float(ev["map"]), float(ev["recip_rank"])
+    ok = (abs(got_map - args.expected_map) <= args.tolerance
+          and abs(got_mrr - args.expected_mrr) <= args.tolerance)
+    verdict = "PASS" if ok else "FAIL"
+    print(f"reproduce {verdict}: MAP {got_map:.4f} (expected "
+          f"{args.expected_map:.4f} +/- {args.tolerance}), MRR "
+          f"{got_mrr:.4f} (expected {args.expected_mrr:.4f} +/- "
+          f"{args.tolerance})")
+    if not ok:
+        sys.exit(1)
+
+
 def cmd_device_query(args):
     import jax
 
@@ -696,6 +761,30 @@ def main(argv=None):
                    choices=["v3", "v4", "v4_2", "v5"])
     p.add_argument("--history", help="history.json from a training run")
     p.set_defaults(fn=cmd_summarize)
+
+    p = sub.add_parser(
+        "reproduce",
+        help="real-data parity gate: run the published TREC-QA recipe and "
+             "assert the README MAP/MRR within tolerance")
+    p.add_argument("--train-xml", required=True,
+                   help="jacana train-all.xml (README.md recipe)")
+    p.add_argument("--dev-xml", required=True)
+    p.add_argument("--test-xml", required=True)
+    p.add_argument("--glove", required=True, help="glove.6B.50d.txt")
+    p.add_argument("--dim", type=int, default=50)
+    p.add_argument("--q-len", type=int, default=40)
+    p.add_argument("--a-len", type=int, default=40)
+    p.add_argument("--out", default="runs/reproduce")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.add_argument("--fused-steps", type=int, default=1)
+    p.add_argument("--expected-map", type=float, default=0.7793,
+                   help="README.md:26")
+    p.add_argument("--expected-mrr", type=float, default=0.8487,
+                   help="README.md:29")
+    p.add_argument("--tolerance", type=float, default=0.02,
+                   help="absolute band around the published numbers "
+                        "(covers seed/hardware noise on one run)")
+    p.set_defaults(fn=cmd_reproduce)
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)

@@ -24,3 +24,8 @@ jax.config.update("jax_enable_x64", False)
 
 assert len(jax.devices()) == 8, (
     f"tests expect the 8-device virtual CPU mesh, got {jax.devices()}")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long multi-process tests (spawn fresh JAX procs)")
