@@ -27,42 +27,41 @@ from __future__ import annotations
 import numpy as np
 
 
-def _layer_specs(params, state):
-    """Yields (layer_name, rows, shared) for every reference layer present
-    in the trees; rows = [(param_index, tree, key_path, to_caffe,
-    from_caffe), ...], ``tree`` is 'params' or 'state'.  ``shared`` marks
-    a layer whose params are OWNED elsewhere (w2v_a shares w2v_q's): the
-    HDF5 writer emits it as an empty group (ToHDF5 only saves owners,
-    net.cpp:889-897) while the binaryproto writer duplicates the shared
-    blobs (Net::ToProto serializes every layer's blob list, data-shared,
-    net.cpp:847-856) -- and the loaders accept both conventions."""
-    t = lambda *axes: (lambda a: np.transpose(a, axes))  # noqa: E731
-    ident = lambda a: a  # noqa: E731
+_t = lambda *axes: (lambda a: np.transpose(a, axes))  # noqa: E731
+_ident = lambda a: a  # noqa: E731
 
+
+def _embed_rows(params, key):
+    """Embed layer rows: weight (V, D); bias 1-D (N,) per the reference
+    EmbedLayer (embed_layer.cpp: vector<int> bias_shape(1, N_)) -- export
+    the identity shape (Blob::ShapeEquals compares dims exactly, a (1, N)
+    export would LOG(FATAL) on load); import stays reshape-tolerant for
+    files written with the old convention."""
+    rows = [(0, "params", (key, "w"), _ident, _ident)]
+    if "b" in params[key]:
+        d = params[key]["b"].shape[0]
+        rows.append((1, "params", (key, "b"), _ident,
+                     lambda a: np.reshape(a, (d,))))
+    return rows
+
+
+def _sim_rows(params):
+    rows = [(0, "params", ("sim", "w"), _ident, _ident)]
+    if "b" in params["sim"]:
+        rows.append((1, "params", ("sim", "b"), _ident, _ident))
+    return rows
+
+
+def _conv_bn_specs(params):
+    """conv{i} (our HWIO <-> caffe OIHW) + the custom BN layer's 4 blobs
+    (learned scale/shift + running stats as (1, C, 1, 1),
+    bn_layer.cpp:91-117; the stats live in OUR ``state``)."""
     specs = []
-    if "embed" in params:
-        rows = [(0, "params", ("embed", "w"), ident, ident)]
-        if "b" in params["embed"]:
-            # the reference EmbedLayer's bias blob is 1-D (N,)
-            # (embed_layer.cpp: vector<int> bias_shape(1, N_)); export the
-            # identity shape -- Blob::ShapeEquals compares dims exactly, so
-            # a (1, N) export would LOG(FATAL) on load.  Import stays
-            # reshape-tolerant for files written with the old convention.
-            d = params["embed"]["b"].shape[0]
-            rows.append((1, "params", ("embed", "b"), ident,
-                         lambda a: np.reshape(a, (d,))))
-        specs.append(("w2v_q", rows, False))
-        specs.append(("w2v_a", rows, True))  # shares w2v_q's params
-    if "sim" in params:
-        rows = [(0, "params", ("sim", "w"), ident, ident)]
-        if "b" in params["sim"]:
-            rows.append((1, "params", ("sim", "b"), ident, ident))
-        specs.append(("sim_cross", rows, False))
     i = 0
     while f"conv{i}" in params:
         specs.append((f"conv{i}", [
-            (0, "params", (f"conv{i}", "w"), t(3, 2, 0, 1), t(2, 3, 1, 0)),
-            (1, "params", (f"conv{i}", "b"), ident, ident),
+            (0, "params", (f"conv{i}", "w"), _t(3, 2, 0, 1), _t(2, 3, 1, 0)),
+            (1, "params", (f"conv{i}", "b"), _ident, _ident),
         ], False))
         if f"bn{i}" in params:
             c = params[f"bn{i}"]["scale"].shape[0]
@@ -75,13 +74,100 @@ def _layer_specs(params, state):
                 (3, "state", (f"bn{i}", "var"), wide, flat),
             ], False))
         i += 1
+    return specs
+
+
+def _ip_spec(params, key, layer_name=None):
+    """InnerProduct-style rows: our (in, out) <-> caffe (out, in)."""
+    return (layer_name or key, [
+        (0, "params", (key, "w"), _t(1, 0), _t(1, 0)),
+        (1, "params", (key, "b"), _ident, _ident),
+    ], False)
+
+
+def _specs_mms_qa(params, state):
+    """The QA nets' NetSpec names (do_trec_qa_clean.py:452-498)."""
+    specs = []
+    rows = _embed_rows(params, "embed")
+    specs.append(("w2v_q", rows, False))
+    specs.append(("w2v_a", rows, True))  # shares w2v_q's params
+    if "sim" in params:
+        specs.append(("sim_cross", _sim_rows(params), False))
+    specs += _conv_bn_specs(params)
     for name in ("fc1", "fc2"):
         if name in params:
-            specs.append((name, [
-                (0, "params", (name, "w"), t(1, 0), t(1, 0)),
-                (1, "params", (name, "b"), ident, ident),
-            ], False))
+            specs.append(_ip_spec(params, name))
     return specs
+
+
+def _specs_pair_image(params, state):
+    """Siamese image-pair net (models/pair_image.py): shared conv encoder
+    + fc + scalar score head.  The reference assembles this from generic
+    layers (SURVEY §2.1 PairImageData row); layer names here are the
+    canonical ones our prototxt exporter writes."""
+    specs = _conv_bn_specs(params)
+    specs.append(_ip_spec(params, "fc"))
+    specs.append(_ip_spec(params, "score"))
+    return specs
+
+
+def _specs_caption_image(params, state):
+    """Cross-modal caption->image net (models/caption_image.py): text
+    embed + conv patch encoder + proj into the shared token space + the
+    learned bilinear metric."""
+    specs = [("w2v", _embed_rows(params, "embed"), False)]
+    specs += _conv_bn_specs(params)
+    specs.append(_ip_spec(params, "proj"))
+    specs.append(("sim_cross", _sim_rows(params), False))
+    return specs
+
+
+# model-family registry: (name, detector over the params tree, spec
+# builder).  Detection order matters -- the QA head (fc1+fc2) is checked
+# first, then the cross-modal signature (proj+sim), then the siamese pair
+# head (fc+score).  register_model_family() extends this for new models.
+_FAMILIES = [
+    ("mms_qa", lambda p: "embed" in p and "fc1" in p, _specs_mms_qa),
+    ("caption_image", lambda p: "proj" in p and "sim" in p,
+     _specs_caption_image),
+    ("pair_image", lambda p: "score" in p and "fc" in p, _specs_pair_image),
+]
+
+
+def register_model_family(name, detector, spec_builder, *, front=True):
+    """Extension point: register (detector(params) -> bool,
+    spec_builder(params, state) -> specs) for a new model family so its
+    nets round-trip the reference formats like the built-ins."""
+    _FAMILIES.insert(0 if front else len(_FAMILIES),
+                     (name, detector, spec_builder))
+
+
+def detect_family(params) -> str:
+    for name, detect, _ in _FAMILIES:
+        if detect(params):
+            return name
+    raise ValueError(
+        f"cannot map params with top-level keys {sorted(params)} onto a "
+        "known model family (mms_qa / caption_image / pair_image); "
+        "register one with caffemodel.register_model_family")
+
+
+def _layer_specs(params, state):
+    """Yields (layer_name, rows, shared) for every reference layer present
+    in the trees; rows = [(param_index, tree, key_path, to_caffe,
+    from_caffe), ...], ``tree`` is 'params' or 'state'.  ``shared`` marks
+    a layer whose params are OWNED elsewhere (w2v_a shares w2v_q's): the
+    HDF5 writer emits it as an empty group (ToHDF5 only saves owners,
+    net.cpp:889-897) while the binaryproto writer duplicates the shared
+    blobs (Net::ToProto serializes every layer's blob list, data-shared,
+    net.cpp:847-856) -- and the loaders accept both conventions.
+
+    Dispatches on the detected model family (Net::ToProto serializes ANY
+    net, net.cpp:847-913 -- so must we)."""
+    for name, detect, build in _FAMILIES:
+        if detect(params):
+            return build(params, state)
+    return detect_family(params)  # raises with the explanatory message
 
 
 def _get(trees, tree, path):

@@ -99,6 +99,144 @@ _LEGACY_TYPES = {"SGD": "sgd", "NESTEROV": "nesterov", "ADAGRAD": "adagrad",
                  "ADAM": "adam"}
 
 
+# ---------------------------------------------------------------------------
+# legacy NetParameter auto-upgrade (util/upgrade_proto.cpp's structural
+# job): V1 nets use `layers:` lists with ENUM types and flat blobs_lr/
+# weight_decay multipliers; V0 nets additionally nest every knob inside an
+# inner `layer { }` message with lowercase string types.  The reference
+# upgrades two generations on every load (NetNeedsV0ToV1Upgrade /
+# NetNeedsV1ToV2Upgrade); so do we, before any config recovery.
+# ---------------------------------------------------------------------------
+
+# V1LayerParameter.LayerType enum -> modern string (UpgradeV1LayerType,
+# upgrade_proto.cpp:937-1044)
+_V1_TYPE_NAMES = {
+    "ABSVAL": "AbsVal", "ACCURACY": "Accuracy", "ARGMAX": "ArgMax",
+    "BNLL": "BNLL", "CONCAT": "Concat",
+    "CONTRASTIVE_LOSS": "ContrastiveLoss", "CONVOLUTION": "Convolution",
+    "DATA": "Data", "DECONVOLUTION": "Deconvolution", "DROPOUT": "Dropout",
+    "DUMMY_DATA": "DummyData", "EUCLIDEAN_LOSS": "EuclideanLoss",
+    "ELTWISE": "Eltwise", "EXP": "Exp", "FLATTEN": "Flatten",
+    "HDF5_DATA": "HDF5Data", "HDF5_OUTPUT": "HDF5Output",
+    "HINGE_LOSS": "HingeLoss", "IM2COL": "Im2col",
+    "IMAGE_DATA": "ImageData", "INFOGAIN_LOSS": "InfogainLoss",
+    "INNER_PRODUCT": "InnerProduct", "LRN": "LRN",
+    "MEMORY_DATA": "MemoryData",
+    "MULTINOMIAL_LOGISTIC_LOSS": "MultinomialLogisticLoss", "MVN": "MVN",
+    "POOLING": "Pooling", "POWER": "Power", "RELU": "ReLU",
+    "SIGMOID": "Sigmoid",
+    "SIGMOID_CROSS_ENTROPY_LOSS": "SigmoidCrossEntropyLoss",
+    "SILENCE": "Silence", "SOFTMAX": "Softmax",
+    "SOFTMAX_LOSS": "SoftmaxWithLoss", "SPLIT": "Split", "SLICE": "Slice",
+    "TANH": "TanH", "WINDOW_DATA": "WindowData", "THRESHOLD": "Threshold",
+}
+
+# V0 string types -> modern (UpgradeV0LayerType, upgrade_proto.cpp:582-660)
+_V0_TYPE_NAMES = {
+    "accuracy": "Accuracy", "bnll": "BNLL", "concat": "Concat",
+    "conv": "Convolution", "data": "Data", "dropout": "Dropout",
+    "euclidean_loss": "EuclideanLoss", "flatten": "Flatten",
+    "hdf5_data": "HDF5Data", "hdf5_output": "HDF5Output",
+    "im2col": "Im2col", "images": "ImageData",
+    "infogain_loss": "InfogainLoss", "innerproduct": "InnerProduct",
+    "lrn": "LRN", "multinomial_logistic_loss": "MultinomialLogisticLoss",
+    "pool": "Pooling", "relu": "ReLU", "sigmoid": "Sigmoid",
+    "softmax": "Softmax", "softmax_loss": "SoftmaxWithLoss",
+    "split": "Split", "tanh": "TanH", "window_data": "WindowData",
+}
+
+
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _param_specs_from_mults(nl, lrs, wds):
+    """blobs_lr / weight_decay repeated multipliers -> modern param {}
+    specs (UpgradeV1LayerParameter, upgrade_proto.cpp:706-735; omitted
+    entries read as the proto default 1)."""
+    n = max(len(lrs), len(wds))
+    if n:
+        nl["param"] = [
+            {"lr_mult": lrs[i] if i < len(lrs) else 1.0,
+             "decay_mult": wds[i] if i < len(wds) else 1.0}
+            for i in range(n)]
+
+
+def _upgrade_v1_layer(layer: dict) -> dict:
+    nl = {k: v for k, v in layer.items()
+          if k not in ("type", "blobs_lr", "weight_decay")}
+    t = str(layer.get("type", ""))
+    nl["type"] = _V1_TYPE_NAMES.get(t.upper(), t)
+    _param_specs_from_mults(nl, _as_list(layer.get("blobs_lr")),
+                            _as_list(layer.get("weight_decay")))
+    return nl
+
+
+# V0 flat field -> (modern sub-message key per layer type, modern name)
+# (UpgradeV0LayerParameter, upgrade_proto.cpp:87-560)
+_V0_RENAMES = {"kernelsize": "kernel_size", "biasterm": "bias_term",
+               "batchsize": "batch_size", "cropsize": "crop_size",
+               "meanfile": "mean_file"}
+_V0_PARAM_MSG = {
+    "Convolution": "convolution_param",
+    "InnerProduct": "inner_product_param",
+    "Pooling": "pooling_param",
+    "Dropout": "dropout_param",
+    "LRN": "lrn_param",
+    "Data": "data_param",
+    "HDF5Data": "hdf5_data_param",
+    "ImageData": "image_data_param",
+    "WindowData": "window_data_param",
+    "Concat": "concat_param",
+    "InfogainLoss": "infogain_loss_param",
+}
+_V0_KNOBS = ("num_output", "biasterm", "weight_filler", "bias_filler",
+             "pad", "kernelsize", "group", "stride", "pool",
+             "dropout_ratio", "local_size", "alpha", "beta", "k", "source",
+             "scale", "meanfile", "batchsize", "cropsize", "mirror",
+             "rand_skip", "shuffle", "new_height", "new_width", "concat_dim")
+
+
+def _upgrade_v0_layer(outer: dict) -> dict:
+    v0 = outer.get("layer", {})
+    if isinstance(v0, list):
+        v0 = v0[-1]
+    t0 = str(v0.get("type", ""))
+    t = _V0_TYPE_NAMES.get(t0, t0)
+    nl = {"name": v0.get("name", ""), "type": t}
+    for key in ("bottom", "top", "include", "exclude"):
+        if key in outer:
+            nl[key] = outer[key]
+    msg = _V0_PARAM_MSG.get(t)
+    knobs = {}
+    for f in _V0_KNOBS:
+        if f in v0:
+            knobs[_V0_RENAMES.get(f, f)] = v0[f]
+    if msg and knobs:
+        nl[msg] = knobs
+    _param_specs_from_mults(nl, _as_list(v0.get("blobs_lr")),
+                            _as_list(v0.get("weight_decay")))
+    return nl
+
+
+def upgrade_net_prototxt(d: dict) -> dict:
+    """Parsed-NetParameter dict -> modern shape.  No-op for modern nets;
+    a `layers:` list triggers the V1 (or, when entries nest an inner
+    `layer {}`, V0) upgrade."""
+    if "layers" not in d:
+        return d
+    layers = d["layers"]
+    if isinstance(layers, dict):
+        layers = [layers]
+    upgraded = [(_upgrade_v0_layer(la) if "layer" in la
+                 else _upgrade_v1_layer(la)) for la in layers]
+    out = {k: v for k, v in d.items() if k != "layers"}
+    out["layer"] = upgraded
+    return out
+
+
 def solver_config_from_prototxt(text: str):
     """solver.prototxt -> (SolverConfig, extras dict with the loop-level
     fields: max_iter/test_interval/snapshot/snapshot_prefix/random_seed/
@@ -177,13 +315,12 @@ def model_config_from_net_prototxt(text: str, **overrides):
 
     from ..models.mms_qa import ConvBlock, MMSQAConfig
 
-    d = parse_prototxt(text)
+    d = upgrade_net_prototxt(parse_prototxt(text))
     layers = d.get("layer", [])
     if isinstance(layers, dict):
         layers = [layers]
     if not layers:
-        raise ValueError("no layer {} blocks found (V1 'layers' or "
-                         "non-net prototxt?)")
+        raise ValueError("no layer {} blocks found (non-net prototxt?)")
 
     fields: dict = {}
     blocks = []
@@ -218,18 +355,21 @@ def model_config_from_net_prototxt(text: str, **overrides):
                 fields["fc1_dropout"] = ratio
         elif t == "Convolution":
             cp = layer.get("convolution_param", {})
-            current = (int(one(cp.get("kernel_h"), 1)),
-                       int(one(cp.get("kernel_w"), 1)),
+            ks = one(cp.get("kernel_size"), 1)  # square (legacy/upgraded)
+            current = (int(one(cp.get("kernel_h"), ks)),
+                       int(one(cp.get("kernel_w"), ks)),
                        int(one(cp.get("num_output"))))
         elif t == "Pooling" and current is not None:
             pp = layer.get("pooling_param", {})
             pool = str(one(pp.get("pool"), "MAX")).lower()
             if pool in ("0", "1"):  # enum by number
                 pool = "max" if pool == "0" else "ave"
+            ks = one(pp.get("kernel_size"), 1)
+            st = one(pp.get("stride"), 1)
             blocks.append(ConvBlock(current[0], current[1], current[2],
                                     pool,
-                                    int(one(pp.get("kernel_h"), 1)),
-                                    int(one(pp.get("stride_h"), 1))))
+                                    int(one(pp.get("kernel_h"), ks)),
+                                    int(one(pp.get("stride_h"), st))))
             current = None
         elif t == "InnerProduct":
             ip_dims.append(int(one(layer.get("inner_product_param", {})
@@ -439,3 +579,320 @@ def trainer_config_from_prototxt(text: str, **overrides):
             str(ex["snapshot_prefix"]))
     kwargs.update(overrides)
     return TrainerConfig(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Non-QA model families: PairImage (siamese image-pair metric, SURVEY §2.1
+# PairImageData row) and CaptionImage (cross-modal caption->image) as
+# reference-loadable prototxt, both directions.  Every layer used is in the
+# reference's vocabulary (PairImageData/Slice/Convolution/BN/Pooling/TanH/
+# InnerProduct/PairRankLoss/RankAccuracy; HDF5Data/Embed/SimCross/
+# Reduction for the cross-modal net), so the exported graphs load in the
+# reference unmodified.
+# ---------------------------------------------------------------------------
+
+
+def _conv_tower(L, prefix_in: str, blocks, *, suffix: str = "",
+                channels_note: int | None = None):
+    """Emit a conv->BN->pool->TanH tower; param names are shared across
+    towers (the siamese weight tying the reference gets from named
+    ParamSpecs)."""
+    prev = prefix_in
+    for i, b in enumerate(blocks):
+        L.append(
+            f'layer {{ name: "conv{i}{suffix}" type: "Convolution" '
+            f'bottom: "{prev}" top: "conv{i}{suffix}"\n'
+            f'  param {{ name: "conv_{i}_w" lr_mult: 1 }}\n'
+            f'  param {{ name: "conv_{i}_b" lr_mult: 2 decay_mult: 0 }}\n'
+            f'  convolution_param {{ kernel_h: {b.kh} kernel_w: {b.kw} '
+            f'stride: 1 num_output: {b.out_channels}\n'
+            f'    weight_filler {{ type: "xavier" }} }} }}')
+        L.append(
+            f'layer {{ name: "bn{i}{suffix}" type: "BN" '
+            f'bottom: "conv{i}{suffix}" top: "bn{i}{suffix}"\n'
+            f'  param {{ name: "bn_{i}_shape" lr_mult: 1 decay_mult: 0 }}\n'
+            f'  param {{ name: "bn_{i}_shift" lr_mult: 1 decay_mult: 0 }}\n'
+            f'  param {{ name: "bn_{i}_mean" lr_mult: 0 decay_mult: 0 }}\n'
+            f'  param {{ name: "bn_{i}_variance" lr_mult: 0 '
+            f'decay_mult: 0 }}\n'
+            f'  bn_param {{ scale_filler {{ type: "constant" value: 1 }} '
+            f'}} }}')
+        pool = "AVE" if b.pool == "ave" else "MAX"
+        L.append(
+            f'layer {{ name: "pool{i}{suffix}" type: "Pooling" '
+            f'bottom: "bn{i}{suffix}" top: "pool{i}{suffix}"\n'
+            f'  pooling_param {{ pool: {pool} kernel_h: {b.pool_k} '
+            f'kernel_w: {b.pool_k} stride_h: {b.pool_stride} '
+            f'stride_w: {b.pool_stride} }} }}')
+        L.append(f'layer {{ name: "tanh{i}{suffix}" type: "TanH" '
+                 f'bottom: "pool{i}{suffix}" top: "pool{i}{suffix}" }}')
+        prev = f"pool{i}{suffix}"
+    return prev
+
+
+def pair_image_net_prototxt(cfg, *, source="pairs.txt",
+                            batch_size=32) -> str:
+    """PairImageConfig -> a reference-loadable train prototxt: the
+    PairImageData layer stacks the pair on the channel axis
+    (pair_image_data_layer.cpp:26-178), a Slice splits it back, two
+    weight-tied conv towers score each image, PairRankLoss ranks them
+    (pair_rank_loss_layer.cpp:26-52), RankAccuracy evaluates."""
+    L = []
+    L.append(
+        f'layer {{ name: "data" type: "PairImageData" top: "data" '
+        f'top: "label"\n'
+        f'  pair_image_data_param {{ source: "{source}" '
+        f'batch_size: {batch_size} shuffle: true '
+        f'new_height: {cfg.height} new_width: {cfg.width} '
+        f'is_color: {"true" if cfg.channels == 3 else "false"} }} }}')
+    L.append(
+        f'layer {{ name: "slice_pair" type: "Slice" bottom: "data" '
+        f'top: "img1" top: "img2"\n'
+        f'  slice_param {{ axis: 1 slice_point: {cfg.channels} }} }}')
+    heads = []
+    for j, img in enumerate(("img1", "img2")):
+        prev = _conv_tower(L, img, cfg.blocks, suffix=f"_{j}")
+        L.append(
+            f'layer {{ name: "fc_{j}" type: "InnerProduct" '
+            f'bottom: "{prev}" top: "fc_{j}"\n'
+            f'  param {{ name: "fc-w" lr_mult: 1 }}\n'
+            f'  param {{ name: "fc-b" lr_mult: 2 decay_mult: 0 }}\n'
+            f'  inner_product_param {{ num_output: {cfg.fc_dim}\n'
+            f'    weight_filler {{ type: "xavier" }} }} }}')
+        L.append(f'layer {{ name: "fc_tanh_{j}" type: "TanH" '
+                 f'bottom: "fc_{j}" top: "fc_{j}" }}')
+        L.append(
+            f'layer {{ name: "score_{j}" type: "InnerProduct" '
+            f'bottom: "fc_{j}" top: "score_{j}"\n'
+            f'  param {{ name: "score-w" lr_mult: 1 }}\n'
+            f'  param {{ name: "score-b" lr_mult: 2 decay_mult: 0 }}\n'
+            f'  inner_product_param {{ num_output: 1\n'
+            f'    weight_filler {{ type: "xavier" }} }} }}')
+        heads.append(f"score_{j}")
+    L.append(
+        f'layer {{ name: "loss" type: "PairRankLoss" '
+        f'bottom: "{heads[0]}" bottom: "{heads[1]}" bottom: "label" '
+        f'top: "loss"\n'
+        f'  pair_rank_loss_param {{ margin: {cfg.margin} }} }}')
+    L.append(
+        f'layer {{ name: "rank_acc" type: "RankAccuracy" '
+        f'bottom: "{heads[0]}" bottom: "{heads[1]}" bottom: "label" '
+        f'top: "rank_acc" }}')
+    return "\n".join(L) + "\n"
+
+
+def pair_image_config_from_net_prototxt(text: str, **overrides):
+    """The reverse: recover PairImageConfig from a pair-image prototxt
+    (ours, or any net in the same PairImageData + towers + PairRankLoss
+    shape).  Image channel count comes from the Slice point; height/width
+    from pair_image_data_param's new_height/new_width when present
+    (otherwise pass overrides -- they are data facts)."""
+    import dataclasses as dc
+
+    from ..models.pair_image import PairImageConfig
+    from ..models.mms_qa import ConvBlock
+
+    d = upgrade_net_prototxt(parse_prototxt(text))
+    layers = d.get("layer", [])
+    if isinstance(layers, dict):
+        layers = [layers]
+
+    def one(v, default=None):
+        if isinstance(v, list):
+            return v[-1]
+        return default if v is None else v
+
+    fields: dict = {}
+    blocks = []
+    current = None
+    ip_dims = []
+    seen_tower = set()
+
+    for layer in layers:
+        t = layer.get("type", "")
+        name = str(layer.get("name", ""))
+        if t == "PairImageData":
+            pp = layer.get("pair_image_data_param", {})
+            if one(pp.get("new_height"), 0):
+                fields["height"] = int(one(pp.get("new_height")))
+            if one(pp.get("new_width"), 0):
+                fields["width"] = int(one(pp.get("new_width")))
+            if one(pp.get("is_color")) is not None:
+                fields["channels"] = 3 if one(pp.get("is_color")) else 1
+        elif t == "Slice":
+            sp = layer.get("slice_param", {})
+            if one(sp.get("slice_point")) is not None:
+                fields["channels"] = int(one(sp.get("slice_point")))
+        elif t == "Convolution":
+            base = name.rsplit("_", 1)[0]  # conv0_0 / conv0_1 -> conv0
+            if base in seen_tower:  # second tower repeats the shared stack
+                current = None
+                continue
+            seen_tower.add(base)
+            cp = layer.get("convolution_param", {})
+            ks = one(cp.get("kernel_size"), 1)
+            current = (int(one(cp.get("kernel_h"), ks)),
+                       int(one(cp.get("kernel_w"), ks)),
+                       int(one(cp.get("num_output"))))
+        elif t == "Pooling" and current is not None:
+            pp = layer.get("pooling_param", {})
+            pool = str(one(pp.get("pool"), "MAX")).lower()
+            ks = one(pp.get("kernel_size"), 1)
+            st = one(pp.get("stride"), 1)
+            blocks.append(ConvBlock(current[0], current[1], current[2],
+                                    "ave" if pool == "ave" else "max",
+                                    int(one(pp.get("kernel_h"), ks)),
+                                    int(one(pp.get("stride_h"), st))))
+            current = None
+        elif t == "InnerProduct":
+            base = name.rsplit("_", 1)[0]
+            if base in seen_tower:
+                continue
+            seen_tower.add(base)
+            ip_dims.append(int(one(layer.get("inner_product_param", {})
+                                   .get("num_output"))))
+        elif t == "PairRankLoss":
+            fields["margin"] = float(one(
+                layer.get("pair_rank_loss_param", {}).get("margin"), 1.0))
+    if not blocks or not ip_dims:
+        raise ValueError("not a pair-image net (need conv towers + "
+                         "InnerProduct score heads + PairRankLoss)")
+    # the last IP is the scalar score head; the one before is fc_dim
+    if len(ip_dims) >= 2:
+        fields["fc_dim"] = ip_dims[-2]
+    cfg = PairImageConfig(blocks=tuple(blocks), **fields)
+    if overrides:
+        cfg = dc.replace(cfg, **overrides)
+    return cfg
+
+
+def caption_image_net_prototxt(cfg, *, source="train.txt",
+                               batch_size=32) -> str:
+    """CaptionImageConfig -> reference-loadable prototxt.  The MaxSim
+    reduction IS expressible in the reference vocabulary: SimCross emits
+    (N, M, W1, P) in caffe layout, a MAX Pooling with kernel (1, P)
+    collapses the patch axis, and a SUM Reduction over axis 1 yields the
+    scalar score -- done per (positive, negative) image tower, ranked by
+    PairRankLoss."""
+    h, w = cfg.patch_grid()
+    p = h * w
+    L = []
+    L.append(
+        f'layer {{ name: "data" type: "HDF5Data" top: "caption" '
+        f'top: "image_pos" top: "image_neg" top: "label"\n'
+        f'  hdf5_data_param {{ source: "{source}" '
+        f'batch_size: {batch_size} shuffle: true }} }}')
+    L.append(
+        f'layer {{ name: "w2v" type: "Embed" bottom: "caption" '
+        f'top: "w2v"\n'
+        f'  param {{ name: "w2v-weights" lr_mult: 1 decay_mult: 0 }}\n'
+        f'  param {{ name: "w2v-bias" lr_mult: 2 decay_mult: 0 }}\n'
+        f'  embed_param {{ num_output: {cfg.embed_dim} '
+        f'input_dim: {cfg.vocab_size} }} }}')
+    scores = []
+    for j, img in enumerate(("image_pos", "image_neg")):
+        prev = _conv_tower(L, img, cfg.blocks, suffix=f"_{j}")
+        L.append(
+            f'layer {{ name: "proj_{j}" type: "InnerProduct" '
+            f'bottom: "{prev}" top: "proj_{j}"\n'
+            f'  param {{ name: "proj-w" lr_mult: 1 }}\n'
+            f'  param {{ name: "proj-b" lr_mult: 2 decay_mult: 0 }}\n'
+            f'  inner_product_param {{ num_output: {cfg.embed_dim} '
+            f'axis: 2\n'
+            f'    weight_filler {{ type: "xavier" }} }} }}')
+        L.append(f'layer {{ name: "proj_tanh_{j}" type: "TanH" '
+                 f'bottom: "proj_{j}" top: "proj_{j}" }}')
+        L.append(
+            f'layer {{ name: "sim_{j}" type: "SimCross" bottom: "w2v" '
+            f'bottom: "proj_{j}" top: "sim_{j}"\n'
+            f'  param {{ name: "metric-weights" decay_mult: 1 '
+            f'lr_mult: 1 }}\n'
+            f'  sim_cross_param {{ dist_mode: 2 '
+            f'mesure_count: {cfg.sim_measures} bias_term: false\n'
+            f'    weight_filler {{ type: "xavier" }} }} }}')
+        L.append(
+            f'layer {{ name: "maxsim_{j}" type: "Pooling" '
+            f'bottom: "sim_{j}" top: "maxsim_{j}"\n'
+            f'  pooling_param {{ pool: MAX kernel_h: 1 kernel_w: {p} '
+            f'stride: 1 }} }}')
+        L.append(
+            f'layer {{ name: "score_{j}" type: "Reduction" '
+            f'bottom: "maxsim_{j}" top: "score_{j}"\n'
+            f'  reduction_param {{ operation: SUM axis: 1 }} }}')
+        scores.append(f"score_{j}")
+    L.append(
+        f'layer {{ name: "loss" type: "PairRankLoss" '
+        f'bottom: "{scores[0]}" bottom: "{scores[1]}" bottom: "label" '
+        f'top: "loss"\n'
+        f'  pair_rank_loss_param {{ margin: {cfg.margin} }} }}')
+    return "\n".join(L) + "\n"
+
+
+def caption_image_config_from_net_prototxt(text: str, **overrides):
+    """Recover CaptionImageConfig from a caption-image prototxt.  Image
+    height/width/channels and caption length are data facts -- pass them
+    as overrides when they differ from the defaults."""
+    import dataclasses as dc
+
+    from ..models.caption_image import CaptionImageConfig
+    from ..models.mms_qa import ConvBlock
+
+    d = upgrade_net_prototxt(parse_prototxt(text))
+    layers = d.get("layer", [])
+    if isinstance(layers, dict):
+        layers = [layers]
+
+    def one(v, default=None):
+        if isinstance(v, list):
+            return v[-1]
+        return default if v is None else v
+
+    fields: dict = {}
+    blocks = []
+    current = None
+    seen_tower = set()
+    saw_sim = False
+
+    for layer in layers:
+        t = layer.get("type", "")
+        name = str(layer.get("name", ""))
+        base = name.rsplit("_", 1)[0]
+        if t == "Embed":
+            ep = layer.get("embed_param", {})
+            fields["embed_dim"] = int(one(ep.get("num_output"), 50))
+            fields["vocab_size"] = int(one(ep.get("input_dim"), 100))
+        elif t == "Convolution":
+            if base in seen_tower:
+                current = None
+                continue
+            seen_tower.add(base)
+            cp = layer.get("convolution_param", {})
+            ks = one(cp.get("kernel_size"), 1)
+            current = (int(one(cp.get("kernel_h"), ks)),
+                       int(one(cp.get("kernel_w"), ks)),
+                       int(one(cp.get("num_output"))))
+        elif t == "Pooling" and current is not None:
+            pp = layer.get("pooling_param", {})
+            pool = str(one(pp.get("pool"), "MAX")).lower()
+            ks = one(pp.get("kernel_size"), 1)
+            st = one(pp.get("stride"), 1)
+            blocks.append(ConvBlock(current[0], current[1], current[2],
+                                    "ave" if pool == "ave" else "max",
+                                    int(one(pp.get("kernel_h"), ks)),
+                                    int(one(pp.get("stride_h"), st))))
+            current = None
+        elif t == "SimCross" and base not in seen_tower:
+            seen_tower.add(base)
+            sp = layer.get("sim_cross_param", {})
+            fields["sim_measures"] = int(one(sp.get("mesure_count"), 1))
+            saw_sim = True
+        elif t == "PairRankLoss":
+            fields["margin"] = float(one(
+                layer.get("pair_rank_loss_param", {}).get("margin"), 1.0))
+    if "embed_dim" not in fields or not saw_sim or not blocks:
+        raise ValueError("not a caption-image net (need Embed + conv "
+                         "towers + SimCross)")
+    cfg = CaptionImageConfig(blocks=tuple(blocks), **fields)
+    if overrides:
+        cfg = dc.replace(cfg, **overrides)
+    return cfg
