@@ -145,6 +145,96 @@ def run_latency_bench(pool_size: int, n_queries: int, iters: int = 20,
     return float(np.median(times) * 1e3)
 
 
+def _make_engine(pool_dtype, cand_ids, embed_table, w, cfg, *,
+                 scan_chunks=True):
+    """QueryEngine over a synthetic vocabulary -- the serve path exactly as
+    deployed (chunked scan for 1M pools, per-chunk on-device embedding)."""
+    from mms_answer_selection_tpu.serve import QueryEngine
+    params = {"embed": {"w": embed_table}, "sim": {"w": w}}
+    eng = QueryEngine(params, cfg, pool_dtype=pool_dtype,
+                      scan_chunks=scan_chunks)
+    eng.build_index(cand_ids)
+    return eng
+
+
+def run_pool_suite(pool_size: int, *, n_fid_queries: int = 16, k: int = 10,
+                   shortlist: int = 50, nq_throughput: int = 128,
+                   iters: int = 5, measure_throughput: bool = True):
+    """Per-pool-size serve-path suite: top-k fidelity of the quantized
+    modes vs bf16-exact -- both EXACT top-k agreement and recall of the
+    bf16 top-k inside a ``shortlist``-sized quantized candidate list (the
+    retrieve-then-rerank serving pattern the quantized modes exist for) --
+    plus int8 engine throughput + 1-query p50 at this pool size.
+
+    Engines are built SEQUENTIALLY and freed between modes so the bf16 1M
+    pool (10.2 GB packed) never coexists with the quantized ones."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.models.mms_qa import MMSQAConfig
+
+    d, w1, w2, m, vocab = 50, 40, 40, 4, 50000
+    cfg = MMSQAConfig(vocab_size=vocab, embed_dim=d, question_len=w1,
+                      answer_len=w2, sim_measures=m)
+    rng = np.random.default_rng(7)
+    embed_table = jnp.asarray(
+        rng.normal(size=(vocab, d)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
+    cand_ids = rng.integers(0, vocab, (pool_size, w2)).astype(np.int32)
+    fid_q = rng.integers(0, vocab, (n_fid_queries, w1)).astype(np.int32)
+    thr_q = rng.integers(0, vocab, (nq_throughput, w1)).astype(np.int32)
+    one_q = fid_q[:1]
+
+    out = {"pool": pool_size, "k": k, "shortlist": shortlist}
+    topk = {}
+    for mode in ("bf16", "int8", "int4"):
+        t_build = time.perf_counter()
+        # the bf16-exact reference engine at 1M is a 10.7 GB pool: use the
+        # host chunk loop (chunk-sized executables) -- a single scan
+        # program holding the whole pool is near the chip's memory edge,
+        # and this engine only provides the fidelity ground truth
+        big_exact = mode == "bf16" and pool_size > 300_000
+        eng = _make_engine(jnp.bfloat16 if mode == "bf16" else mode,
+                           cand_ids, embed_table, w, cfg,
+                           scan_chunks=not big_exact)
+        build_s = time.perf_counter() - t_build
+        # one k=shortlist query per mode: its first k rows ARE the top-k
+        # (lax.top_k is sorted), the full row is the rerank shortlist
+        _, idx = eng.query(fid_q, k=shortlist)
+        topk[mode] = np.asarray(idx)           # host fetch = fence
+        if mode == "int8" and measure_throughput:
+            vals, _ = eng.query(thr_q, k=k)    # warm the Nq=128 program
+            np.asarray(vals)
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                np.asarray(eng.query(thr_q, k=k)[0])
+                times.append(time.perf_counter() - t0)
+            t = float(np.median(times))
+            out["int8_pairs_per_sec"] = nq_throughput * pool_size / t
+            np.asarray(eng.query(one_q, k=k)[0])   # warm the 1q program
+            times = []
+            for _ in range(iters * 2):
+                t0 = time.perf_counter()
+                np.asarray(eng.query(one_q, k=k)[0])
+                times.append(time.perf_counter() - t0)
+            out["int8_p50_1q_ms"] = float(np.median(times) * 1e3)
+            out["build_seconds"] = build_s
+        del eng
+        gc.collect()
+    for mode in ("int8", "int4"):
+        agree = np.mean([
+            len(set(topk["bf16"][i][:k]) & set(topk[mode][i][:k])) / k
+            for i in range(n_fid_queries)])
+        recall = np.mean([
+            len(set(topk["bf16"][i][:k]) & set(topk[mode][i])) / k
+            for i in range(n_fid_queries)])
+        out[f"top{k}_agreement_{mode}_vs_bf16"] = float(agree)
+        out[f"top{k}_in_top{shortlist}_recall_{mode}"] = float(recall)
+    return out
+
+
 def run_train_bench(batch: int, iters: int, fused_k: int = 0):
     """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta).
 
@@ -219,6 +309,10 @@ def main():
                     help="also run the training-step benchmark (stderr)")
     ap.add_argument("--no-latency", action="store_true",
                     help="skip the p50 query-latency measurements")
+    ap.add_argument("--quick", action="store_true",
+                    help="headline kernel numbers only: skip the serve-"
+                         "path pool suite (1M engine + quantization "
+                         "fidelity)")
     args = ap.parse_args()
 
     from mms_answer_selection_tpu.utils.compile_cache import (
@@ -238,6 +332,33 @@ def main():
         if args.secondary:
             sps, d2 = run_train_bench(50, 20, fused_k=100)
             print(f"secondary: {sps:.1f} train steps/s {d2}", file=sys.stderr)
+        extra = {}
+        if not args.quick:
+            # serve-path evidence at BOTH flagship pool sizes (BASELINE.md
+            # configs[3]): quantization top-k fidelity vs bf16-exact, and
+            # the 1M engine's throughput + 1-query p50
+            s262 = run_pool_suite(262144, measure_throughput=False)
+            s1m = run_pool_suite(1_000_000 // 262144 * 262144 + 262144)
+            extra = {
+                "topk10_agreement_vs_bf16": {
+                    "int8_262k": s262["top10_agreement_int8_vs_bf16"],
+                    "int4_262k": s262["top10_agreement_int4_vs_bf16"],
+                    "int8_1m": s1m["top10_agreement_int8_vs_bf16"],
+                    "int4_1m": s1m["top10_agreement_int4_vs_bf16"],
+                },
+                "top10_in_top50_recall": {
+                    "int8_262k": s262["top10_in_top50_recall_int8"],
+                    "int4_262k": s262["top10_in_top50_recall_int4"],
+                    "int8_1m": s1m["top10_in_top50_recall_int8"],
+                    "int4_1m": s1m["top10_in_top50_recall_int4"],
+                },
+                "pool_1m": {
+                    "pool": s1m["pool"],
+                    "int8_pairs_per_sec": s1m["int8_pairs_per_sec"],
+                    "int8_p50_1q_ms": s1m["int8_p50_1q_ms"],
+                    "build_seconds": s1m["build_seconds"],
+                },
+            }
         print(json.dumps({
             "metric": "learned_metric_pairs_scored_per_sec_per_chip",
             "value": pairs_per_sec,
@@ -246,6 +367,7 @@ def main():
             "mode": args.mode,
             "pool": args.pool,
             **lat,
+            **extra,
         }))
     except Exception as e:  # noqa: BLE001
         print(f"bench failed: {type(e).__name__}: {e}", file=sys.stderr)

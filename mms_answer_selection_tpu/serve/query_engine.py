@@ -207,16 +207,30 @@ class QueryEngine:
                     auxs = jax.device_put(auxs, spec)
                 self.chunks = (pools, auxs)
             else:
-                parts = [pack_at(i * self.chunk_size)
-                         for i in range(n_chunks)]
                 if self.scan_chunks:
-                    # one (n_chunks, chunk, ...) buffer; query() scans it
-                    pools = jnp.stack([p for p, _ in parts])
-                    auxs = jnp.stack([a for _, a in parts]) \
-                        if parts[0][1] is not None else None
+                    # one (n_chunks, chunk, ...) buffer; query() scans it.
+                    # Filled by DONATED in-place updates -- jnp.stack over
+                    # a parts list would transiently hold the pool TWICE
+                    # (a 1M bf16 pool is 10.7 GB; x2 OOMs a 16 GB chip)
+                    setter = jax.jit(
+                        lambda buf, part, i: buf.at[i].set(part),
+                        donate_argnums=(0,))
+                    pools = auxs = None
+                    for i in range(n_chunks):
+                        p_i, a_i = pack_at(i * self.chunk_size)
+                        if pools is None:
+                            pools = jnp.zeros((n_chunks,) + p_i.shape,
+                                              p_i.dtype)
+                            if a_i is not None:
+                                auxs = jnp.zeros((n_chunks,) + a_i.shape,
+                                                 a_i.dtype)
+                        pools = setter(pools, p_i, i)
+                        if a_i is not None:
+                            auxs = setter(auxs, a_i, i)
                     self.chunks = (pools, auxs)
                 else:
-                    self.chunks = parts
+                    self.chunks = [pack_at(i * self.chunk_size)
+                                   for i in range(n_chunks)]
             self.pool, self.aux = None, None
         else:
             pool, aux = pack(candidates, c if c_pad != c else None)
