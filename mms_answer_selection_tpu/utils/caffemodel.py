@@ -184,7 +184,7 @@ def _set(trees, tree, path, value):
     node[path[-1]] = value
 
 
-def save_caffemodel_h5(path, params, state):
+def save_caffemodel_h5(path, params, state, *, specs=None):
     """Write weights in the reference's Net::ToHDF5 layout."""
     import h5py
     import jax
@@ -194,7 +194,8 @@ def save_caffemodel_h5(path, params, state):
     trees = {"params": params, "state": state}
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
-        for layer, rows, shared in _layer_specs(params, state):
+        for layer, rows, shared in (specs if specs is not None
+                                    else _layer_specs(params, state)):
             g = data.create_group(layer)
             if shared:  # ToHDF5 only saves params that own themselves
                 continue
@@ -204,7 +205,7 @@ def save_caffemodel_h5(path, params, state):
     return path
 
 
-def load_caffemodel_h5(path, params, state):
+def load_caffemodel_h5(path, params, state, *, specs=None):
     """Name-based, shape-checked weight loading from a reference-layout
     HDF5 file into copies of (params, state).  Reference semantics
     (net.cpp:797-844): source layers our net doesn't have are ignored;
@@ -217,7 +218,8 @@ def load_caffemodel_h5(path, params, state):
     params = jax.tree.map(lambda x: x, jax.device_get(params))
     state = jax.tree.map(lambda x: x, jax.device_get(state))
     trees = {"params": params, "state": state}
-    known = {name: rows for name, rows, _ in _layer_specs(params, state)}
+    known = {name: rows for name, rows, _ in
+             (specs if specs is not None else _layer_specs(params, state))}
     report: dict = {}
     with h5py.File(path, "r") as f:
         data = f["data"]
@@ -375,7 +377,7 @@ def _emit_blob(arr):
     return blob
 
 
-def save_caffemodel_binaryproto(path, params, state):
+def save_caffemodel_binaryproto(path, params, state, *, specs=None):
     """Write a NetParameter binaryproto `.caffemodel` the reference's
     CopyTrainedLayersFromBinaryProto (net.cpp:789-795) can restore."""
     import jax
@@ -384,7 +386,8 @@ def save_caffemodel_binaryproto(path, params, state):
     state = jax.device_get(state)
     trees = {"params": params, "state": state}
     out = bytearray()
-    for layer, rows, _shared in _layer_specs(params, state):
+    for layer, rows, _shared in (specs if specs is not None
+                                 else _layer_specs(params, state)):
         body = _field(1, 2, layer.encode())
         # unlike ToHDF5, Net::ToProto serializes EVERY layer's blob list,
         # so shared layers carry duplicated (data-shared) blobs too
@@ -399,7 +402,7 @@ def save_caffemodel_binaryproto(path, params, state):
     return path
 
 
-def load_caffemodel_binaryproto(path, params, state):
+def load_caffemodel_binaryproto(path, params, state, *, specs=None):
     """Name-based, shape-checked load from a NetParameter binaryproto
     (the `caffe train -weights x.caffemodel` path, net.cpp:741-777
     semantics).  Returns (params, state, report)."""
@@ -409,7 +412,8 @@ def load_caffemodel_binaryproto(path, params, state):
     params = jax.tree.map(lambda x: x, jax.device_get(params))
     state = jax.tree.map(lambda x: x, jax.device_get(state))
     trees = {"params": params, "state": state}
-    known = {name: rows for name, rows, _ in _layer_specs(params, state)}
+    known = {name: rows for name, rows, _ in
+             (specs if specs is not None else _layer_specs(params, state))}
     report: dict = {}
     with open(path, "rb") as f:
         buf = memoryview(f.read())
@@ -452,21 +456,23 @@ def load_caffemodel_binaryproto(path, params, state):
 # ---------------------------------------------------------------------------
 
 
-def _solver_rows(params, state):
+def _solver_rows(params, state, specs=None):
     """(is_param, tree, keypath, to_caffe, from_caffe) in the reference
     net's learnable-param order (OWNED params only -- shared layers do
     not add learnable_params entries, net.cpp AppendParam)."""
     rows = []
-    for _, specs, shared in _layer_specs(params, state):
+    for _, layer_rows, shared in (specs if specs is not None
+                                  else _layer_specs(params, state)):
         if shared:
             continue
-        for idx, tree, keypath, to_c, from_c in specs:
+        for idx, tree, keypath, to_c, from_c in layer_rows:
             rows.append((tree == "params", tree, keypath, to_c, from_c))
     return rows
 
 
 def save_solverstate_binaryproto(path, params, state, opt_state, it, *,
-                                 current_step=0, learned_net=""):
+                                 current_step=0, learned_net="",
+                                 specs=None):
     """Write a reference-restorable SolverState binaryproto."""
     import jax
 
@@ -477,7 +483,8 @@ def save_solverstate_binaryproto(path, params, state, opt_state, it, *,
     out += _field(1, 0, int(it))
     if learned_net:
         out += _field(2, 2, learned_net.encode())
-    for arr in _solver_history_arrays(params, state, opt_state):
+    for arr in _solver_history_arrays(params, state, opt_state,
+                                      specs):
         out += _field(3, 2, _emit_blob(arr))
     out += _field(4, 0, int(current_step))
     with open(path, "wb") as f:
@@ -485,13 +492,13 @@ def save_solverstate_binaryproto(path, params, state, opt_state, it, *,
     return path
 
 
-def _solver_history_arrays(params, state, opt_state):
+def _solver_history_arrays(params, state, opt_state, specs=None):
     """Yields the ordered history blobs both solverstate exporters write:
     per accumulator ('h' then 'h2' when present), one caffe-layout array
     per learnable-param row, with BN stat slots zero-filled (their
     lr_mult is 0 -- dead weight either way)."""
     trees = {"params": params, "state": state}
-    rows = _solver_rows(params, state)
+    rows = _solver_rows(params, state, specs)
     for acc in ("h", "h2"):
         if acc not in opt_state:
             continue
@@ -506,7 +513,7 @@ def _solver_history_arrays(params, state, opt_state):
 
 
 def save_solverstate_h5(path, params, state, opt_state, it, *,
-                        current_step=0, learned_net=""):
+                        current_step=0, learned_net="", specs=None):
     """The HDF5 solverstate variant (SnapshotSolverStateToHDF5,
     sgd_solver.cpp:279-302): int datasets `iter`/`current_step`, a
     `learned_net` STRING dataset in the H5LTmake_dataset_string
@@ -530,12 +537,12 @@ def save_solverstate_h5(path, params, state, opt_state, it, *,
                              dtype=dt)
         hist = f.create_group("history")
         for i, arr in enumerate(
-                _solver_history_arrays(params, state, opt_state)):
+                _solver_history_arrays(params, state, opt_state, specs)):
             hist.create_dataset(str(i), data=arr)
     return path
 
 
-def load_solverstate(path, params, state, opt_state):
+def load_solverstate(path, params, state, opt_state, *, specs=None):
     """Restore solver history + iteration from a reference `.solverstate`
     (binaryproto or the HDF5 variant, dispatched on the file magic) into a
     copy of ``opt_state``.  Returns (opt_state, iter, current_step,
@@ -548,7 +555,7 @@ def load_solverstate(path, params, state, opt_state):
     params = jax.device_get(params)
     state = jax.device_get(state)
     opt_state = jax.tree.map(lambda x: x, jax.device_get(opt_state))
-    rows = _solver_rows(params, state)
+    rows = _solver_rows(params, state, specs)
     n = len(rows)
 
     with open(path, "rb") as f:

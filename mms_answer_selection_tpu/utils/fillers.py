@@ -48,3 +48,41 @@ def gaussian(key, shape, mean: float = 0.0, std: float = 1.0, dtype=jnp.float32)
 
 def constant(shape, value: float = 0.0, dtype=jnp.float32):
     return jnp.full(shape, value, dtype)
+
+
+def msra(key, shape, fan_in: int | None = None, dtype=jnp.float32):
+    """MSRAFiller (filler.hpp): normal(0, sqrt(2 / fan_in)), default FAN_IN
+    variance norm (fan_in = count / num, like Xavier)."""
+    if fan_in is None:
+        size = 1
+        for d in shape[1:]:
+            size *= d
+        fan_in = size
+    std = (2.0 / float(fan_in)) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def positive_unitball(key, shape, dtype=jnp.float32):
+    """PositiveUnitballFiller (filler.hpp): uniform(0, 1) rows normalized so
+    each leading-axis slice sums to 1."""
+    x = jax.random.uniform(key, shape, dtype)
+    flat = x.reshape(shape[0], -1)
+    flat = flat / jnp.sum(flat, axis=1, keepdims=True)
+    return flat.reshape(shape)
+
+
+def bilinear(shape, dtype=jnp.float32):
+    """BilinearFiller (filler.hpp): the upsampling kernel for Deconvolution
+    layers -- f(x, y) independent per (out, in) pair over a (Cout, Cin, kh,
+    kw) (or HWIO) 4-D blob.  Shape is interpreted as (..., kh, kw) with the
+    kernel written into every leading slice."""
+    kh, kw = shape[-2], shape[-1]
+
+    def kern(k):
+        f = (k + 1) // 2
+        c = (2 * f - 1 - f % 2) / (2.0 * f)
+        i = jnp.arange(k, dtype=dtype)
+        return 1.0 - jnp.abs(i / f - c)
+
+    k2d = kern(kh)[:, None] * kern(kw)[None, :]
+    return jnp.broadcast_to(k2d, shape).astype(dtype)

@@ -1,0 +1,580 @@
+"""GraphNet: arbitrary prototxt DAGs -> executable JAX functions.
+
+The reference counterpart is Net::Init + Forward/Backward over the layer
+registry (src/caffe/net.cpp:39-595, layer_factory.hpp); these tests pin
+the generality the typed-config families don't cover: phase filtering,
+ParamSpec weight sharing, legacy-prototxt ingestion, loss_weight
+accumulation, and the long tail of stock layer types.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.metrics import ir_metrics
+from mms_answer_selection_tpu.models import mms_qa as M
+from mms_answer_selection_tpu.models.graph_net import GraphNet
+from mms_answer_selection_tpu.utils.prototxt import net_prototxt_from_config
+
+
+def _qa_batch(rng, n=6, vocab=120):
+    return {
+        "question": jnp.asarray(rng.integers(0, vocab, (n, 40))),
+        "answer": jnp.asarray(rng.integers(0, vocab, (n, 40))),
+        "label": jnp.asarray(rng.integers(0, 2, (n,))),
+        "group": jnp.asarray(np.repeat(np.arange(n // 3), 3)[:n]),
+        "overlap_feat": jnp.asarray(
+            rng.normal(size=(n, 2)).astype(np.float32)),
+    }
+
+
+class TestQAFamilyParity:
+    """The generated QA net run through GraphNet must equal the typed
+    model exactly, weight-for-weight."""
+
+    def test_eval_forward_matches_typed_model(self):
+        cfg = dataclasses.replace(M.V4, vocab_size=120, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        net = GraphNet(net_prototxt_from_config(cfg, phase="eval"),
+                       phase="test")
+        batch = _qa_batch(np.random.default_rng(0))
+        params, state = net.init(jax.random.PRNGKey(7), batch)
+        # shared embed: ONE owner (w2v_q); w2v_a holds no blobs
+        assert "w2v_a" not in params
+        blobs, _ = net.apply(params, state, batch, train=False)
+        mp = {"embed": params["w2v_q"], "sim": params["sim_cross"],
+              "conv0": params["conv0"], "bn0": params["bn0"],
+              "conv1": params["conv1"], "bn1": params["bn1"],
+              "fc1": params["fc1"], "fc2": params["fc2"]}
+        ms = {"bn0": state["bn0"], "bn1": state["bn1"]}
+        out, _ = M.mms_qa_apply(mp, ms, batch, cfg, train=False)
+        np.testing.assert_allclose(blobs["prob"], out["prob"], atol=1e-6)
+        np.testing.assert_allclose(blobs["loss"], out["loss"], atol=1e-6)
+        # in-graph metric layers agree with the metrics module
+        mrr = ir_metrics.mean_reciprocal_rank_jax(
+            out["prob"][:, 1], batch["label"], batch["group"])
+        np.testing.assert_allclose(blobs["mrr"], mrr, atol=1e-6)
+
+    def test_train_loss_and_grad(self):
+        cfg = dataclasses.replace(M.V4, vocab_size=120, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        net = GraphNet(net_prototxt_from_config(cfg), phase="train")
+        batch = _qa_batch(np.random.default_rng(1))
+        params, state = net.init(jax.random.PRNGKey(3), batch)
+
+        def loss_fn(p):
+            return net.loss(p, state, batch, train=True,
+                            rng=jax.random.PRNGKey(5))[0]
+
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(total))
+        # fc2 sees gradient; the zero-init sim metric blocks embed grads
+        # at step 0 (the reference's constant-filler quirk, CLAUDE.md)
+        assert float(jnp.sum(jnp.abs(grads["fc2"]["w"]))) > 0
+        np.testing.assert_allclose(np.asarray(grads["w2v_q"]["w"]), 0.0)
+
+    def test_jit_apply(self):
+        cfg = dataclasses.replace(M.V4, vocab_size=64, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        net = GraphNet(net_prototxt_from_config(cfg, phase="eval"),
+                       phase="test")
+        batch = _qa_batch(np.random.default_rng(2), vocab=64)
+        params, state = net.init(jax.random.PRNGKey(0), batch)
+        fast = jax.jit(lambda p, s, b: net.apply(p, s, b, train=False))
+        blobs, _ = fast(params, state, batch)
+        ref, _ = net.apply(params, state, batch, train=False)
+        np.testing.assert_allclose(blobs["prob"], ref["prob"], atol=1e-6)
+
+
+class TestSharingAndSpecs:
+    SHARED = """
+    layer { name: "d" type: "Input" top: "x" top: "y" }
+    layer { name: "fa" type: "InnerProduct" bottom: "x" top: "a"
+      param { name: "tied-w" lr_mult: 1 } param { name: "tied-b" lr_mult: 2 }
+      inner_product_param { num_output: 4
+        weight_filler { type: "gaussian" std: 0.1 } } }
+    layer { name: "fb" type: "InnerProduct" bottom: "y" top: "b"
+      param { name: "tied-w" } param { name: "tied-b" }
+      inner_product_param { num_output: 4 } }
+    layer { name: "sum" type: "Eltwise" bottom: "a" bottom: "b" top: "s" }
+    layer { name: "loss" type: "EuclideanLoss" bottom: "s" bottom: "s0"
+      top: "loss" }
+    """
+
+    def test_param_sharing(self):
+        net = GraphNet(self.SHARED)
+        rng = np.random.default_rng(0)
+        ins = {"x": jnp.asarray(rng.normal(size=(3, 5)).astype(np.float32)),
+               "y": jnp.asarray(rng.normal(size=(3, 5)).astype(np.float32)),
+               "s0": jnp.zeros((3, 4), jnp.float32)}
+        params, state = net.init(jax.random.PRNGKey(1), ins)
+        # one storage slot, owned by the first declarer (net.cpp:472-550)
+        assert sorted(params) == ["fa"]
+        blobs, _ = net.apply(params, state, ins)
+        w, b = params["fa"]["w"], params["fa"]["b"]
+        np.testing.assert_allclose(blobs["a"], ins["x"] @ w + b, atol=1e-6)
+        np.testing.assert_allclose(blobs["b"], ins["y"] @ w + b, atol=1e-6)
+        # gradient accumulates across BOTH uses of the shared blob
+        g = jax.grad(lambda p: net.loss(p, state, ins)[0])(params)
+        direct = jax.grad(
+            lambda w_: float(0.0) + jnp.sum(jnp.square(
+                (ins["x"] @ w_ + b) + (ins["y"] @ w_ + b))) / (2 * 3)
+        )(w)
+        np.testing.assert_allclose(np.asarray(g["fa"]["w"]),
+                                   np.asarray(direct), atol=1e-5)
+
+    def test_param_spec_tree(self):
+        net = GraphNet(self.SHARED)
+        ins = {"x": jnp.zeros((2, 5)), "y": jnp.zeros((2, 5)),
+               "s0": jnp.zeros((2, 4))}
+        params, _ = net.init(jax.random.PRNGKey(0), ins)
+        spec = net.param_spec(params)
+        assert spec == {"fa": {"w": (1.0, 1.0), "b": (2.0, 1.0)}}
+
+    def test_loss_weight_override(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "r" type: "Reduction" bottom: "x" top: "r"
+          loss_weight: 0.5 }
+        """
+        net = GraphNet(txt)
+        ins = {"x": jnp.asarray([[1.0, 2.0], [3.0, 4.0]])}
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        total, _ = net.loss(params, state, ins)
+        assert total == pytest.approx(0.5 * 10.0)
+
+
+class TestPhases:
+    TXT = """
+    layer { name: "d" type: "Input" top: "x" }
+    layer { name: "drop" type: "Dropout" bottom: "x" top: "x"
+      include { phase: TRAIN } dropout_param { dropout_ratio: 0.4 } }
+    layer { name: "s" type: "Sigmoid" bottom: "x" top: "s"
+      exclude { phase: TRAIIN_TYPO } }
+    layer { name: "acc" type: "Accuracy" bottom: "s" bottom: "lab"
+      top: "acc" include { phase: TEST } }
+    """.replace("TRAIIN_TYPO", "TRAIN")
+
+    def test_filternet(self):
+        train = GraphNet(self.TXT, phase="train")
+        test = GraphNet(self.TXT, phase="test")
+        assert [n.name for n in train.layers] == ["d", "drop"]
+        assert [n.name for n in test.layers] == ["d", "s", "acc"]
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(ValueError, match="unknown layer type"):
+            GraphNet('layer { name: "z" type: "Frobnicate" }')
+
+
+class TestLegacyIngestion:
+    """A V1-era prototxt (layers: + enum types + blobs_lr) builds and
+    runs through the same upgrade path the reference applies on load
+    (util/upgrade_proto.cpp)."""
+
+    V1 = """
+    name: "legacy"
+    layers { name: "ip1" type: INNER_PRODUCT bottom: "data" top: "ip1"
+      blobs_lr: 1 blobs_lr: 2
+      inner_product_param { num_output: 8
+        weight_filler { type: "xavier" } } }
+    layers { name: "relu1" type: RELU bottom: "ip1" top: "ip1" }
+    layers { name: "ip2" type: INNER_PRODUCT bottom: "ip1" top: "ip2"
+      inner_product_param { num_output: 3 } }
+    layers { name: "loss" type: SOFTMAX_LOSS bottom: "ip2" bottom: "label"
+      top: "loss" }
+    """
+
+    def test_v1_net_runs(self):
+        net = GraphNet(self.V1)
+        rng = np.random.default_rng(0)
+        ins = {"data": jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32)),
+               "label": jnp.asarray(rng.integers(0, 3, (4,)))}
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        total, (blobs, _) = net.loss(params, state, ins)
+        assert blobs["ip2"].shape == (4, 3)
+        assert np.isfinite(float(total))
+        spec = net.param_spec(params)
+        assert spec["ip1"] == {"w": (1.0, 1.0), "b": (2.0, 1.0)}
+
+
+class TestTraining:
+    """GraphNet + training/optim: the generic graph trains under the
+    reference solver stack (the `caffe train` path for arbitrary nets,
+    tools/caffe.cpp:157-252)."""
+
+    def test_legacy_net_trains_with_solver(self):
+        from mms_answer_selection_tpu.training.optim import (SolverConfig,
+                                                             make_solver)
+
+        net = GraphNet(TestLegacyIngestion.V1)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(32, 6)).astype(np.float32)
+        y = (x[:, 0] + x[:, 1] > 0).astype(np.int64) + (x[:, 2] > 0)
+        ins = {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        solver = make_solver(SolverConfig(solver_type="adadelta",
+                                          base_lr=1.0, momentum=0.9,
+                                          delta=1e-6, lr_policy="fixed"),
+                             net.param_spec(params))
+        opt = solver.init(params)
+
+        @jax.jit
+        def step(params, state, opt, i):
+            (loss, (_, new_state)), grads = jax.value_and_grad(
+                lambda p: net.loss(p, state, ins), has_aux=True)(params)
+            params, opt = solver.apply(params, grads, opt, i)
+            return params, new_state, opt, loss
+
+        first = None
+        for i in range(40):
+            params, state, opt, loss = step(params, state, opt, i)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.7, (first, float(loss))
+
+
+class TestLayerZoo:
+    """One forward per remaining stock type, value-checked where cheap."""
+
+    def _run(self, txt, ins, *, train=False, rng=None, phase="train"):
+        net = GraphNet(txt, phase=phase)
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        return net.apply(params, state, ins, train=train, rng=rng)
+
+    def test_neuron_chain(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "p" type: "Power" bottom: "x" top: "p"
+          power_param { power: 2 scale: 3 shift: 1 } }
+        layer { name: "e" type: "Exp" bottom: "x" top: "e"
+          exp_param { base: 2 } }
+        layer { name: "l" type: "Log" bottom: "e" top: "l"
+          log_param { base: 2 } }
+        layer { name: "t" type: "Threshold" bottom: "x" top: "t"
+          threshold_param { threshold: 0.5 } }
+        layer { name: "a" type: "AbsVal" bottom: "x" top: "a" }
+        layer { name: "bn" type: "BNLL" bottom: "x" top: "bn" }
+        layer { name: "el" type: "ELU" bottom: "x" top: "el"
+          elu_param { alpha: 0.5 } }
+        layer { name: "re" type: "ReLU" bottom: "x" top: "re"
+          relu_param { negative_slope: 0.1 } }
+        """
+        x = jnp.asarray([[-1.0, 0.25, 2.0]])
+        blobs, _ = self._run(txt, {"x": x})
+        np.testing.assert_allclose(blobs["p"], (1 + 3 * x) ** 2, atol=1e-6)
+        np.testing.assert_allclose(blobs["l"], x, atol=1e-5)  # log2(2^x)
+        np.testing.assert_allclose(blobs["t"], [[0.0, 0.0, 1.0]])
+        np.testing.assert_allclose(blobs["re"], [[-0.1, 0.25, 2.0]],
+                                   atol=1e-6)
+
+    def test_structural(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "sl" type: "Slice" bottom: "x" top: "s1" top: "s2"
+          slice_param { axis: 1 slice_point: 2 } }
+        layer { name: "cc" type: "Concat" bottom: "s2" bottom: "s1"
+          top: "cat" concat_param { axis: 1 } }
+        layer { name: "sp" type: "Split" bottom: "cat" top: "c1" top: "c2" }
+        layer { name: "ew" type: "Eltwise" bottom: "c1" bottom: "c2"
+          top: "ew" eltwise_param { operation: SUM coeff: 1 coeff: -1 } }
+        layer { name: "ti" type: "Tile" bottom: "x" top: "ti"
+          tile_param { axis: 0 tiles: 2 } }
+        layer { name: "fl" type: "Flatten" bottom: "x" top: "fl" }
+        layer { name: "rs" type: "Reshape" bottom: "x" top: "rs"
+          reshape_param { shape { dim: 0 dim: -1 dim: 2 } } }
+        """
+        x = jnp.arange(8.0).reshape(2, 4)
+        blobs, _ = self._run(txt, {"x": x})
+        np.testing.assert_allclose(
+            blobs["cat"], jnp.concatenate([x[:, 2:], x[:, :2]], axis=1))
+        np.testing.assert_allclose(blobs["ew"], jnp.zeros((2, 4)))
+        assert blobs["ti"].shape == (4, 4)
+        assert blobs["rs"].shape == (2, 2, 2)
+
+    def test_vision_stack(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "cv" type: "Convolution" bottom: "x" top: "cv"
+          convolution_param { num_output: 4 kernel_size: 3 pad: 1 stride: 1
+            weight_filler { type: "msra" } bias_filler { type: "constant"
+            value: 0.5 } } }
+        layer { name: "po" type: "Pooling" bottom: "cv" top: "po"
+          pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+        layer { name: "gp" type: "Pooling" bottom: "cv" top: "gp"
+          pooling_param { pool: AVE global_pooling: true } }
+        layer { name: "lr" type: "LRN" bottom: "cv" top: "lr"
+          lrn_param { local_size: 3 alpha: 2 beta: 0.5 } }
+        layer { name: "lw" type: "LRN" bottom: "cv" top: "lw"
+          lrn_param { local_size: 3 norm_region: WITHIN_CHANNEL } }
+        layer { name: "mv" type: "MVN" bottom: "cv" top: "mv" }
+        layer { name: "dc" type: "Deconvolution" bottom: "po" top: "dc"
+          convolution_param { num_output: 2 kernel_size: 2 stride: 2
+            weight_filler { type: "bilinear" } bias_term: false } }
+        layer { name: "sc" type: "Scale" bottom: "cv" top: "sc"
+          scale_param { bias_term: true } }
+        layer { name: "bi" type: "Bias" bottom: "cv" top: "bi" }
+        layer { name: "cr" type: "Crop" bottom: "cv" bottom: "po" top: "cr"
+          crop_param { axis: 2 offset: 1 } }
+        layer { name: "spp" type: "SPP" bottom: "cv" top: "spp"
+          spp_param { pyramid_height: 2 } }
+        """
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 8, 8, 3)).astype(np.float32))
+        blobs, _ = self._run(txt, {"x": x})
+        assert blobs["cv"].shape == (2, 8, 8, 4)
+        assert blobs["po"].shape == (2, 4, 4, 4)
+        assert blobs["gp"].shape == (2, 1, 1, 4)
+        assert blobs["dc"].shape == (2, 8, 8, 2)
+        assert blobs["cr"].shape == (2, 4, 4, 4)
+        # SPP: 1x1 + 2x2 bins = 5 bins x 4 channels
+        assert blobs["spp"].shape == (2, 20)
+        # Scale init: multiplier 1 + bias 0 == identity
+        np.testing.assert_allclose(blobs["sc"], blobs["cv"], atol=1e-6)
+
+    def test_grouped_and_dilated_conv(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "cv" type: "Convolution" bottom: "x" top: "cv"
+          convolution_param { num_output: 4 kernel_size: 3 group: 2
+            dilation: 2 weight_filler { type: "gaussian" std: 1 } } }
+        """
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(1, 9, 9, 4)).astype(np.float32))
+        blobs, _ = self._run(txt, {"x": x})
+        # dilated VALID: 9 - (2*(3-1)+1) + 1 = 5
+        assert blobs["cv"].shape == (1, 5, 5, 4)
+
+    def test_stochastic_pool_modes(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "po" type: "Pooling" bottom: "x" top: "po"
+          pooling_param { pool: STOCHASTIC kernel_size: 2 stride: 2 } }
+        """
+        x = jnp.abs(jnp.asarray(np.random.default_rng(2).normal(
+            size=(1, 4, 4, 2)).astype(np.float32)))
+        train_blobs, _ = self._run(txt, {"x": x}, train=True,
+                                   rng=jax.random.PRNGKey(0))
+        eval_blobs, _ = self._run(txt, {"x": x}, train=False)
+        assert train_blobs["po"].shape == eval_blobs["po"].shape == \
+            (1, 2, 2, 2)
+
+    def test_recurrent_and_similarity(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" top: "q" top: "a"
+          top: "u" top: "v" }
+        layer { name: "ls" type: "LSTM" bottom: "x" top: "ls"
+          recurrent_param { num_output: 5
+            weight_filler { type: "uniform" min: -0.1 max: 0.1 } } }
+        layer { name: "rn" type: "RNN" bottom: "x" top: "rn"
+          recurrent_param { num_output: 5
+            weight_filler { type: "uniform" min: -0.1 max: 0.1 } } }
+        layer { name: "sx" type: "SimCross" bottom: "q" bottom: "a"
+          top: "sx" sim_cross_param { dist_mode: 1 } }
+        layer { name: "sm" type: "SimMatrix" bottom: "u" bottom: "v"
+          top: "sm" sim_matrix_param {
+            weight_filler { type: "gaussian" std: 0.2 } } }
+        layer { name: "fm" type: "FM" bottom: "q" top: "fm" }
+        """
+        rng = np.random.default_rng(3)
+        ins = {"x": jnp.asarray(rng.normal(size=(7, 2, 3)).astype(np.float32)),
+               "q": jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32)),
+               "a": jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32)),
+               "u": jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32)),
+               "v": jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32))}
+        blobs, _ = self._run(txt, ins)
+        assert blobs["ls"].shape == (7, 2, 5)
+        assert blobs["sx"].shape == (2, 4, 5, 1)
+        assert blobs["sm"].shape == (2, 1)
+        assert blobs["fm"].shape == (2, 1)
+
+    def test_losses_and_metrics(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "lg" top: "lab" top: "pa"
+          top: "pb" top: "py" top: "H" }
+        layer { name: "sm" type: "Softmax" bottom: "lg" top: "prob" }
+        layer { name: "l1" type: "SoftmaxWithLoss" bottom: "lg"
+          bottom: "lab" top: "l1" }
+        layer { name: "l2" type: "HingeLoss" bottom: "lg" bottom: "lab"
+          top: "l2" hinge_loss_param { norm: L2 } }
+        layer { name: "l3" type: "SigmoidCrossEntropyLoss" bottom: "pa"
+          bottom: "py" top: "l3" }
+        layer { name: "l4" type: "EuclideanLoss" bottom: "pa" bottom: "pb"
+          top: "l4" }
+        layer { name: "l5" type: "ContrastiveLoss" bottom: "pa"
+          bottom: "pb" bottom: "lab" top: "l5"
+          contrastive_loss_param { margin: 2 } }
+        layer { name: "l6" type: "MultinomialLogisticLoss" bottom: "prob"
+          bottom: "lab" top: "l6" }
+        layer { name: "l7" type: "InfogainLoss" bottom: "prob"
+          bottom: "lab" bottom: "H" top: "l7" }
+        layer { name: "l8" type: "PairRankLoss" bottom: "pa" bottom: "pb"
+          bottom: "lab" top: "l8" pair_rank_loss_param { margin: 0.5 } }
+        layer { name: "ac" type: "Accuracy" bottom: "lg" bottom: "lab"
+          top: "ac" }
+        layer { name: "am" type: "ArgMax" bottom: "lg" top: "am" }
+        layer { name: "ra" type: "RankAccuracy" bottom: "pa" bottom: "pb"
+          bottom: "lab" top: "ra" }
+        """
+        rng = np.random.default_rng(4)
+        n = 4
+        ins = {"lg": jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32)),
+               "lab": jnp.asarray(rng.integers(0, 2, (n,))),
+               "pa": jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32)),
+               "pb": jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32)),
+               "py": jnp.asarray(rng.integers(0, 2, (n, 1)).astype(
+                   np.float32)),
+               "H": jnp.eye(2, dtype=jnp.float32)}
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        total, (blobs, _) = net.loss(params, state, ins)
+        for k in ("l1", "l2", "l3", "l4", "l5", "l6", "l7", "l8"):
+            assert np.isfinite(float(blobs[k])), k
+        # identity infogain == multinomial logistic (infogain_loss_layer.cpp)
+        np.testing.assert_allclose(blobs["l7"], blobs["l6"], atol=1e-6)
+        # total = the 8 unit-weight losses (metrics contribute nothing)
+        expect = sum(float(blobs[f"l{i}"]) for i in range(1, 9))
+        assert float(total) == pytest.approx(expect, rel=1e-6)
+
+    def test_filter_and_reindex(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" top: "sel" top: "perm" }
+        layer { name: "f" type: "Filter" bottom: "x" bottom: "sel"
+          top: "fx" }
+        layer { name: "br" type: "BatchReindex" bottom: "x" bottom: "perm"
+          top: "bx" }
+        """
+        x = jnp.arange(12.0).reshape(4, 3)
+        ins = {"x": x, "sel": jnp.asarray([1.0, 0.0, 1.0, 0.0]),
+               "perm": jnp.asarray([3, 0])}
+        blobs, _ = self._run(txt, ins)
+        np.testing.assert_allclose(blobs["fx"][:2], x[jnp.asarray([0, 2])])
+        np.testing.assert_allclose(blobs["bx"], x[jnp.asarray([3, 0])])
+
+    def test_dummy_data_and_parameter(self):
+        txt = """
+        layer { name: "dd" type: "DummyData" top: "c"
+          dummy_data_param { shape { dim: 2 dim: 3 }
+            data_filler { type: "constant" value: 4 } } }
+        layer { name: "pp" type: "Parameter" top: "w"
+          parameter_param { shape { dim: 3 } } }
+        layer { name: "sc" type: "Scale" bottom: "c" bottom: "w"
+          top: "out" }
+        layer { name: "si" type: "Silence" bottom: "out" }
+        """
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(0), {})
+        blobs, _ = net.apply(params, state, {})
+        np.testing.assert_allclose(blobs["c"], jnp.full((2, 3), 4.0))
+        assert params["pp"]["w"].shape == (3,)
+        # Parameter blob is learnable: grads flow into it
+        g = jax.grad(lambda p: jnp.sum(
+            net.apply(p, state, {})[0]["out"]))(params)
+        np.testing.assert_allclose(np.asarray(g["pp"]["w"]),
+                                   np.full((3,), 8.0))
+
+    def test_batchnorm_upstream(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "bn" type: "BatchNorm" bottom: "x" top: "bn" }
+        """
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(2.0, 3.0, size=(16, 4)).astype(np.float32))
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(0), {"x": x})
+        blobs, st = net.apply(params, state, {"x": x}, train=True)
+        # train mode normalizes with batch stats
+        np.testing.assert_allclose(np.mean(np.asarray(blobs["bn"]), axis=0),
+                                   0.0, atol=1e-5)
+        np.testing.assert_allclose(np.std(np.asarray(blobs["bn"]), axis=0),
+                                   1.0, atol=1e-2)
+        # eval mode uses the factor-normalized moving stats
+        blobs2, _ = net.apply(params, st, {"x": x}, train=False)
+        np.testing.assert_allclose(np.mean(np.asarray(blobs2["bn"]), axis=0),
+                                   0.0, atol=1e-1)
+
+    def test_caffemodel_interop_qa(self, tmp_path):
+        """Weights saved through the GENERIC GraphNet spec load into the
+        typed-family tree through the FAMILY spec — both speak the same
+        reference format (Net::ToHDF5 / ToProto, net.cpp:847-913)."""
+        from mms_answer_selection_tpu.utils import caffemodel as cm
+
+        cfg = dataclasses.replace(M.V4, vocab_size=60, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        net = GraphNet(net_prototxt_from_config(cfg), phase="train")
+        batch = _qa_batch(np.random.default_rng(0), vocab=60)
+        params, state = net.init(jax.random.PRNGKey(11), batch)
+        specs = net.caffemodel_specs(params, state)
+        by_name = dict((n, (r, s)) for n, r, s in specs)
+        # every layer appears (ToHDF5 writes empty groups), shared marked
+        assert by_name["w2v_a"][1] is True
+        assert by_name["relu0"][0] == []
+        for ext, save, load in (
+                (".h5", cm.save_caffemodel_h5, cm.load_caffemodel_h5),
+                (".caffemodel", cm.save_caffemodel_binaryproto,
+                 cm.load_caffemodel_binaryproto)):
+            path = str(tmp_path / f"gn{ext}")
+            save(path, params, state, specs=specs)
+            tp, ts = M.mms_qa_init(jax.random.PRNGKey(0), cfg)
+            tp2, ts2, report = load(path, tp, ts)
+            np.testing.assert_allclose(tp2["embed"]["w"],
+                                       params["w2v_q"]["w"], atol=0)
+            np.testing.assert_allclose(tp2["conv0"]["w"],
+                                       params["conv0"]["w"], atol=0)
+            np.testing.assert_allclose(tp2["fc1"]["w"],
+                                       params["fc1"]["w"], atol=0)
+            np.testing.assert_allclose(ts2["bn0"]["mean"],
+                                       state["bn0"]["mean"], atol=0)
+
+    def test_caffemodel_generic_roundtrip(self, tmp_path):
+        """A net OUTSIDE every typed family (LSTM + PReLU + Scale + FM)
+        round-trips .caffemodel through its own generic specs."""
+        from mms_answer_selection_tpu.utils import caffemodel as cm
+
+        txt = """
+        layer { name: "d" type: "Input" top: "x" top: "q" }
+        layer { name: "ls" type: "LSTM" bottom: "x" top: "ls"
+          recurrent_param { num_output: 4
+            weight_filler { type: "gaussian" std: 0.3 } } }
+        layer { name: "pr" type: "PReLU" bottom: "ls" top: "pr" }
+        layer { name: "fm" type: "FM" bottom: "q" top: "fm" }
+        """
+        rng = np.random.default_rng(7)
+        ins = {"x": jnp.asarray(rng.normal(size=(5, 2, 3)).astype(
+                   np.float32)),
+               "q": jnp.asarray(rng.normal(size=(2, 3, 4)).astype(
+                   np.float32))}
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(1), ins)
+        params["fm"]["b"] = jnp.asarray(0.75)  # non-default scalar blob
+        path = str(tmp_path / "gn.caffemodel")
+        cm.save_caffemodel_binaryproto(
+            path, params, state, specs=net.caffemodel_specs(params, state))
+        # fresh init, restore, identical forward
+        p2, s2 = net.init(jax.random.PRNGKey(99), ins)
+        p3, s3, report = cm.load_caffemodel_binaryproto(
+            path, p2, s2, specs=net.caffemodel_specs(p2, s2))
+        for layer in ("ls", "pr", "fm"):
+            for k in params[layer]:
+                np.testing.assert_allclose(p3[layer][k], params[layer][k],
+                                           atol=0, err_msg=f"{layer}/{k}")
+        a, _ = net.apply(params, state, ins)
+        b, _ = net.apply(p3, s3, ins)
+        np.testing.assert_allclose(b["pr"], a["pr"], atol=0)
+        np.testing.assert_allclose(b["fm"], a["fm"], atol=0)
+
+    def test_embed_layer(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "ids" }
+        layer { name: "em" type: "Embed" bottom: "ids" top: "em"
+          embed_param { num_output: 4 input_dim: 10
+            weight_filler { type: "uniform" min: -1 max: 1 } } }
+        """
+        ins = {"ids": jnp.asarray([[1, 2], [3, 9]])}
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        blobs, _ = net.apply(params, state, ins)
+        w, b = params["em"]["w"], params["em"]["b"]
+        np.testing.assert_allclose(blobs["em"][0, 0], w[1] + b, atol=1e-6)
