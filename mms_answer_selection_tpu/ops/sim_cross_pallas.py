@@ -31,6 +31,7 @@ already sublane-aligned for the recipe shapes.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -465,12 +466,18 @@ def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
         o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
 
 
-C_SUB_INT8 = 64   # tuned on v5e: 64 > 32 > 16 > 8 (154.7M pairs/s);
-                  # 128 overflows the compiler's scoped-vmem budget
-C_BLOCK_INT8 = 256  # int8-only: halving the grid count bought +3%
-                    # (180.2M vs 175.0M at 256q x 262k); bf16 at 256
-                    # overflows scoped vmem (2x the chunk bytes), so the
-                    # global C_BLOCK stays 128
+C_SUB_INT8 = 128  # tuned on v5e at vmem 100MB: with the default 16MB
+                  # scoped-vmem budget 128 overflowed and 64 was the
+                  # ceiling (154.7M); raising vmem_limit_bytes unlocks it
+C_BLOCK_INT8 = 1024  # int8-only ladder at 256q x 262k (vmem 100MB):
+                     # 256/64 = 180.2M, 512/128 = 183.7M,
+                     # 1024/128 = 185.0M pairs/s (docs/PERF.md r3);
+                     # bf16 keeps the global C_BLOCK (2x the chunk bytes)
+VMEM_LIMIT_INT8_MB = 100  # Mosaic's default scoped-VMEM budget is 16MB;
+                          # the v5e has 128MB per core.  Raising the limit
+                          # is what makes the big tiles above compile --
+                          # every variant beyond 256/64 overflowed at the
+                          # default (measured, docs/PERF.md r3)
 
 # per-mode candidate-tile defaults -- pool padding/chunking must use the
 # mode's block (the engine reads this table; keeping it NEXT to the
@@ -483,6 +490,8 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
                                 c_sub: int = C_SUB_INT8,
                                 q_sub: int = Q_SUB,
                                 q_block: int | None = None,
+                                vmem_limit_mb: int | None
+                                = VMEM_LIMIT_INT8_MB,
                                 interpret: bool | None = None):
     """int8 scoring: (Nq, C) f32 approximate scores (per-candidate
     symmetric quantization, ~1-3% score error; padding is exact).  Rerank
@@ -492,12 +501,21 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
     nq, rows_per_q, dp = qw_i8.shape
     c = pool_i8.shape[0]
     w2p = pool_i8.shape[1]
-    # small pools: one tile covers everything; pools that are 128- but not
-    # 256-multiples shrink to the largest fitting c_sub-multiple tile
+    # the REQUESTED pair must be consistent (a non-dividing c_sub would
+    # silently leave output rows unwritten -- the kernel iterates
+    # c_block // c_sub sub-chunks); only a pool-driven c_block shrink may
+    # then shrink c_sub with it
+    if c_block % min(c_sub, c_block):
+        raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
+    # small pools: one tile covers everything; off-block pools shrink to
+    # the largest fitting c_sub-multiple tile
     c_block = _fit_c_block(c, c_block, min(c_sub, c))
     c_sub = min(c_sub, c_block)
     if c_block % c_sub:
-        raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
+        # a shrunken tile (e.g. a 192-candidate pool against the 1024/128
+        # defaults) keeps working by shrinking the inner chunk too; any
+        # gcd is row-legal (chunk rows are c_sub * w2p, w2p 8-aligned)
+        c_sub = math.gcd(c_sub, c_block)
     q_align = q_sub if interpret else (q_block or Q_BLOCK)
     nq_pad = _round_up(nq, q_align)
     q_sub = min(q_sub, nq_pad)
@@ -528,6 +546,8 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            **({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+               if vmem_limit_mb else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nq_pad * c * rows_per_q * w2p * dp,

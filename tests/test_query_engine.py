@@ -164,12 +164,15 @@ class TestChunkedPool:
     @pytest.mark.parametrize("scan", [True, False])
     def test_chunked_int8(self, scan):
         _, params, state, _ = _engine(n_cand=64)
-        cand_ids = rng.integers(0, 64, (300, 6))
+        # int8 blk is 1024: a 2600-pool over 1024-chunks genuinely chunks
+        cand_ids = rng.integers(0, 64, (2600, 6))
         eng_1 = QueryEngine(params, CFG, pool_dtype="int8",
                             interpret=True).build_index(cand_ids)
         eng_c = QueryEngine(params, CFG, pool_dtype="int8",
-                            interpret=True, chunk_size=128,
+                            interpret=True, chunk_size=1024,
                             scan_chunks=scan).build_index(cand_ids)
+        assert (eng_c.chunks[0].shape[0] if scan
+                else len(eng_c.chunks)) == 3
         query_ids = rng.integers(0, 64, (2, 6))
         v1, i1 = eng_1.query(query_ids, k=7)
         vc, ic = eng_c.query(query_ids, k=7)
@@ -203,23 +206,25 @@ class TestChunkedPool:
         assert np.asarray(im).max() < 2300
 
     def test_mesh_and_chunks_int8(self):
-        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        # 2-device submesh keeps interpret-mode cost sane now that the
+        # int8 blk is 1024: 2600 > 2 shards * 1024 -> chunked on the mesh
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("c",))
         _, params, state, _ = _engine(n_cand=16)
-        # int8 blk is 256: 2500 > 8 * 256 -> chunked on the mesh
-        cand_ids = rng.integers(0, 64, (2500, 6))
+        cand_ids = rng.integers(0, 64, (2600, 6))
         eng_m = QueryEngine(params, CFG, mesh=mesh, pool_dtype="int8",
                             interpret=True,
-                            chunk_size=256).build_index(cand_ids)
+                            chunk_size=1024).build_index(cand_ids)
+        assert eng_m.chunks[0].shape[:2] == (2, 2 * 1024)
         eng_s = QueryEngine(params, CFG, pool_dtype="int8",
                             interpret=True,
-                            chunk_size=256).build_index(cand_ids)
+                            chunk_size=1024).build_index(cand_ids)
         query_ids = rng.integers(0, 64, (2, 6))
         vm, im = eng_m.query(query_ids, k=7)
         vs, is_ = eng_s.query(query_ids, k=7)
         np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(im), np.asarray(is_))
-        assert np.asarray(im).max() < 2500
+        assert np.asarray(im).max() < 2600
 
     def test_chunked_padding_rows_never_returned(self):
         # 300 candidates over 128-chunks pads chunk 3 with 84 masked rows;
