@@ -616,6 +616,93 @@ def cmd_reproduce(args):
         sys.exit(1)
 
 
+def cmd_solve(args):
+    """The reference's generic `caffe train --solver=...` (tools/
+    caffe.cpp:157-252): drive ANY NetParameter prototxt — not just the
+    typed model families — through the full solver loop (GraphSolver:
+    test passes, smoothed-loss display, snapshots, resume)."""
+    from .training.graph_solver import GraphSolver
+
+    gs = GraphSolver(args.solver)
+    if args.snapshot:
+        gs.restore(args.snapshot)
+    elif args.weights:
+        report = gs.copy_weights(args.weights)
+        log.info("copied weights: %s", report)
+    loss = gs.solve()
+    tests = {k: (v.tolist() if hasattr(v, "tolist") else v)
+             for rec in gs.history if rec["phase"].startswith("Test")
+             for k, v in rec.items() if k not in ("iter", "phase")}
+    print(json.dumps({"iter": gs.iter_, "loss": float(loss),
+                      "last_test": tests}))
+
+
+def cmd_nettest(args):
+    """The reference's `caffe test` action (tools/caffe.cpp:246-296):
+    score ANY net prototxt in TEST phase for N iterations with given
+    weights, averaging every output-blob element; loss = mean weighted
+    loss over the iterations."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.graph_net import DATA_TYPES, GraphNet
+    from .training.graph_solver import _build_feed
+
+    with open(args.model) as f:
+        net = GraphNet(f.read(), phase="test")
+    base_dir = os.path.dirname(os.path.abspath(args.model))
+    feeds = [f for f in
+             (_build_feed(n.cfg, "test", 0, base_dir, None)
+              for n in net.layers if n.type in DATA_TYPES)
+             if f is not None]
+
+    def next_batch():
+        batch = {}
+        for f in feeds:
+            batch.update(next(f))
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    example = next_batch() if feeds else {}
+    params, state = net.init(jax.random.PRNGKey(0), example)
+    if args.weights:
+        from .utils.caffemodel import (load_caffemodel_binaryproto,
+                                       load_caffemodel_h5)
+        specs = net.caffemodel_specs(params, state)
+        with open(args.weights, "rb") as f:
+            is_h5 = f.read(4) == b"\x89HDF"
+        loader = (load_caffemodel_h5 if is_h5
+                  else load_caffemodel_binaryproto)
+        params, state, report = loader(args.weights, params, state,
+                                       specs=specs)
+        log.info("loaded weights: %s", report)
+    outs_names = net.output_blob_names()
+    weights_map = net.blob_loss_weights()
+
+    @jax.jit
+    def fwd(batch):
+        blobs, _ = net.apply(params, state, batch, train=False)
+        return {t: blobs[t].astype(jnp.float32) for t in outs_names}
+
+    total, loss = None, 0.0
+    for i in range(args.iterations):
+        out = fwd(next_batch() if feeds else {})
+        loss += sum(w * float(np.sum(np.asarray(out[t])))
+                    for t, w in weights_map.items())
+        total = out if total is None else jax.tree.map(jnp.add, total, out)
+    result = {}
+    for name in outs_names:
+        mean = np.ravel(np.asarray(total[name])) / args.iterations
+        w = weights_map.get(name, 0.0)
+        for k, v in enumerate(mean):
+            msg = f"{name} = {v}"
+            if w:
+                msg += f" (* {w} = {w * v} loss)"
+            log.info("%s", msg)
+        result[name] = mean.tolist() if mean.size > 1 else float(mean[0])
+    result["loss"] = loss / args.iterations
+    print(json.dumps(result))
+
+
 def cmd_device_query(args):
     import jax
 
@@ -785,6 +872,28 @@ def main(argv=None):
                    help="absolute band around the published numbers "
                         "(covers seed/hardware noise on one run)")
     p.set_defaults(fn=cmd_reproduce)
+
+    p = sub.add_parser(
+        "solve",
+        help="generic `caffe train`: run ANY net prototxt via its "
+             "solver prototxt (GraphNet + the reference solver loop)")
+    p.add_argument("--solver", required=True,
+                   help="solver.prototxt (net/train_net/test_net paths "
+                        "resolve relative to it)")
+    p.add_argument("--weights", help="init from a .caffemodel[.h5] "
+                                     "(CopyTrainedLayersFrom)")
+    p.add_argument("--snapshot", help="resume from a .solverstate[.h5]")
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser(
+        "nettest",
+        help="generic `caffe test`: score ANY net prototxt in TEST "
+             "phase for N iterations (averaged output blobs)")
+    p.add_argument("--model", required=True, help="net prototxt")
+    p.add_argument("--weights", help=".caffemodel[.h5] to load")
+    p.add_argument("--iterations", type=int, default=50,
+                   help="caffe.cpp FLAGS_iterations default")
+    p.set_defaults(fn=cmd_nettest)
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)

@@ -1,0 +1,276 @@
+"""GraphSolver: the generic `caffe train --solver=...` loop over
+arbitrary prototxt nets (training/graph_solver.py vs solver.cpp:193-495
+and tools/caffe.cpp:157-252)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax  # noqa: E402
+
+from mms_answer_selection_tpu.training.graph_solver import GraphSolver
+
+
+def _write_h5(path, data, label):
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+        f.create_dataset("label", data=label.astype(np.float64))
+
+
+def _make_data(tmp_path, n_train=256, n_test=100, seed=0):
+    """A linearly separable 3-class problem: argmax of a fixed linear
+    map of the inputs."""
+    rng = np.random.default_rng(seed)
+    W = rng.normal(size=(6, 3))
+    xs = rng.normal(size=(n_train + n_test, 6)).astype(np.float32)
+    ys = np.argmax(xs @ W, axis=1)
+    _write_h5(tmp_path / "train.h5", xs[:n_train], ys[:n_train])
+    _write_h5(tmp_path / "test.h5", xs[n_train:], ys[n_train:])
+    (tmp_path / "train.txt").write_text(str(tmp_path / "train.h5") + "\n")
+    (tmp_path / "test.txt").write_text(str(tmp_path / "test.h5") + "\n")
+
+
+NET = """
+name: "tiny"
+layer {{ name: "data" type: "HDF5Data" top: "data" top: "label"
+  hdf5_data_param {{ source: "{train}" batch_size: 32 shuffle: true }}
+  include {{ phase: TRAIN }} }}
+layer {{ name: "data" type: "HDF5Data" top: "data" top: "label"
+  hdf5_data_param {{ source: "{test}" batch_size: 50 }}
+  include {{ phase: TEST }} }}
+layer {{ name: "fc1" type: "InnerProduct" bottom: "data" top: "fc1"
+  inner_product_param {{ num_output: 16
+                         weight_filler {{ type: "xavier" }} }} }}
+layer {{ name: "relu1" type: "ReLU" bottom: "fc1" top: "fc1" }}
+layer {{ name: "fc2" type: "InnerProduct" bottom: "fc1" top: "fc2"
+  inner_product_param {{ num_output: 3
+                         weight_filler {{ type: "xavier" }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "fc2"
+  bottom: "label" top: "loss" }}
+layer {{ name: "acc" type: "Accuracy" bottom: "fc2" bottom: "label"
+  top: "acc" include {{ phase: TEST }} }}
+"""
+
+SOLVER = """
+net: "net.prototxt"
+test_iter: 2
+test_interval: 20
+base_lr: 0.1
+lr_policy: "fixed"
+display: 10
+average_loss: 5
+max_iter: 60
+momentum: 0.9
+type: "SGD"
+random_seed: 7
+snapshot_prefix: "snap"
+snapshot_format: HDF5
+"""
+
+
+def _setup(tmp_path, solver_text=SOLVER, **data_kw):
+    _make_data(tmp_path, **data_kw)
+    (tmp_path / "net.prototxt").write_text(NET.format(
+        train=tmp_path / "train.txt", test=tmp_path / "test.txt"))
+    sp = tmp_path / "solver.prototxt"
+    sp.write_text(solver_text)
+    return sp
+
+
+class TestSolve:
+    def test_solve_learns_and_tests(self, tmp_path):
+        gs = GraphSolver(str(_setup(tmp_path)))
+        gs.solve()
+        assert gs.iter_ == 60
+        train_recs = [r for r in gs.history if r["phase"] == "Train"]
+        test_recs = [r for r in gs.history if r["phase"] == "Test#0"]
+        # test_initialization default true: a test pass at iter 0
+        assert test_recs[0]["iter"] == 0
+        # iters 0,20,40 inside step + the final at 60 (solver.cpp:320)
+        assert [r["iter"] for r in test_recs] == [0, 20, 40, 60]
+        assert train_recs[-1]["loss"] < train_recs[0]["loss"] * 0.7
+        # separable problem: the final accuracy pass is near-perfect
+        assert test_recs[-1]["acc"] > 0.85
+        # Accuracy is not a loss output; SoftmaxWithLoss is
+        assert "loss" in test_recs[-1]
+        # snapshot_after_train (proto default true) wrote the HDF5 pair
+        assert (tmp_path / "snap_iter_60.caffemodel.h5").exists()
+        assert (tmp_path / "snap_iter_60.solverstate.h5").exists()
+
+    def test_test_initialization_false(self, tmp_path):
+        sp = _setup(tmp_path, SOLVER + "test_initialization: false\n"
+                    + "snapshot_after_train: false\n")
+        gs = GraphSolver(str(sp))
+        gs.step(5)
+        assert not [r for r in gs.history if r["phase"].startswith("Test")]
+        assert not list(tmp_path.glob("snap_iter_*"))
+
+    def test_smoothed_loss_window(self, tmp_path):
+        gs = GraphSolver(str(_setup(tmp_path)))
+        gs.step(12)
+        # average_loss 5: after 12 iters the smoothed loss is the mean
+        # of the last 5 raw losses (solver.cpp:482-495) -- reconstruct
+        # from the recorded window
+        assert len(gs._losses) == 5
+        assert gs._smoothed == pytest.approx(np.mean(gs._losses))
+
+
+class TestResume:
+    def test_snapshot_resume_bit_exact(self, tmp_path):
+        sp = _setup(tmp_path, SOLVER.replace('snapshot_prefix: "snap"',
+                                             'snapshot: 30\n'
+                                             'snapshot_prefix: "snap"'))
+        a = GraphSolver(str(sp))
+        a.step(60)
+        st = tmp_path / "snap_iter_30.solverstate.h5"
+        assert st.exists()
+
+        b = GraphSolver(str(sp))
+        assert b.restore(str(st)) == 30
+        b.step(30)
+        assert b.iter_ == a.iter_ == 60
+        # fast-forwarded feeds + iter-keyed rng: bit-identical trajectory
+        jax.tree.map(np.testing.assert_array_equal, a.params, b.params)
+        jax.tree.map(np.testing.assert_array_equal, a.opt_state,
+                     b.opt_state)
+
+    def test_copy_weights(self, tmp_path):
+        gs = GraphSolver(str(_setup(tmp_path)))
+        gs.solve()
+        model = tmp_path / "snap_iter_60.caffemodel.h5"
+        (tmp_path / "b").mkdir()
+        fresh = GraphSolver(str(_setup(tmp_path / "b")))
+        report = fresh.copy_weights(str(model))
+        assert all(v == "loaded" for v in report.values()), report
+        jax.tree.map(np.testing.assert_array_equal, gs.params,
+                     fresh.params)
+
+    def test_binaryproto_snapshot_roundtrip(self, tmp_path):
+        sp = _setup(tmp_path,
+                    SOLVER.replace("snapshot_format: HDF5", ""))
+        a = GraphSolver(str(sp))
+        a.step(10)
+        model, st = a.snapshot()
+        assert model.endswith(".caffemodel") and st.endswith(".solverstate")
+        b = GraphSolver(str(sp))
+        b.restore(st)
+        jax.tree.map(np.testing.assert_array_equal, a.params, b.params)
+        jax.tree.map(np.testing.assert_allclose, a.opt_state, b.opt_state)
+
+
+class TestGenerality:
+    def test_dummy_data_net_no_feeds(self, tmp_path):
+        """A net whose data is generated in-graph trains with no feeds:
+        fit a Parameter blob to a constant target (pure prototxt, no
+        host data at all)."""
+        (tmp_path / "net.prototxt").write_text("""
+name: "dummy"
+layer { name: "d" type: "DummyData" top: "x"
+  dummy_data_param { shape { dim: 4 dim: 3 }
+                     data_filler { type: "constant" value: 2.0 } } }
+layer { name: "w" type: "Parameter" top: "w"
+  parameter_param { shape { dim: 4 dim: 3 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "w" bottom: "x"
+  top: "loss" }
+""")
+        (tmp_path / "solver.prototxt").write_text("""
+net: "net.prototxt"
+base_lr: 0.5
+lr_policy: "fixed"
+max_iter: 50
+type: "SGD"
+snapshot_after_train: false
+""")
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"))
+        gs.solve()
+        np.testing.assert_allclose(np.asarray(gs.params["w"]["w"]),
+                                   np.full((4, 3), 2.0), atol=1e-2)
+
+    def test_iter_size_accumulation(self, tmp_path):
+        sp = _setup(tmp_path, SOLVER + "iter_size: 2\n")
+        gs = GraphSolver(str(sp))
+        gs.step(20)
+        recs = [r for r in gs.history if r["phase"] == "Train"]
+        assert recs[-1]["loss"] < recs[0]["loss"]
+
+    def test_memory_feed_layer(self, tmp_path):
+        """A MemoryData-style source arrives via feeds= (the decoupled
+        pipeline stance: the prototxt declares the top names, the caller
+        owns the arrays)."""
+        (tmp_path / "net.prototxt").write_text("""
+layer { name: "src" type: "MemoryData" top: "x" top: "y" }
+layer { name: "fc" type: "InnerProduct" bottom: "x" top: "out"
+  inner_product_param { num_output: 1
+                        weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "out" bottom: "y"
+  top: "loss" }
+""")
+        (tmp_path / "solver.prototxt").write_text("""
+net: "net.prototxt"
+base_lr: 0.05
+lr_policy: "fixed"
+max_iter: 80
+type: "SGD"
+momentum: 0.9
+snapshot_after_train: false
+""")
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(128, 5)).astype(np.float32)
+        y = (x @ rng.normal(size=(5, 1))).astype(np.float32)
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"),
+                         feeds={"src": {"x": x, "y": y, "batch_size": 32}})
+        loss = gs.solve()
+        assert loss < 0.1
+
+    def test_missing_feed_raises(self, tmp_path):
+        (tmp_path / "net.prototxt").write_text(
+            'layer { name: "src" type: "MemoryData" top: "x" }\n')
+        (tmp_path / "solver.prototxt").write_text(
+            'net: "net.prototxt"\nmax_iter: 1\nbase_lr: 1.0\n')
+        with pytest.raises(ValueError, match="feeds="):
+            GraphSolver(str(tmp_path / "solver.prototxt"))
+
+
+class TestCLI:
+    def test_qa_solve(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+
+        sp = _setup(tmp_path)
+        main(["solve", "--solver", str(sp)])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["iter"] == 60
+        assert out["last_test"]["acc"] > 0.85
+        assert (tmp_path / "snap_iter_60.caffemodel.h5").exists()
+
+    def test_qa_nettest(self, tmp_path, capsys):
+        """`qa nettest` ≙ `caffe test` (tools/caffe.cpp:246-296):
+        TEST-phase scoring of a net prototxt with trained weights."""
+        from mms_answer_selection_tpu.cli import main
+
+        sp = _setup(tmp_path)
+        main(["solve", "--solver", str(sp)])
+        capsys.readouterr()
+        main(["nettest", "--model", str(tmp_path / "net.prototxt"),
+              "--weights", str(tmp_path / "snap_iter_60.caffemodel.h5"),
+              "--iterations", "2"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["acc"] > 0.85
+        # loss output carries weight 1; the mean weighted loss is small
+        assert out["loss"] < 0.5
+
+    def test_qa_solve_resume(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+
+        sp = _setup(tmp_path, SOLVER.replace('snapshot_prefix: "snap"',
+                                             'snapshot: 30\n'
+                                             'snapshot_prefix: "snap"'))
+        main(["solve", "--solver", str(sp)])
+        capsys.readouterr()
+        main(["solve", "--solver", str(sp), "--snapshot",
+              str(tmp_path / "snap_iter_30.solverstate.h5")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["iter"] == 60
