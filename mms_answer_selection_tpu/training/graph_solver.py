@@ -155,7 +155,7 @@ class GraphSolver:
 
     def __init__(self, solver: str, *, base_dir: str | None = None,
                  feeds: dict | None = None, seed: int = 0,
-                 on_display=None):
+                 on_display=None, mesh=None):
         text = _read(solver)
         self.base_dir = base_dir or (
             os.path.dirname(os.path.abspath(solver))
@@ -182,6 +182,7 @@ class GraphSolver:
         rs = _one(d.get("random_seed"))
         self.seed = int(rs) if rs is not None else seed
         self.on_display = on_display
+        self.mesh = mesh  # data-parallel over the mesh's 'dp' axis
 
         # -- nets (solver.cpp:87-185 field precedence) --------------------
         train_src, test_srcs = self._net_sources(d)
@@ -305,7 +306,28 @@ class GraphSolver:
                                                  it)
                 outs = {k: v[-1] for k, v in outs.items()}
                 return params, state, opt_state, total / iter_size, outs
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1, 2))
+        # -- data-parallel over the mesh (P2PSync's role, parallel.cpp) --
+        # params/state/opt replicated, batch split over 'dp'; XLA inserts
+        # the gradient all-reduce where the shardings demand it.  The key
+        # is replicated and iter-folded, so the trajectory is
+        # bit-comparable across mesh layouts (tests pin 1-vs-N).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        batch_ax = P("dp") if iter_size == 1 else P(None, "dp")
+        batch_sh = NamedSharding(self.mesh, batch_ax)
+        tree_rep = lambda t: jax.tree.map(lambda _: rep, t)  # noqa: E731
+        return jax.jit(
+            step,
+            in_shardings=(tree_rep(self.params), tree_rep(self.state),
+                          tree_rep(self.opt_state), None,
+                          batch_sh, rep),  # prefix: every batch leaf
+            out_shardings=(tree_rep(self.params), tree_rep(self.state),
+                           tree_rep(self.opt_state), None, None),
+            donate_argnums=(0, 1, 2))
 
     def _pull_train_batch(self):
         if self.cfg.iter_size == 1:
