@@ -137,6 +137,77 @@ class PairImageDataset:
         }
 
 
+class ImageListDataset:
+    """Batch iterator over the stock ImageData list format — one
+    ``path label`` row per line (image_data_layer.cpp:37-52) — with the
+    same epoch shuffle / rand_skip / wrap mechanics as the pair layer.
+    Yields {"data": (N,H,W,C) f32, "label": (N,) f32}."""
+
+    def __init__(self, list_file: str, batch_size: int, *, root: str = "",
+                 seed: int = 0, shuffle: bool = False, rand_skip: int = 0,
+                 new_height: int = 0, new_width: int = 0,
+                 is_color: bool = True,
+                 scale: float = 1.0, mean=None, crop_size: int = 0,
+                 mirror: bool = False, train: bool = True):
+        with open(list_file) as f:
+            self.rows = [(ln.rsplit(None, 1)[0], float(ln.rsplit(None, 1)[1]))
+                         for ln in (s.strip() for s in f) if ln]
+        if not self.rows:
+            raise ValueError(f"empty image list {list_file}")
+        self.root = root
+        self.bs = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.shuffle = shuffle
+        self.kw = dict(new_height=new_height, new_width=new_width,
+                       is_color=is_color)
+        self.tf = dict(scale=scale, mean=mean, crop_size=crop_size,
+                       mirror=mirror, train=train)
+        self.order = np.arange(len(self.rows))
+        if shuffle:
+            self.rng.shuffle(self.order)
+        self.cursor = int(self.rng.integers(0, rand_skip + 1)) if rand_skip \
+            else 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        imgs, labels = [], []
+        for _ in range(self.bs):
+            if self.cursor >= len(self.order):
+                self.cursor = 0
+                if self.shuffle:
+                    self.rng.shuffle(self.order)
+            path, label = self.rows[self.order[self.cursor]]
+            self.cursor += 1
+            a = load_image(os.path.join(self.root, path), **self.kw)
+            imgs.append(transform(a, rng=self.rng, **self.tf))
+            labels.append(label)
+        return {"data": np.stack(imgs).astype(np.float32),
+                "label": np.asarray(labels, np.float32)}
+
+
+def synthetic_image_corpus(directory, n_images=32, hw=16, channels=1,
+                           n_classes=3, seed=0):
+    """Write .npy images + an ImageData list file with a plantable
+    signal: class k images are noise around a fixed class template."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(directory, exist_ok=True)
+    templates = rng.normal(size=(n_classes, hw, hw, channels)) * 2.0
+    lines = []
+    for i in range(n_images):
+        k = int(rng.integers(0, n_classes))
+        a = (templates[k]
+             + 0.3 * rng.normal(size=templates[k].shape)).astype(np.float32)
+        p = f"im{i}.npy"
+        np.save(os.path.join(directory, p), a)
+        lines.append(f"{p} {k}")
+    list_file = os.path.join(directory, "images.txt")
+    with open(list_file, "w") as f:
+        f.write("\n".join(lines))
+    return list_file
+
+
 def synthetic_pair_corpus(directory, n_pairs=32, hw=16, channels=1, seed=0):
     """Write .npy images + list file with a plantable signal: label-1 pairs
     are near-duplicates, label-0 pairs are independent noise."""

@@ -137,10 +137,61 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
         shuffle = bool(_one(p.get("shuffle"), False))
         ds = ArrayDataset({top: arrays[top] for top in tops})
         return _Feed(BatchIterator(ds, bs, seed=seed, shuffle=shuffle), tops)
+    if t in ("ImageData", "PairImageData"):
+        from ..data.pair_image import ImageListDataset, PairImageDataset
+
+        pkey = ("image_data_param" if t == "ImageData"
+                else "pair_image_data_param")
+        p = _one(node_cfg.get(pkey), {}) or {}
+        tf = _one(node_cfg.get("transform_param"), {}) or {}
+        source = _one(p.get("source"))
+        if source is None:
+            raise ValueError(f"{t} layer {name!r} has no source")
+        if not os.path.isabs(source):
+            cand = os.path.join(base_dir, source)
+            source = cand if os.path.exists(cand) else source
+        root = str(_one(p.get("root_folder"), "")) or os.path.dirname(source)
+        mv = _as_list(tf.get("mean_value")) or None
+        kw = dict(
+            root=root, seed=seed,
+            shuffle=str(_one(p.get("shuffle"), False)).lower() == "true",
+            rand_skip=int(_one(p.get("rand_skip"), 0)),
+            new_height=int(_one(p.get("new_height"), 0)),
+            new_width=int(_one(p.get("new_width"), 0)),
+            # TransformationParameter wins over the layer's deprecated
+            # copies (data_transformer.cpp owns these knobs)
+            scale=float(_one(tf.get("scale"), _one(p.get("scale"), 1.0))),
+            mean=None if mv is None else np.asarray(mv, np.float32),
+            crop_size=int(_one(tf.get("crop_size"),
+                               _one(p.get("crop_size"), 0))),
+            mirror=str(_one(tf.get("mirror"),
+                            _one(p.get("mirror"), False))).lower() == "true",
+            train=phase == "train")
+        bs = int(_one(p.get("batch_size"), 1))
+        if t == "ImageData":
+            kw["is_color"] = str(_one(p.get("is_color"),
+                                      True)).lower() == "true"
+            ds = ImageListDataset(source, bs, **kw)
+
+            def gen(ds=ds, tops=tops):
+                for b in ds:
+                    yield {tops[0]: b["data"], tops[1]: b["label"]}
+        else:
+            ds = PairImageDataset(source, bs, **kw)
+
+            def gen(ds=ds, tops=tops):
+                for b in ds:
+                    # the layer stacks the pair on the channel axis
+                    # (pair_image_data_layer.cpp:26-178); NHWC here
+                    yield {tops[0]: np.concatenate([b["img1"], b["img2"]],
+                                                   axis=-1),
+                           tops[1]: b["label"]}
+        return _Feed(gen(), tops)
     raise ValueError(
         f"data layer {name!r} (type {t}) needs a feeds= entry: "
         f"feeds={{{name!r}: {{top: array, ..., 'batch_size': n}}}} — only "
-        f"HDF5Data and DummyData sources are read from the prototxt")
+        f"HDF5Data, ImageData, PairImageData and DummyData sources are "
+        f"read from the prototxt")
 
 
 class GraphSolver:

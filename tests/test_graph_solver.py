@@ -235,6 +235,85 @@ snapshot_after_train: false
             GraphSolver(str(tmp_path / "solver.prototxt"))
 
 
+class TestImageFeeds:
+    def test_image_data_net(self, tmp_path):
+        """The stock ImageData layer path: list file of `path label`
+        rows feeds a conv net through the generic loop
+        (image_data_layer.cpp:37-52 semantics, host-side feed)."""
+        from mms_answer_selection_tpu.data.pair_image import (
+            synthetic_image_corpus)
+
+        listf = synthetic_image_corpus(str(tmp_path / "imgs"), n_images=60,
+                                       hw=8, n_classes=3)
+        (tmp_path / "net.prototxt").write_text(f"""
+layer {{ name: "data" type: "ImageData" top: "data" top: "label"
+  image_data_param {{ source: "{listf}" batch_size: 20 shuffle: true }}
+  transform_param {{ scale: 0.5 }} }}
+layer {{ name: "conv" type: "Convolution" bottom: "data" top: "conv"
+  convolution_param {{ num_output: 8 kernel_size: 3
+                       weight_filler {{ type: "xavier" }} }} }}
+layer {{ name: "relu" type: "ReLU" bottom: "conv" top: "conv" }}
+layer {{ name: "fc" type: "InnerProduct" bottom: "conv" top: "fc"
+  inner_product_param {{ num_output: 3
+                         weight_filler {{ type: "xavier" }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "fc"
+  bottom: "label" top: "loss" }}
+""")
+        (tmp_path / "solver.prototxt").write_text("""
+net: "net.prototxt"
+base_lr: 0.001
+lr_policy: "fixed"
+max_iter: 40
+type: "Adam"
+momentum: 0.9
+display: 10
+snapshot_after_train: false
+""")
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"))
+        gs.solve()
+        recs = [r for r in gs.history if r["phase"] == "Train"]
+        assert recs[-1]["loss"] < recs[0]["loss"] * 0.8
+
+    def test_pair_image_family_via_generic_path(self, tmp_path):
+        """The fork's PairImageData family trains end-to-end through the
+        GENERIC solver from its reference prototxt (the same file the
+        typed models/pair_image.py consumes): PairImageData stacks the
+        pair on channels, Slice splits, weight-tied towers, PairRankLoss
+        (pair_image_data_layer.cpp + pair_rank_loss_layer.cpp)."""
+        from mms_answer_selection_tpu.data.pair_image import (
+            synthetic_pair_corpus)
+        from mms_answer_selection_tpu.models.pair_image import (
+            PairImageConfig)
+        from mms_answer_selection_tpu.utils.prototxt import (
+            pair_image_net_prototxt)
+
+        listf = synthetic_pair_corpus(str(tmp_path / "pairs"), n_pairs=48,
+                                      hw=16)
+        cfg = PairImageConfig()
+        (tmp_path / "net.prototxt").write_text(
+            pair_image_net_prototxt(cfg, source=listf, batch_size=16))
+        (tmp_path / "solver.prototxt").write_text("""
+net: "net.prototxt"
+base_lr: 1.0
+lr_policy: "fixed"
+delta: 5e-7
+momentum: 0.95
+max_iter: 100
+type: "AdaDelta"
+display: 5
+random_seed: 3
+snapshot_after_train: false
+""")
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"))
+        gs.solve()
+        recs = [r for r in gs.history if r["phase"] == "Train"]
+        # same robustness as the typed family test: windowed means
+        assert (np.mean([r["loss"] for r in recs[-3:]])
+                < np.mean([r["loss"] for r in recs[:3]]))
+        # the ranking head separates the planted signal
+        assert recs[-1]["rank_acc"] > 0.55
+
+
 class TestMesh:
     def test_dp_mesh_equivalence(self, tmp_path):
         """Generic nets train data-parallel over a mesh: the 8-device dp
