@@ -15,7 +15,7 @@ from .pair_image import (  # noqa: F401
     pair_image_init,
     pair_image_apply,
 )
-from .graph_net import GraphNet  # noqa: F401
+from .graph_net import GraphNet, register_layer  # noqa: F401
 from .caption_image import (  # noqa: F401
     CaptionImageConfig,
     caption_image_init,

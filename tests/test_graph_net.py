@@ -578,3 +578,102 @@ class TestLayerZoo:
         blobs, _ = net.apply(params, state, ins)
         w, b = params["em"]["w"], params["em"]["b"]
         np.testing.assert_allclose(blobs["em"][0, 0], w[1] + b, atol=1e-6)
+
+
+class TestExtension:
+    """The public layer-extension surface: register_layer (the
+    REGISTER_LAYER_CLASS equivalent, layer_factory.hpp:56-141) and the
+    Python layer type (python_layer.hpp) that resolves user callables
+    from a prototxt."""
+
+    def test_register_layer_custom_type(self):
+        from mms_answer_selection_tpu.models import graph_net as G
+
+        def scale_shift(ctx, node, bottoms):
+            (x,) = bottoms
+            w = ctx.param(node, "w", lambda k: jnp.ones((1,)) * 3.0)
+            return x * w + 1.0
+
+        G.register_layer("ScaleShiftX", scale_shift, param_keys=("w",))
+        try:
+            txt = """
+            layer { name: "d" type: "Input" top: "x" }
+            layer { name: "ss" type: "ScaleShiftX" bottom: "x" top: "y" }
+            """
+            ins = {"x": jnp.asarray([[1.0, 2.0]])}
+            net = GraphNet(txt)
+            params, state = net.init(jax.random.PRNGKey(0), ins)
+            assert list(params["ss"]) == ["w"]
+            blobs, _ = net.apply(params, state, ins)
+            np.testing.assert_allclose(blobs["y"], [[4.0, 7.0]], atol=1e-6)
+            # gradients flow through the registered blob
+            g = jax.grad(lambda p: float(0) + jnp.sum(
+                net.apply(p, state, ins)[0]["y"]))(params)
+            np.testing.assert_allclose(g["ss"]["w"], [3.0], atol=1e-6)
+        finally:
+            G._REGISTRY.pop("ScaleShiftX")
+
+    def test_register_layer_duplicate_raises(self):
+        from mms_answer_selection_tpu.models import graph_net as G
+        with pytest.raises(ValueError, match="already registered"):
+            G.register_layer("ReLU", lambda ctx, node, bottoms: bottoms[0])
+
+    def test_python_layer_function(self):
+        import sys
+        import types
+
+        mod = types.ModuleType("_gn_pylayer_mod")
+        mod.double = lambda x: x * 2.0
+        sys.modules["_gn_pylayer_mod"] = mod
+        try:
+            txt = """
+            layer { name: "d" type: "Input" top: "x" }
+            layer { name: "py" type: "Python" bottom: "x" top: "y"
+              python_param { module: "_gn_pylayer_mod" layer: "double" } }
+            """
+            ins = {"x": jnp.asarray([[1.0, -2.0]])}
+            net = GraphNet(txt)
+            params, state = net.init(jax.random.PRNGKey(0), ins)
+            blobs, _ = net.apply(params, state, ins)
+            np.testing.assert_allclose(blobs["y"], [[2.0, -4.0]])
+        finally:
+            del sys.modules["_gn_pylayer_mod"]
+
+    def test_python_layer_class_with_param_str(self):
+        import sys
+        import types
+
+        class AffineLayer:
+            def __init__(self, param_str=None):
+                self.scale = float(param_str) if param_str else 1.0
+
+            def forward(self, x):
+                return x * self.scale
+
+        mod = types.ModuleType("_gn_pylayer_mod2")
+        mod.AffineLayer = AffineLayer
+        sys.modules["_gn_pylayer_mod2"] = mod
+        try:
+            txt = """
+            layer { name: "d" type: "Input" top: "x" }
+            layer { name: "py" type: "Python" bottom: "x" top: "y"
+              python_param { module: "_gn_pylayer_mod2"
+                layer: "AffineLayer" param_str: "2.5" } }
+            """
+            ins = {"x": jnp.asarray([2.0, 4.0])}
+            net = GraphNet(txt)
+            params, state = net.init(jax.random.PRNGKey(0), ins)
+            blobs, _ = net.apply(params, state, ins)
+            np.testing.assert_allclose(blobs["y"], [5.0, 10.0])
+        finally:
+            del sys.modules["_gn_pylayer_mod2"]
+
+    def test_python_layer_missing_module_field(self):
+        txt = """
+        layer { name: "d" type: "Input" top: "x" }
+        layer { name: "py" type: "Python" bottom: "x" top: "y"
+          python_param { layer: "f" } }
+        """
+        net = GraphNet(txt)
+        with pytest.raises(ValueError, match="python_param"):
+            net.init(jax.random.PRNGKey(0), {"x": jnp.zeros((1,))})
