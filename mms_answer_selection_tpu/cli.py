@@ -551,6 +551,42 @@ def cmd_summarize(args):
         print(f"wrote {base}.train.csv / {base}.eval.csv")
 
 
+def cmd_image_mean(args):
+    """`compute_image_mean` tool equivalence
+    (tools/compute_image_mean.cpp:48-113): mean over every image in a
+    list (pair or `path label` format) -> legacy-dim BlobProto
+    binaryproto, with the tool's per-channel log lines."""
+    from .data.pair_image import compute_image_mean
+    from .utils.caffemodel import save_blob_binaryproto
+
+    mean = compute_image_mean(args.list, root=args.root,
+                              new_height=args.new_height,
+                              new_width=args.new_width)  # HWC
+    nchw = mean.transpose(2, 0, 1)[None]                 # (1, C, H, W)
+    if args.out:
+        save_blob_binaryproto(args.out, nchw)
+        print(f"wrote {args.out} shape {nchw.shape}")
+    # compute_image_mean.cpp:116-124's per-channel summary
+    for c in range(nchw.shape[1]):
+        print(f"mean_value channel [{c}]: {float(nchw[0, c].mean()):.6g}")
+
+
+def cmd_draw(args):
+    """`draw_net.py` equivalence: net prototxt -> Graphviz DOT text
+    (python/caffe/draw.py get_pydot_graph; render with any dot tool)."""
+    from .utils.draw import net_to_dot
+
+    with open(args.net) as f:
+        text = f.read()
+    dot = net_to_dot(text, phase=args.phase, rankdir=args.rankdir)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(dot)
+        print(f"wrote {args.out}")
+    else:
+        print(dot, end="")
+
+
 def cmd_reproduce(args):
     """The real-data parity gate: run the EXACT published recipe (README.md
     table, produced by do_trec_qa_clean.py:650,782-867) from the raw
@@ -894,6 +930,29 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=50,
                    help="caffe.cpp FLAGS_iterations default")
     p.set_defaults(fn=cmd_nettest)
+
+    p = sub.add_parser(
+        "image_mean",
+        help="compute_image_mean tool: mean image over a list -> "
+             "mean.binaryproto for transform_param mean_file")
+    p.add_argument("list", help="pair list or `path label` list file")
+    p.add_argument("--root", default="", help="image root folder")
+    p.add_argument("--new-height", type=int, default=0)
+    p.add_argument("--new-width", type=int, default=0)
+    p.add_argument("--out", help="output .binaryproto (omit to just "
+                                 "print channel means)")
+    p.set_defaults(fn=cmd_image_mean)
+
+    p = sub.add_parser(
+        "draw",
+        help="draw_net.py: net prototxt -> Graphviz DOT structure graph")
+    p.add_argument("--net", required=True, help="net prototxt")
+    p.add_argument("--phase", choices=["train", "test"],
+                   help="filter include/exclude rules (default: all)")
+    p.add_argument("--rankdir", default="LR",
+                   choices=["LR", "TB", "RL", "BT"])
+    p.add_argument("--out", help="output .dot path (default: stdout)")
+    p.set_defaults(fn=cmd_draw)
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)

@@ -231,18 +231,38 @@ def synthetic_pair_corpus(directory, n_pairs=32, hw=16, channels=1, seed=0):
 
 def compute_image_mean(list_file: str, *, root: str = "", new_height=0,
                        new_width=0):
-    """Mean image over every image referenced by a pair list (both columns)
-    -- the `compute_image_mean` tool (tools/compute_image_mean.cpp), for the
-    DataTransformer's mean subtraction."""
-    rows = parse_pair_list(list_file)
+    """Mean image (HWC float32) over every image referenced by a list --
+    the `compute_image_mean` tool (tools/compute_image_mean.cpp), for the
+    DataTransformer's mean subtraction.  Accepts BOTH list formats: the
+    pair layer's 5-column rows (both image columns contribute) and the
+    stock ImageData `path label` rows."""
+    paths = []
+    for row in parse_pair_list(list_file):
+        paths.extend((row[0], row[1]))
+    if not paths:
+        with open(list_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        paths = [ln.rsplit(None, 1)[0] if len(ln.split()) > 1 else ln
+                 for ln in lines]
+    if not paths:
+        raise ValueError(f"empty image list {list_file}")
     total = None
-    count = 0
-    for row in rows:
-        for path in (row[0], row[1]):
-            arr = load_image(os.path.join(root, path),
-                             new_height=new_height, new_width=new_width)
-            total = arr if total is None else total + arr
-            count += 1
-    if count == 0:
-        raise ValueError("empty pair list")
-    return total / count
+    for path in paths:
+        arr = load_image(os.path.join(root, path),
+                         new_height=new_height, new_width=new_width)
+        total = arr if total is None else total + arr
+    return total / len(paths)
+
+
+def load_mean_hwc(path: str) -> np.ndarray:
+    """Read a `mean_file` BlobProto ((1,)C,H,W — the tool's layout) and
+    return it HWC to match this module's image convention."""
+    from ..utils.caffemodel import load_blob_binaryproto
+
+    arr = load_blob_binaryproto(path)
+    while arr.ndim > 3 and arr.shape[0] == 1:
+        arr = arr[0]
+    if arr.ndim != 3:
+        raise ValueError(f"mean file {path} has shape {arr.shape}, "
+                         f"expected (1, C, H, W)")
+    return np.ascontiguousarray(arr.transpose(1, 2, 0))

@@ -152,6 +152,20 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             source = cand if os.path.exists(cand) else source
         root = str(_one(p.get("root_folder"), "")) or os.path.dirname(source)
         mv = _as_list(tf.get("mean_value")) or None
+        mf = _one(tf.get("mean_file"))
+        if mv is not None and mf:
+            # data_transformer.cpp:25-28 CHECKs exactly this exclusivity
+            raise ValueError(f"{t} layer {name!r}: transform_param sets "
+                             f"both mean_file and mean_value")
+        mean = None if mv is None else np.asarray(mv, np.float32)
+        if mf:
+            from ..data.pair_image import load_mean_hwc
+
+            mf = str(mf)
+            if not os.path.isabs(mf):
+                cand = os.path.join(base_dir, mf)
+                mf = cand if os.path.exists(cand) else mf
+            mean = load_mean_hwc(mf)
         kw = dict(
             root=root, seed=seed,
             shuffle=str(_one(p.get("shuffle"), False)).lower() == "true",
@@ -161,7 +175,7 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             # TransformationParameter wins over the layer's deprecated
             # copies (data_transformer.cpp owns these knobs)
             scale=float(_one(tf.get("scale"), _one(p.get("scale"), 1.0))),
-            mean=None if mv is None else np.asarray(mv, np.float32),
+            mean=mean,
             crop_size=int(_one(tf.get("crop_size"),
                                _one(p.get("crop_size"), 0))),
             mirror=str(_one(tf.get("mirror"),

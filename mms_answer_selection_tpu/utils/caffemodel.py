@@ -402,6 +402,36 @@ def save_caffemodel_binaryproto(path, params, state, *, specs=None):
     return path
 
 
+def save_blob_binaryproto(path, arr, *, legacy_dims: bool = True):
+    """Write ONE BlobProto to a file — the tools' mean-file format.
+    ``compute_image_mean`` serializes the mean with the LEGACY
+    num/channels/height/width dim fields (compute_image_mean.cpp:58-61),
+    not a BlobShape, so that is the default here; arrays of rank < 4 are
+    left-padded with 1s the way the tool's (1, C, H, W) output is."""
+    arr = np.asarray(arr, np.float32)
+    if legacy_dims:
+        if arr.ndim > 4:
+            raise ValueError(f"legacy blob dims are 4-D max, got "
+                             f"{arr.shape}")
+        dims = (1,) * (4 - arr.ndim) + arr.shape
+        out = b"".join(_field(i + 1, 0, int(d))
+                       for i, d in enumerate(dims))
+        out += _field(5, 2, np.ascontiguousarray(arr, "<f4").tobytes())
+    else:
+        out = _emit_blob(arr)
+    with open(path, "wb") as f:
+        f.write(out)
+    return path
+
+
+def load_blob_binaryproto(path):
+    """Read ONE BlobProto file (modern BlobShape or legacy 4-D dims) ->
+    float32 ndarray — the `mean_file` consumer
+    (data_transformer.cpp:29-48 ReadProtoFromBinaryFileOrDie path)."""
+    with open(path, "rb") as f:
+        return _parse_blob(f.read())
+
+
 def load_caffemodel_binaryproto(path, params, state, *, specs=None):
     """Name-based, shape-checked load from a NetParameter binaryproto
     (the `caffe train -weights x.caffemodel` path, net.cpp:741-777

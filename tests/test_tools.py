@@ -1,0 +1,177 @@
+"""The small reference tools: compute_image_mean + draw_net equivalents.
+
+References: tools/compute_image_mean.cpp (legacy-dim BlobProto mean
+file), python/caffe/draw.py + python/draw_net.py (DOT structure graph),
+src/caffe/data_transformer.cpp:25-48 (mean_file consumption).
+"""
+
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.data.pair_image import (
+    compute_image_mean, load_mean_hwc, synthetic_image_corpus,
+    synthetic_pair_corpus)
+from mms_answer_selection_tpu.utils.caffemodel import (
+    load_blob_binaryproto, save_blob_binaryproto)
+from mms_answer_selection_tpu.utils.draw import net_to_dot
+
+
+class TestBlobBinaryproto:
+    def test_legacy_dims_roundtrip(self, tmp_path):
+        arr = np.random.default_rng(0).normal(size=(3, 5, 4)).astype(
+            np.float32)
+        path = str(tmp_path / "mean.binaryproto")
+        save_blob_binaryproto(path, arr[None])  # (1, C, H, W)
+        back = load_blob_binaryproto(path)
+        assert back.shape == (1, 3, 5, 4)
+        np.testing.assert_array_equal(back[0], arr)
+
+    def test_modern_shape_roundtrip(self, tmp_path):
+        arr = np.arange(12, dtype=np.float32).reshape(2, 6)
+        path = str(tmp_path / "b.binaryproto")
+        save_blob_binaryproto(path, arr, legacy_dims=False)
+        back = load_blob_binaryproto(path)
+        assert back.shape == (2, 6)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_rank_cap(self, tmp_path):
+        with pytest.raises(ValueError, match="4-D max"):
+            save_blob_binaryproto(str(tmp_path / "x"),
+                                  np.zeros((1, 1, 1, 1, 1), np.float32))
+
+
+class TestImageMean:
+    def test_pair_list_mean(self, tmp_path):
+        list_file = synthetic_pair_corpus(str(tmp_path), n_pairs=6, hw=8)
+        mean = compute_image_mean(list_file, root=str(tmp_path))
+        assert mean.shape == (8, 8, 1)
+        from mms_answer_selection_tpu.data.pair_image import (
+            load_image, parse_pair_list)
+
+        rows = parse_pair_list(list_file)
+        manual = np.mean(
+            [load_image(str(tmp_path / p))
+             for r in rows for p in (r[0], r[1])], axis=0)
+        np.testing.assert_allclose(mean, manual, rtol=1e-6)
+
+    def test_image_list_mean_matches_manual(self, tmp_path):
+        list_file = synthetic_image_corpus(str(tmp_path), n_images=5, hw=6)
+        from mms_answer_selection_tpu.data.pair_image import load_image
+
+        with open(list_file) as f:
+            paths = [ln.rsplit(None, 1)[0] for ln in f if ln.strip()]
+        manual = np.mean(
+            [load_image(str(tmp_path / p)) for p in paths], axis=0)
+        mean = compute_image_mean(list_file, root=str(tmp_path))
+        np.testing.assert_allclose(mean, manual, rtol=1e-6)
+
+    def test_mean_file_hwc_loader(self, tmp_path):
+        mean_hwc = np.random.default_rng(1).uniform(
+            0, 255, (6, 7, 3)).astype(np.float32)
+        path = str(tmp_path / "mean.binaryproto")
+        save_blob_binaryproto(path, mean_hwc.transpose(2, 0, 1)[None])
+        back = load_mean_hwc(path)
+        np.testing.assert_allclose(back, mean_hwc, rtol=1e-6)
+
+    def test_cli_writes_mean_file(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+
+        list_file = synthetic_image_corpus(str(tmp_path), n_images=4, hw=5)
+        out = str(tmp_path / "mean.binaryproto")
+        main(["image_mean", list_file, "--root", str(tmp_path),
+              "--out", out])
+        text = capsys.readouterr().out
+        assert "mean_value channel [0]:" in text
+        blob = load_blob_binaryproto(out)
+        assert blob.shape == (1, 1, 5, 5)
+
+    def test_graph_solver_consumes_mean_file(self, tmp_path):
+        """transform_param { mean_file } subtracts the stored mean
+        (data_transformer.cpp:119-139 path)."""
+        from mms_answer_selection_tpu.training.graph_solver import GraphSolver
+
+        list_file = synthetic_image_corpus(str(tmp_path), n_images=4, hw=5)
+        mean_hwc = np.full((5, 5, 1), 10.0, np.float32)
+        save_blob_binaryproto(str(tmp_path / "m.binaryproto"),
+                              mean_hwc.transpose(2, 0, 1)[None])
+        solver = f"""
+        base_lr: 0.1 max_iter: 1 display: 0
+        net_param {{
+          layer {{ name: "data" type: "ImageData" top: "data" top: "label"
+            image_data_param {{ source: "{list_file}" batch_size: 4
+              root_folder: "{tmp_path}" }}
+            transform_param {{ mean_file: "m.binaryproto" }} }}
+          layer {{ name: "sink" type: "Silence" bottom: "data"
+            bottom: "label" }}
+        }}
+        """
+        gs = GraphSolver(solver, base_dir=str(tmp_path))
+        batch = gs._pull_train_batch()
+        raw = GraphSolver(solver.replace(
+            'transform_param { mean_file: "m.binaryproto" }', ""),
+            base_dir=str(tmp_path))._pull_train_batch()
+        np.testing.assert_allclose(np.asarray(batch["data"]),
+                                   np.asarray(raw["data"]) - 10.0,
+                                   rtol=1e-6)
+
+    def test_mean_file_and_value_exclusive(self, tmp_path):
+        from mms_answer_selection_tpu.training.graph_solver import GraphSolver
+
+        list_file = synthetic_image_corpus(str(tmp_path), n_images=2, hw=5)
+        solver = f"""
+        base_lr: 0.1 max_iter: 1
+        net_param {{
+          layer {{ name: "data" type: "ImageData" top: "data" top: "label"
+            image_data_param {{ source: "{list_file}" batch_size: 2 }}
+            transform_param {{ mean_file: "m" mean_value: 3 }} }}
+        }}
+        """
+        with pytest.raises(ValueError, match="both mean_file and"):
+            GraphSolver(solver, base_dir=str(tmp_path))
+
+
+class TestDraw:
+    NET = """
+    name: "toy"
+    layer { name: "data" type: "Input" top: "x" }
+    layer { name: "conv" type: "Convolution" bottom: "x" top: "c"
+      convolution_param { num_output: 4 kernel_size: 3 stride: 1 pad: 1 } }
+    layer { name: "relu" type: "ReLU" bottom: "c" top: "c" }
+    layer { name: "pool" type: "Pooling" bottom: "c" top: "p"
+      pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "p" top: "loss"
+      include { phase: TRAIN } }
+    """
+
+    def test_dot_structure(self):
+        dot = net_to_dot(self.NET)
+        assert dot.startswith('digraph "toy"')
+        for frag in ("layer_conv", "blob_x", "blob_c", "kernel 3",
+                     "MAX kernel 2", "in-place"):
+            assert frag in dot, frag
+        # edges: data -> x -> conv -> c -> pool -> p
+        assert '"blob_x" -> "layer_conv";' in dot
+        assert '"layer_pool" -> "blob_p";' in dot
+
+    def test_phase_filter(self):
+        train = net_to_dot(self.NET, phase="train")
+        test = net_to_dot(self.NET, phase="test")
+        assert "layer_loss" in train and "layer_loss" not in test
+
+    def test_legacy_net_upgrades(self):
+        legacy = """
+        layers { name: "ip" type: INNER_PRODUCT bottom: "x" top: "y"
+          inner_product_param { num_output: 3 } }
+        """
+        dot = net_to_dot(legacy)
+        assert "InnerProduct" in dot and "out 3" in dot
+
+    def test_cli_draw(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+
+        net = tmp_path / "net.prototxt"
+        net.write_text(self.NET)
+        out = tmp_path / "net.dot"
+        main(["draw", "--net", str(net), "--out", str(out)])
+        assert "wrote" in capsys.readouterr().out
+        assert out.read_text().startswith('digraph "toy"')
