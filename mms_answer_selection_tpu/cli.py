@@ -587,6 +587,15 @@ def cmd_draw(args):
         print(dot, end="")
 
 
+def cmd_parse_log(args):
+    """tools/extra/parse_log.py equivalence: a caffe glog (or `qa
+    solve`) training log -> `<log>.train` / `<log>.test` CSV tables."""
+    from .utils.parse_log import parse_log_file
+
+    train_path, test_path = parse_log_file(args.log, out_dir=args.out_dir)
+    print(f"wrote {train_path}\nwrote {test_path}")
+
+
 def cmd_reproduce(args):
     """The real-data parity gate: run the EXACT published recipe (README.md
     table, produced by do_trec_qa_clean.py:650,782-867) from the raw
@@ -953,6 +962,14 @@ def main(argv=None):
                    choices=["LR", "TB", "RL", "BT"])
     p.add_argument("--out", help="output .dot path (default: stdout)")
     p.set_defaults(fn=cmd_draw)
+
+    p = sub.add_parser(
+        "parse_log",
+        help="parse a caffe/qa-solve training log into train/test CSVs")
+    p.add_argument("log", help="log file (glog or `qa solve` output)")
+    p.add_argument("--out-dir", help="directory for the CSVs "
+                                     "(default: beside the log)")
+    p.set_defaults(fn=cmd_parse_log)
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)

@@ -47,7 +47,7 @@ import numpy as np
 
 from ..models.graph_net import DATA_TYPES, GraphNet
 from ..utils.prototxt import parse_prototxt, solver_config_from_prototxt
-from .optim import make_solver
+from .optim import learning_rate, make_solver
 
 log = logging.getLogger("mms_tpu.graph_solver")
 
@@ -424,6 +424,9 @@ class GraphSolver:
             self._update_smoothed(float(loss))
             if self.display and self.iter_ % self.display == 0:
                 self._display_outputs("Train", outs)
+                # sgd_solver.cpp:105's companion line; parse_log reads it
+                log.info("Iteration %d, lr = %g", self.iter_,
+                         learning_rate(self.cfg, self.iter_))
             self.iter_ += 1
             if (self.snapshot_every
                     and self.iter_ % self.snapshot_every == 0):
@@ -455,7 +458,12 @@ class GraphSolver:
             self._smoothed += (loss - self._losses[idx]) / self.average_loss
             self._losses[idx] = loss
 
-    def _display_outputs(self, tag, outs, *, weights=None, net=None):
+    def _display_outputs(self, tag, outs, *, weights=None, net=None,
+                         log_tag=None):
+        """``tag`` keys the history record; ``log_tag`` (default = tag)
+        is what the LOG LINE says — test passes "Test" so the output
+        lines match caffe's `Test net output #k:` shape byte-for-byte
+        (solver.cpp:397) and tools/extra/parse_log regexes apply."""
         net = net or self.net
         weights = weights if weights is not None else net.blob_loss_weights()
         log.info("Iteration %d, loss = %g", self.iter_, self._smoothed)
@@ -465,7 +473,8 @@ class GraphSolver:
             vec = np.ravel(np.asarray(outs[name]))
             w = weights.get(name, 0.0)
             for v in vec:
-                msg = f"    {tag} net output #{score}: {name} = {v}"
+                msg = (f"    {log_tag or tag} net output #{score}: "
+                       f"{name} = {v}")
                 if w:
                     msg += f" (* {w} = {w * v} loss)"
                 log.info("%s", msg)
@@ -497,8 +506,12 @@ class GraphSolver:
             outs_names = tnet.output_blob_names()
 
             @jax.jit
-            def fwd(p, s, batch):
-                blobs, _ = tnet.apply(p, s, batch, train=False)
+            def fwd(p, s, batch, rng):
+                # rng: stochastic layers run at test too where the
+                # reference's would (non-constant DummyData fillers
+                # refill every Forward, dummy_data_layer.cpp:72-90;
+                # Dropout itself is a train-phase no-op inside apply)
+                blobs, _ = tnet.apply(p, s, batch, train=False, rng=rng)
                 return {t: blobs[t].astype(jnp.float32)
                         for t in outs_names}
 
@@ -506,14 +519,20 @@ class GraphSolver:
         p, s = self._shared_test_trees(i)
         total = None
         n = self.test_iters[i] if i < len(self.test_iters) else 1
-        for _ in range(n):
+        tkey = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed ^ 0x7E57), self.iter_ * 131 + i)
+        for t_i in range(n):
             batch = self._next_batch(self._test_feeds[i])
-            out = self._test_fns[i](p, s, batch)
+            out = self._test_fns[i](p, s, batch,
+                                    jax.random.fold_in(tkey, t_i))
             total = out if total is None else jax.tree.map(jnp.add, total,
                                                            out)
         mean = {k: np.asarray(v) / n for k, v in total.items()}
+        # solver.cpp:330's announce line, so the log parses like caffe's
+        log.info("Iteration %d, Testing net (#%d)", self.iter_, i)
         self._display_outputs(f"Test#{i}", mean, net=tnet,
-                              weights=tnet.blob_loss_weights())
+                              weights=tnet.blob_loss_weights(),
+                              log_tag="Test")
         return mean
 
     # ------------------------------------------------------------------

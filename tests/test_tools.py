@@ -175,3 +175,83 @@ class TestDraw:
         main(["draw", "--net", str(net), "--out", str(out)])
         assert "wrote" in capsys.readouterr().out
         assert out.read_text().startswith('digraph "toy"')
+
+
+class TestParseLog:
+    """tools/extra/parse_log.py equivalence (utils/parse_log.py)."""
+
+    GLOG = """\
+I0817 14:00:00.000000  71 solver.cpp:228] Iteration 0, loss = 2.30
+I0817 14:00:00.100000  71 solver.cpp:244]     Train net output #0: loss = 2.30 (* 1 = 2.30 loss)
+I0817 14:00:00.200000  71 sgd_solver.cpp:105] Iteration 0, lr = 0.01
+I0817 14:00:05.000000  71 solver.cpp:330] Iteration 100, Testing net (#0)
+I0817 14:00:05.100000  71 solver.cpp:397]     Test net output #0: accuracy = 0.5
+I0817 14:00:05.200000  71 solver.cpp:397]     Test net output #1: loss = 1.9
+I0817 14:00:06.000000  71 solver.cpp:228] Iteration 100, loss = 1.80
+I0817 14:00:06.100000  71 solver.cpp:244]     Train net output #0: loss = 1.80 (* 1 = 1.80 loss)
+I0817 14:00:06.200000  71 sgd_solver.cpp:105] Iteration 100, lr = 0.009
+"""
+
+    def test_glog_rows(self):
+        from mms_answer_selection_tpu.utils.parse_log import parse_log
+
+        train, test = parse_log(self.GLOG, year=2026)
+        assert [r["NumIters"] for r in train] == [0, 100]
+        # caffe logs lr AFTER the display block (ApplyUpdate), so a
+        # row carries the lr in force when its output #0 printed —
+        # lagging one block, with the first row backfilled from the
+        # first real lr (the reference parser's exact semantics)
+        assert train[0]["LearningRate"] == 0.01
+        assert train[1]["LearningRate"] == 0.01
+        assert train[1]["loss"] == 1.80
+        assert abs(train[1]["Seconds"] - 6.1) < 1e-6
+        assert test[0]["NumIters"] == 100
+        assert test[0]["accuracy"] == 0.5 and test[0]["loss"] == 1.9
+
+    def test_csv_and_cli(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.utils.parse_log import rows_to_csv
+
+        log = tmp_path / "train.log"
+        log.write_text(self.GLOG)
+        main(["parse_log", str(log)])
+        out = capsys.readouterr().out
+        assert "train.log.train" in out
+        text = (tmp_path / "train.log.train").read_text()
+        lines = text.strip().splitlines()
+        assert lines[0].startswith("NumIters,Seconds,LearningRate")
+        assert len(lines) == 3
+        assert rows_to_csv([]) == ""
+
+    def test_parses_graph_solver_log(self, tmp_path, caplog):
+        """A real `qa solve` run's log lines parse the same way
+        (GraphSolver emits caffe's line shapes)."""
+        import logging
+
+        from mms_answer_selection_tpu.training.graph_solver import GraphSolver
+        from mms_answer_selection_tpu.utils.parse_log import parse_log
+
+        solver = """
+        base_lr: 0.05 max_iter: 4 display: 2 random_seed: 3
+        test_interval: 2 test_iter: 1 test_initialization: false
+        lr_policy: "fixed"
+        net_param {
+          layer { name: "data" type: "DummyData" top: "x" top: "label"
+            dummy_data_param {
+              shape { dim: 4 dim: 3 } shape { dim: 4 }
+              data_filler { type: "gaussian" std: 1.0 } } }
+          layer { name: "ip" type: "InnerProduct" bottom: "x" top: "ip"
+            inner_product_param { num_output: 2
+              weight_filler { type: "xavier" } } }
+          layer { name: "lab" type: "Power" bottom: "label" top: "labi" }
+          layer { name: "loss" type: "EuclideanLoss" bottom: "ip"
+            bottom: "ip" top: "loss" }
+        }
+        """
+        with caplog.at_level(logging.INFO, logger="mms_tpu.graph_solver"):
+            gs = GraphSolver(solver, base_dir=str(tmp_path))
+            gs.step(4)
+        train, test = parse_log(caplog.text)
+        assert [r["NumIters"] for r in train] == [0, 2]
+        assert train[0]["LearningRate"] == 0.05
+        assert len(test) == 1 and test[0]["NumIters"] == 2
