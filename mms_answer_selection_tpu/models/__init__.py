@@ -16,6 +16,7 @@ from .pair_image import (  # noqa: F401
     pair_image_apply,
 )
 from .graph_net import GraphNet, register_layer  # noqa: F401
+from .pynet import Net  # noqa: F401
 from .caption_image import (  # noqa: F401
     CaptionImageConfig,
     caption_image_init,

@@ -1,0 +1,209 @@
+"""pycaffe-style stateful ``Net``: the drop-in scripting surface.
+
+The reference's Python users hold a ``caffe.Net`` with mutable blob
+state: ``net.blobs['ip'].data``, ``net.params['conv'][0].data``,
+``net.forward(data=x)``, ``net.backward(loss=g)``
+(python/caffe/pycaffe.py:22-233, _caffe.cpp:142-345).  This wrapper
+gives that working style over the functional core: `GraphNet` stays the
+jitted pure path (use it directly for production loops); ``Net`` keeps
+(params, state, last blobs) as attributes and re-exposes them the
+pycaffe way for interactive work and ported scripts.
+
+Differences, by design (documented, not accidental):
+
+* Blob shapes come from the first ``forward`` (JAX infers under trace);
+  the constructor therefore takes no reshape step and pretrained
+  weights load lazily at first forward.
+* ``net.params[layer]`` is a dict keyed by blob name ("w"/"b"/...)
+  in caffe blob order, not a positional list; ``net.param_diffs``
+  (filled by ``backward``) mirrors it — the functional reading of
+  ``.diff``.
+* ``backward`` returns diffs for FLOAT input blobs only (integer id
+  inputs have no tangent; the reference likewise propagates nothing
+  into Data layers).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+
+from .graph_net import DATA_TYPES, GraphNet
+
+__all__ = ["Net"]
+
+
+class Net:
+    """``Net(prototxt, phase="test", weights="x.caffemodel")``.
+
+    >>> net = Net(text, phase="test")
+    >>> out = net.forward(question=q, answer=a)   # {output blob: array}
+    >>> net.blobs["sim_cross"]                    # any intermediate top
+    >>> diffs = net.backward(loss=jnp.ones(()))   # {input blob: diff}
+    >>> net.param_diffs["conv0"]["w"]
+    >>> net.save("trained.caffemodel.h5")
+    """
+
+    def __init__(self, prototxt: str, *, phase: str = "test",
+                 weights: str | None = None, seed: int = 0):
+        text = prototxt
+        if os.path.exists(prototxt):
+            with open(prototxt) as f:
+                text = f.read()
+        self._net = GraphNet(text, phase=phase)
+        self._phase = phase
+        self._seed = seed
+        self._weights_pending = weights
+        self._params = None
+        self._state = None
+        self._fwd = None
+        self._calls = 0
+        self._last_inputs = None
+        self._last_rng = None
+        self.blobs: OrderedDict = OrderedDict()
+        self.param_diffs: dict = {}
+
+    # -- pycaffe-surface properties ---------------------------------------
+    @property
+    def layer_names(self):
+        return [n.name for n in self._net.layers]
+
+    @property
+    def inputs(self):
+        """Blobs no layer produces (the Input/data-layer tops the caller
+        must feed) — pycaffe's `net.inputs`."""
+        produced = {t for n in self._net.layers for t in n.tops}
+        wanted = {b for n in self._net.layers for b in n.bottoms}
+        external = sorted(wanted - produced)
+        data_tops = [t for n in self._net.layers if n.type in DATA_TYPES
+                     for t in n.tops]
+        return data_tops + [b for b in external if b not in data_tops]
+
+    @property
+    def outputs(self):
+        return self._net.output_blob_names()
+
+    @property
+    def params(self):
+        self._require_init()
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+        self._fwd = None
+
+    @property
+    def state(self):
+        self._require_init()
+        return self._state
+
+    # -- lifecycle --------------------------------------------------------
+    def _require_init(self):
+        if self._params is None:
+            raise RuntimeError(
+                "run forward(...) once first: blob shapes (and therefore "
+                "parameter shapes) are inferred from the first inputs")
+
+    def _maybe_init(self, inputs):
+        if self._params is not None:
+            return
+        self._params, self._state = self._net.init(
+            jax.random.PRNGKey(self._seed), inputs)
+        if self._weights_pending:
+            self.copy_from(self._weights_pending)
+            self._weights_pending = None
+
+    def _rng(self):
+        self._calls += 1
+        return jax.random.fold_in(jax.random.PRNGKey(self._seed ^ 0xF0),
+                                  self._calls)
+
+    # -- forward / backward ----------------------------------------------
+    def forward(self, **inputs):
+        """Run the net on the given input blobs; updates ``self.blobs``
+        with EVERY top and returns {output blob: array}
+        (pycaffe.py:62-110's `_Net_forward`)."""
+        inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        self._maybe_init(inputs)
+        if self._fwd is None:
+            net, train = self._net, self._phase == "train"
+
+            @jax.jit
+            def fwd(p, s, ins, rng):
+                return net.apply(p, s, ins, train=train, rng=rng)
+
+            self._fwd = fwd
+        rng = self._rng()
+        blobs, new_state = self._fwd(self._params, self._state, inputs, rng)
+        if self._phase == "train":
+            self._state = new_state  # BN EMA updates, like Forward would
+        self._last_inputs = inputs
+        self._last_rng = rng
+        self.blobs = OrderedDict(blobs)
+        return {k: blobs[k] for k in self.outputs if k in blobs}
+
+    def forward_all(self, **input_batches):
+        """pycaffe's `_Net_forward_all` minus the batch rechunking: one
+        forward over the full arrays (XLA tiles internally)."""
+        return self.forward(**input_batches)
+
+    def backward(self, **top_diffs):
+        """Cotangents for named top blobs -> diffs of FLOAT input blobs;
+        parameter gradients land in ``self.param_diffs``
+        (`_Net_backward`, pycaffe.py:113-157)."""
+        if self._last_inputs is None:
+            raise RuntimeError("backward() needs a prior forward()")
+        if not top_diffs:
+            raise ValueError("pass at least one top diff, e.g. "
+                             "backward(loss=jnp.ones(()))")
+        names = sorted(top_diffs)
+        net, train = self._net, self._phase == "train"
+        floats = {k: v for k, v in self._last_inputs.items()
+                  if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)}
+        others = {k: v for k, v in self._last_inputs.items()
+                  if k not in floats}
+        state, rng = self._state, self._last_rng
+
+        def f(p, fi):
+            blobs, _ = net.apply(p, state, {**others, **fi},
+                                 train=train, rng=rng)
+            return tuple(blobs[n] for n in names)
+
+        outs, vjp = jax.vjp(f, self._params, floats)
+        cots = tuple(jnp.broadcast_to(
+            jnp.asarray(top_diffs[n], outs[i].dtype), outs[i].shape)
+            for i, n in enumerate(names))
+        gp, gi = vjp(cots)
+        self.param_diffs = gp
+        return gi
+
+    # -- weights IO -------------------------------------------------------
+    def save(self, path: str):
+        """`net.save(path)`: .caffemodel / .caffemodel.h5 by extension
+        (Net::ToProto / ToHDF5)."""
+        from ..utils.caffemodel import (save_caffemodel_binaryproto,
+                                        save_caffemodel_h5)
+
+        self._require_init()
+        specs = self._net.caffemodel_specs(self._params, self._state)
+        save = (save_caffemodel_h5 if path.endswith((".h5", ".hdf5"))
+                else save_caffemodel_binaryproto)
+        return save(path, self._params, self._state, specs=specs)
+
+    def copy_from(self, path: str):
+        """`CopyTrainedLayersFrom`: name/shape-checked partial load."""
+        from ..utils.caffemodel import (load_caffemodel_binaryproto,
+                                        load_caffemodel_h5)
+
+        self._require_init()
+        specs = self._net.caffemodel_specs(self._params, self._state)
+        load = (load_caffemodel_h5 if path.endswith((".h5", ".hdf5"))
+                else load_caffemodel_binaryproto)
+        self._params, self._state, report = load(
+            path, self._params, self._state, specs=specs)
+        self._fwd = None
+        return report

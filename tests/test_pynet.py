@@ -1,0 +1,134 @@
+"""pycaffe-style stateful Net wrapper (models/pynet.py).
+
+Reference: python/caffe/pycaffe.py:22-233 (_Net_forward/_Net_backward/
+blobs/params dicts), _caffe.cpp:142-345.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.models import mms_qa as M
+from mms_answer_selection_tpu.models.pynet import Net
+from mms_answer_selection_tpu.utils.prototxt import net_prototxt_from_config
+
+MLP = """
+layer { name: "x" type: "Input" top: "x" }
+layer { name: "label" type: "Input" top: "label" }
+layer { name: "ip1" type: "InnerProduct" bottom: "x" top: "ip1"
+  inner_product_param { num_output: 8 weight_filler { type: "xavier" } } }
+layer { name: "t1" type: "TanH" bottom: "ip1" top: "ip1" }
+layer { name: "ip2" type: "InnerProduct" bottom: "ip1" top: "ip2"
+  inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label"
+  top: "loss" }
+"""
+
+
+def _mlp_inputs(n=6):
+    rng = np.random.default_rng(0)
+    return dict(x=jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32)),
+                label=jnp.asarray(rng.integers(0, 3, (n,))))
+
+
+class TestForward:
+    def test_forward_blobs_outputs(self):
+        net = Net(MLP, phase="train", seed=1)
+        assert net.layer_names[0] == "x"
+        assert sorted(net.inputs) == ["label", "x"]
+        out = net.forward(**_mlp_inputs())
+        assert set(out) == set(net.outputs) == {"loss"}
+        # every intermediate top is inspectable (pycaffe net.blobs)
+        assert net.blobs["ip1"].shape == (6, 8)
+        assert net.blobs["ip2"].shape == (6, 3)
+        assert np.isfinite(float(out["loss"]))
+        # params dict exposes layer blobs by name
+        assert net.params["ip1"]["w"].shape == (5, 8)
+
+    def test_requires_forward_before_params(self):
+        net = Net(MLP)
+        with pytest.raises(RuntimeError, match="forward"):
+            net.params
+
+    def test_forward_matches_graphnet(self):
+        cfg = dataclasses.replace(M.V4, vocab_size=80, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        text = net_prototxt_from_config(cfg, phase="eval")
+        rng = np.random.default_rng(3)
+        ins = {"question": jnp.asarray(rng.integers(0, 80, (4, 40))),
+               "answer": jnp.asarray(rng.integers(0, 80, (4, 40))),
+               "label": jnp.asarray(rng.integers(0, 2, (4,))),
+               "group": jnp.asarray([0, 0, 1, 1]),
+               "overlap_feat": jnp.asarray(
+                   rng.normal(size=(4, 2)).astype(np.float32))}
+        net = Net(text, phase="test", seed=7)
+        net.forward(**ins)
+        from mms_answer_selection_tpu.models.graph_net import GraphNet
+
+        g = GraphNet(text, phase="test")
+        p, s = g.init(jax.random.PRNGKey(7), ins)
+        blobs, _ = g.apply(p, s, ins, train=False)
+        np.testing.assert_allclose(net.blobs["prob"], blobs["prob"],
+                                   atol=1e-6)
+
+
+class TestBackward:
+    def test_backward_param_and_input_diffs(self):
+        net = Net(MLP, phase="train", seed=2)
+        ins = _mlp_inputs()
+        net.forward(**ins)
+        diffs = net.backward(loss=jnp.ones(()))
+        # float input gets a diff; int label does not
+        assert set(diffs) == {"x"}
+        assert diffs["x"].shape == ins["x"].shape
+        assert float(jnp.sum(jnp.abs(net.param_diffs["ip2"]["w"]))) > 0
+        # diffs agree with jax.grad through the functional core
+        from mms_answer_selection_tpu.models.graph_net import GraphNet
+
+        g = GraphNet(MLP, phase="train")
+
+        def loss_fn(p, x):
+            blobs, _ = g.apply(p, net.state, {**ins, "x": x}, train=True,
+                               rng=net._last_rng)
+            return blobs["loss"]
+
+        gp, gx = jax.grad(loss_fn, argnums=(0, 1))(net.params, ins["x"])
+        np.testing.assert_allclose(diffs["x"], gx, atol=1e-5)
+        np.testing.assert_allclose(net.param_diffs["ip1"]["w"],
+                                   gp["ip1"]["w"], atol=1e-5)
+
+    def test_backward_needs_forward(self):
+        net = Net(MLP)
+        with pytest.raises(RuntimeError, match="forward"):
+            net.backward(loss=jnp.ones(()))
+
+
+class TestWeightsIO:
+    def test_save_copy_from_roundtrip(self, tmp_path):
+        ins = _mlp_inputs()
+        a = Net(MLP, phase="test", seed=5)
+        a.forward(**ins)
+        path = str(tmp_path / "w.caffemodel.h5")
+        a.save(path)
+
+        b = Net(MLP, phase="test", seed=99)  # different init
+        b.forward(**ins)
+        b.copy_from(path)
+        out = b.forward(**ins)
+        np.testing.assert_allclose(out["loss"], a.forward(**ins)["loss"],
+                                   atol=1e-6)
+
+    def test_lazy_weights_at_construction(self, tmp_path):
+        ins = _mlp_inputs()
+        a = Net(MLP, phase="test", seed=5)
+        a.forward(**ins)
+        path = str(tmp_path / "w.caffemodel.h5")
+        a.save(path)
+
+        c = Net(MLP, phase="test", weights=path, seed=123)
+        out = c.forward(**ins)  # weights load lazily at first forward
+        np.testing.assert_allclose(out["loss"], a.forward(**ins)["loss"],
+                                   atol=1e-6)
