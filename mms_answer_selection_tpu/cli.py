@@ -408,6 +408,55 @@ def cmd_time(args):
     from .training import Trainer, TrainerConfig
     from .utils.timer import benchmark, stage_times_fwd_bwd, trace
 
+    if args.model:
+        # `caffe time --model=any.prototxt` (tools/caffe.cpp:301-387):
+        # time ANY net via GraphNet — full jitted forward and
+        # forward+backward (per-layer times are a fiction under XLA
+        # fusion; the QA-family mode below reports synthetic stage
+        # times where they are meaningful)
+        from .models.graph_net import GraphNet
+
+        with open(args.model) as f:
+            net = GraphNet(f.read(), phase="train")
+        shapes = net.declared_input_shapes()
+        missing = [n for n in net.input_names if n not in shapes]
+        if missing:
+            raise SystemExit(
+                f"net declares no shapes for inputs {missing}; add "
+                f"input_shape/input_param declarations (deploy style) "
+                f"or DummyData layers")
+        ins = {k: jnp.zeros(v, jnp.float32) for k, v in shapes.items()}
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        rng = jax.random.PRNGKey(1)
+
+        fwd = jax.jit(lambda p, s, b: jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+            net.apply(p, s, b, train=True, rng=rng)[0], 0.0))
+        # scalar output so the fence is a cheap host read (CLAUDE.md:
+        # never host-read a large device array through the tunnel)
+        fwdbwd = jax.jit(lambda p, s, b: jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.abs(g)),
+            jax.grad(lambda pp: net.loss(pp, s, b, train=True,
+                                         rng=rng)[0])(p), 0.0))
+
+        ctx = trace(args.xprof) if args.xprof else contextlib.nullcontext()
+        with ctx:
+            f_res = benchmark(fwd, params, state, ins, iters=args.iters)
+            has_loss = bool(net.blob_loss_weights())
+            fb_res = (benchmark(fwdbwd, params, state, ins,
+                                iters=args.iters) if has_loss else None)
+        out = {"model": args.model,
+               "full_forward_ms": round(f_res["p50_s"] * 1e3, 4)}
+        if fb_res is not None:
+            out["full_forward_backward_ms"] = round(
+                fb_res["p50_s"] * 1e3, 4)
+        else:
+            out["note"] = "net has no loss layer; backward skipped"
+        if args.xprof:
+            out["xprof"] = args.xprof
+        print(json.dumps(out))
+        return
+
     cfg = dataclasses.replace(V4, vocab_size=20000)
     params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -855,6 +904,10 @@ def main(argv=None):
 
     p = sub.add_parser("time",
                        help="per-stage fwd+bwd + fused end-to-end timing")
+    p.add_argument("--model",
+                   help="time ANY net prototxt (caffe time --model; "
+                        "needs deploy-style input_shape/input_dim or "
+                        "Input-layer shape declarations)")
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--fused-steps", type=int, default=1,

@@ -677,3 +677,113 @@ class TestExtension:
         net = GraphNet(txt)
         with pytest.raises(ValueError, match="python_param"):
             net.init(jax.random.PRNGKey(0), {"x": jnp.zeros((1,))})
+
+
+class TestDeclaredInputShapes:
+    """Deploy-style input shape declarations (net.cpp:47-69 input
+    handling; input_layer.cpp:9-25) feed `qa time --model`."""
+
+    def test_net_level_input_shape(self):
+        txt = """
+        input: "data"
+        input_shape { dim: 2 dim: 3 dim: 8 dim: 8 }
+        layer { name: "r" type: "ReLU" bottom: "data" top: "out" }
+        """
+        net = GraphNet(txt)
+        # caffe NCHW (2,3,8,8) -> our NHWC (2,8,8,3)
+        assert net.declared_input_shapes() == {"data": (2, 8, 8, 3)}
+        assert net.declared_input_shapes(nhwc=False) == {
+            "data": (2, 3, 8, 8)}
+
+    def test_legacy_input_dim(self):
+        txt = """
+        input: "a"
+        input: "b"
+        input_dim: 1
+        input_dim: 2
+        input_dim: 4
+        input_dim: 4
+        input_dim: 1
+        input_dim: 2
+        input_dim: 4
+        input_dim: 4
+        layer { name: "e" type: "Eltwise" bottom: "a" bottom: "b"
+                top: "s" }
+        """
+        net = GraphNet(txt)
+        shapes = net.declared_input_shapes()
+        assert shapes == {"a": (1, 4, 4, 2), "b": (1, 4, 4, 2)}
+
+    def test_input_layer_shapes(self):
+        # one shape per top; a single shape broadcasts to all tops
+        # (input_layer.cpp:16-24)
+        txt = """
+        layer { name: "in" type: "Input" top: "x" top: "y"
+          input_param { shape { dim: 5 dim: 7 } } }
+        layer { name: "e" type: "Eltwise" bottom: "x" bottom: "y"
+                top: "s" }
+        """
+        net = GraphNet(txt)
+        assert net.declared_input_shapes() == {
+            "x": (5, 7), "y": (5, 7)}
+
+    def test_undeclared_absent(self):
+        txt = 'layer { name: "in" type: "Input" top: "x" }\n' \
+              'layer { name: "r" type: "ReLU" bottom: "x" top: "y" }'
+        assert GraphNet(txt).declared_input_shapes() == {}
+
+    def test_embed_accepts_float_ids(self):
+        # caffe blobs are float; EmbedLayer casts values to indices
+        # (embed_layer.cpp:107) — declared float inputs must still feed
+        # Embed
+        txt = """
+        input: "ids"
+        input_shape { dim: 2 dim: 3 }
+        layer { name: "emb" type: "Embed" bottom: "ids" top: "v"
+          embed_param { input_dim: 10 num_output: 4
+            weight_filler { type: "uniform" min: -1 max: 1 } } }
+        """
+        net = GraphNet(txt)
+        ids_f = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 0.0, 9.0]])
+        params, state = net.init(jax.random.PRNGKey(0), {"ids": ids_f})
+        blobs_f, _ = net.apply(params, state, {"ids": ids_f})
+        blobs_i, _ = net.apply(params, state,
+                               {"ids": ids_f.astype(jnp.int32)})
+        np.testing.assert_allclose(blobs_f["v"], blobs_i["v"])
+
+
+class TestTimeModelCLI:
+    def test_qa_time_model(self, tmp_path, capsys):
+        """`qa time --model` ≙ `caffe time --model` on ANY prototxt
+        (tools/caffe.cpp:301-387)."""
+        import json
+
+        from mms_answer_selection_tpu.cli import main
+
+        txt = """
+        input: "x"
+        input_shape { dim: 4 dim: 6 }
+        input: "label"
+        input_shape { dim: 4 }
+        layer { name: "fc" type: "InnerProduct" bottom: "x" top: "fc"
+          inner_product_param { num_output: 3
+            weight_filler { type: "xavier" } } }
+        layer { name: "loss" type: "SoftmaxWithLoss" bottom: "fc"
+          bottom: "label" top: "loss" }
+        """
+        (tmp_path / "net.prototxt").write_text(txt)
+        main(["time", "--model", str(tmp_path / "net.prototxt"),
+              "--iters", "2"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["full_forward_ms"] > 0
+        assert out["full_forward_backward_ms"] >= out["full_forward_ms"] * 0
+
+    def test_qa_time_model_missing_shapes(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "net.prototxt").write_text(
+            'layer { name: "in" type: "Input" top: "x" }\n'
+            'layer { name: "r" type: "ReLU" bottom: "x" top: "y" }\n')
+        with pytest.raises(SystemExit, match="declares no shapes"):
+            main(["time", "--model", str(tmp_path / "net.prototxt"),
+                  "--iters", "1"])
