@@ -17,6 +17,16 @@ from .pair_image import (  # noqa: F401
 )
 from .graph_net import GraphNet, register_layer  # noqa: F401
 from .pynet import Net  # noqa: F401
+from .pysolver import (  # noqa: F401
+    AdaDeltaSolver,
+    AdaGradSolver,
+    AdamSolver,
+    NesterovSolver,
+    RMSPropSolver,
+    SGDSolver,
+    Solver,
+    get_solver,
+)
 from .caption_image import (  # noqa: F401
     CaptionImageConfig,
     caption_image_init,

@@ -285,6 +285,7 @@ class GraphSolver:
         self._smoothed = 0.0
         self._start_iter = 0
         self.history: list[dict] = []
+        self.last_outs: dict = {}  # train-net output blobs of last step
         self._step_fn = None
         self._test_fns = {}
 
@@ -422,6 +423,7 @@ class GraphSolver:
              outs) = self._step_fn(self.params, self.state, self.opt_state,
                                    self.iter_, batch, rng)
             self._update_smoothed(float(loss))
+            self.last_outs = outs
             if self.display and self.iter_ % self.display == 0:
                 self._display_outputs("Train", outs)
                 # sgd_solver.cpp:105's companion line; parse_log reads it
