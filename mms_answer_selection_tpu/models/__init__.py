@@ -17,6 +17,8 @@ from .pair_image import (  # noqa: F401
 )
 from .graph_net import GraphNet, register_layer  # noqa: F401
 from .pynet import Net  # noqa: F401
+from .classifier import Classifier  # noqa: F401
+from .detector import Detector  # noqa: F401
 from .pysolver import (  # noqa: F401
     AdaDeltaSolver,
     AdaGradSolver,

@@ -1,0 +1,273 @@
+"""caffe.io equivalents (utils/io.py vs python/caffe/io.py) and the
+Classifier / Detector application wrappers (models/classifier.py,
+models/detector.py vs python/caffe/classifier.py, detector.py)."""
+
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.utils import io as cio
+from mms_answer_selection_tpu.utils.caffemodel import _field
+
+
+class TestBlobProto:
+    def test_roundtrip(self):
+        arr = np.random.default_rng(0).normal(
+            size=(2, 3, 4)).astype(np.float32)
+        blob = cio.array_to_blobproto(arr)
+        np.testing.assert_array_equal(cio.blobproto_to_array(blob), arr)
+
+    def test_diff(self):
+        arr = np.ones((3, 2), np.float32)
+        diff = np.full((3, 2), 0.5, np.float32)
+        blob = cio.array_to_blobproto(arr, diff)
+        np.testing.assert_array_equal(
+            cio.blobproto_to_array(blob, return_diff=True), diff)
+
+    def test_diff_shape_mismatch(self):
+        with pytest.raises(ValueError):
+            cio.array_to_blobproto(np.ones((2,)), np.ones((3,)))
+
+    def test_no_diff_raises(self):
+        blob = cio.array_to_blobproto(np.ones((2,)))
+        with pytest.raises(ValueError, match="diff"):
+            cio.blobproto_to_array(blob, return_diff=True)
+
+    def test_legacy_dims(self):
+        # hand-built wire: legacy num/channels/height/width, no BlobShape
+        # (blobproto_to_array reads both generations, io.py:24-27)
+        data = np.arange(24, dtype="<f4")
+        wire = (_field(1, 0, 1) + _field(2, 0, 2) + _field(3, 0, 3)
+                + _field(4, 0, 4) + _field(5, 2, data.tobytes()))
+        out = cio.blobproto_to_array(wire)
+        assert out.shape == (1, 2, 3, 4)
+        np.testing.assert_array_equal(out.ravel(), data)
+
+    def test_cross_codec_with_mean_file(self, tmp_path):
+        """Our public converter parses what save_blob_binaryproto writes
+        (and vice versa) — one wire convention across the codebase."""
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_blob_binaryproto, save_blob_binaryproto)
+
+        arr = np.random.default_rng(1).normal(
+            size=(1, 3, 4, 4)).astype(np.float32)
+        p = tmp_path / "mean.binaryproto"
+        save_blob_binaryproto(str(p), arr)
+        np.testing.assert_array_equal(
+            cio.blobproto_to_array(p.read_bytes()), arr)
+        p2 = tmp_path / "mean2.binaryproto"
+        p2.write_bytes(cio.array_to_blobproto(arr))
+        np.testing.assert_array_equal(load_blob_binaryproto(str(p2)), arr)
+
+    def test_blobprotovector(self):
+        arrs = [np.ones((2, 2), np.float32),
+                np.arange(3, dtype=np.float32)]
+        s = cio.arraylist_to_blobprotovector_str(arrs)
+        out = cio.blobprotovector_str_to_arraylist(s)
+        assert len(out) == 2
+        for a, b in zip(arrs, out):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestDatum:
+    def test_uint8_roundtrip(self):
+        arr = np.random.default_rng(0).integers(
+            0, 256, (3, 4, 5)).astype(np.uint8)
+        d = cio.array_to_datum(arr, label=7)
+        np.testing.assert_array_equal(cio.datum_to_array(d), arr)
+        assert cio.datum_label(d) == 7
+
+    def test_float_roundtrip(self):
+        arr = np.random.default_rng(0).normal(
+            size=(2, 3, 3)).astype(np.float32)
+        d = cio.array_to_datum(arr, label=0)
+        np.testing.assert_array_equal(cio.datum_to_array(d), arr)
+        assert cio.datum_label(d) == 0
+
+    def test_label_absent_reads_proto_default(self):
+        d = cio.array_to_datum(np.zeros((1, 1, 1), np.uint8), label=None)
+        assert cio.datum_label(d) == 0
+
+    def test_non_3d_raises(self):
+        with pytest.raises(ValueError, match="shape"):
+            cio.array_to_datum(np.zeros((2, 2)))
+
+
+class TestTransformer:
+    def _tf(self):
+        tf = cio.Transformer({"data": (1, 3, 8, 8)})
+        tf.set_transpose("data", (2, 0, 1))
+        tf.set_channel_swap("data", (2, 1, 0))
+        tf.set_raw_scale("data", 255.0)
+        tf.set_mean("data", np.array([10.0, 20.0, 30.0]))
+        tf.set_input_scale("data", 0.5)
+        return tf
+
+    def test_preprocess_deprocess_inverse(self):
+        tf = self._tf()
+        im = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+        x = tf.preprocess("data", im)
+        assert x.shape == (3, 8, 8)
+        back = tf.deprocess("data", x)
+        np.testing.assert_allclose(back, im, atol=1e-5)
+
+    def test_preprocess_order(self):
+        # hand-compute: transpose -> swap -> *raw -> -mean -> *scale
+        tf = self._tf()
+        im = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+        ref = im.transpose(2, 0, 1)[[2, 1, 0], :, :] * 255.0
+        ref -= np.array([10.0, 20.0, 30.0])[:, None, None]
+        ref *= 0.5
+        np.testing.assert_allclose(tf.preprocess("data", im), ref,
+                                   rtol=1e-6)
+
+    def test_resizes_on_mismatch(self):
+        tf = self._tf()
+        im = np.random.default_rng(2).random((16, 16, 3)).astype(
+            np.float32)
+        assert tf.preprocess("data", im).shape == (3, 8, 8)
+
+    def test_unknown_input_raises(self):
+        with pytest.raises(KeyError):
+            self._tf().preprocess("nope", np.zeros((8, 8, 3)))
+
+    def test_mean_validation(self):
+        tf = cio.Transformer({"data": (1, 3, 8, 8)})
+        with pytest.raises(ValueError):
+            tf.set_mean("data", np.zeros(2))        # wrong channels
+        with pytest.raises(ValueError):
+            tf.set_mean("data", np.zeros((3, 4, 4)))  # wrong spatial
+        tf.set_mean("data", np.zeros((3, 8, 8)))      # exact: ok
+        tf.set_mean("data", np.zeros(3))              # per-channel: ok
+
+    def test_transpose_validation(self):
+        tf = cio.Transformer({"data": (1, 3, 8, 8)})
+        with pytest.raises(ValueError):
+            tf.set_transpose("data", (0, 1))
+        with pytest.raises(ValueError):
+            tf.set_channel_swap("data", (0, 1))
+
+
+class TestImageUtils:
+    def test_resize_constant_shortcircuit(self):
+        im = np.full((5, 5, 3), 2.5, np.float32)
+        out = cio.resize_image(im, (9, 7))
+        assert out.shape == (9, 7, 3)
+        np.testing.assert_array_equal(out, 2.5)
+
+    def test_resize_gradient(self):
+        im = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8, 1)
+        out = cio.resize_image(im, (16, 16))
+        assert out.shape == (16, 16, 1)
+        assert out.min() >= -1e-3 and out.max() <= 1 + 1e-3
+
+    def test_load_image_npy(self, tmp_path):
+        im = np.random.default_rng(0).random((6, 5)).astype(np.float32)
+        np.save(tmp_path / "g.npy", im)
+        out = cio.load_image(str(tmp_path / "g.npy"))
+        assert out.shape == (6, 5, 3)          # gray tiled to RGB
+        gray = cio.load_image(str(tmp_path / "g.npy"), color=False)
+        assert gray.shape == (6, 5, 1)
+
+    def test_oversample(self):
+        rng = np.random.default_rng(3)
+        ims = [rng.random((8, 8, 3)).astype(np.float32)
+               for _ in range(2)]
+        crops = cio.oversample(ims, (4, 4))
+        assert crops.shape == (20, 4, 4, 3)
+        # crop 0 is the top-left corner; crop 5 is its mirror
+        np.testing.assert_array_equal(crops[0], ims[0][:4, :4, :])
+        np.testing.assert_array_equal(crops[5], crops[0][:, ::-1, :])
+        # crop 4 is the center crop
+        np.testing.assert_array_equal(crops[4], ims[0][2:6, 2:6, :])
+
+
+DEPLOY = """
+name: "tinyclf"
+input: "data"
+input_shape { dim: 1 dim: 3 dim: 8 dim: 8 }
+layer { name: "flat" type: "Flatten" bottom: "data" top: "flat" }
+layer { name: "fc" type: "InnerProduct" bottom: "flat" top: "fc"
+  inner_product_param { num_output: 4
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "prob" type: "Softmax" bottom: "fc" top: "prob" }
+"""
+
+
+class TestClassifier:
+    def test_predict_oversample(self, tmp_path):
+        from mms_answer_selection_tpu.models import Classifier
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        clf = Classifier(str(tmp_path / "deploy.prototxt"),
+                         image_dims=(12, 12),
+                         mean=np.array([0.1, 0.2, 0.3]),
+                         raw_scale=1.0, channel_swap=(2, 1, 0))
+        rng = np.random.default_rng(0)
+        ims = [rng.random((10, 11, 3)).astype(np.float32)
+               for _ in range(2)]
+        preds = clf.predict(ims, oversample=True)
+        assert preds.shape == (2, 4)
+        np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-5)
+
+    def test_predict_center_crop(self, tmp_path):
+        from mms_answer_selection_tpu.models import Classifier
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        clf = Classifier(str(tmp_path / "deploy.prototxt"))
+        rng = np.random.default_rng(1)
+        preds = clf.predict([rng.random((8, 8, 3)).astype(np.float32)],
+                            oversample=False)
+        assert preds.shape == (1, 4)
+        np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-5)
+
+    def test_requires_declared_shape(self, tmp_path):
+        from mms_answer_selection_tpu.models import Classifier
+
+        (tmp_path / "d.prototxt").write_text(
+            'layer { name: "in" type: "Input" top: "data" }\n'
+            'layer { name: "r" type: "ReLU" bottom: "data" top: "y" }\n')
+        with pytest.raises(ValueError, match="declare"):
+            Classifier(str(tmp_path / "d.prototxt"))
+
+
+class TestDetector:
+    def test_detect_windows(self, tmp_path):
+        from mms_answer_selection_tpu.models import Detector
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        im = np.random.default_rng(0).random((16, 16, 3)).astype(
+            np.float32)
+        np.save(tmp_path / "im.npy", im)
+        det = Detector(str(tmp_path / "deploy.prototxt"))
+        dets = det.detect_windows([
+            (str(tmp_path / "im.npy"), [np.array([0, 0, 8, 8]),
+                                        np.array([4, 4, 16, 16])])])
+        assert len(dets) == 2
+        assert dets[0]["prediction"].shape == (4,)
+        assert dets[0]["filename"].endswith("im.npy")
+        np.testing.assert_array_equal(dets[1]["window"], [4, 4, 16, 16])
+
+    def test_context_pad_crop(self, tmp_path):
+        from mms_answer_selection_tpu.models import Detector
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        det = Detector(str(tmp_path / "deploy.prototxt"),
+                       mean=np.array([0.5, 0.5, 0.5]), context_pad=2)
+        im = np.random.default_rng(1).random((16, 16, 3)).astype(
+            np.float32)
+        crop = det.crop(im, np.array([2, 2, 10, 10]))
+        # warped into the full net input with context + mean padding
+        assert crop.shape == tuple(det.crop_dims)
+
+    def test_context_pad_at_border_pads_with_mean(self, tmp_path):
+        from mms_answer_selection_tpu.models import Detector
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        det = Detector(str(tmp_path / "deploy.prototxt"), context_pad=3)
+        im = np.random.default_rng(2).random((12, 12, 3)).astype(
+            np.float32)
+        # window at the image corner: context extends out of bounds,
+        # the out-of-bounds region fills with crop_mean (zeros here)
+        crop = det.crop(im, np.array([0, 0, 6, 6]))
+        assert crop.shape == tuple(det.crop_dims)
+        assert np.any(crop == 0.0)
