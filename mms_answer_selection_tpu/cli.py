@@ -797,6 +797,113 @@ def cmd_nettest(args):
     print(json.dumps(result))
 
 
+def cmd_classify(args):
+    """python/classify.py equivalence: images (file / dir glob / .npy
+    stack) -> (N, C) class-probability .npy via the Classifier
+    wrapper."""
+    import glob as globmod
+    import time
+
+    from .models import Classifier
+    from .utils import io as caffe_io
+
+    image_dims = [int(s) for s in args.images_dim.split(",")]
+    mean = channel_swap = None
+    if args.mean_file:
+        mean = (np.load(args.mean_file) if args.mean_file.endswith(".npy")
+                else _load_mean_blob(args.mean_file))
+    if args.channel_swap:
+        channel_swap = [int(s) for s in args.channel_swap.split(",")]
+
+    clf = Classifier(args.model_def, args.pretrained_model,
+                     image_dims=image_dims, mean=mean,
+                     input_scale=args.input_scale,
+                     raw_scale=args.raw_scale, channel_swap=channel_swap)
+
+    src = os.path.expanduser(args.input_file)
+    if src.endswith(".npy"):
+        arr = np.load(src)
+        # (N, H, W, K) stack or a single (H, W, K) image
+        inputs = list(arr) if arr.ndim == 4 else [arr]
+    elif os.path.isdir(src):
+        inputs = [caffe_io.load_image(f) for f in
+                  sorted(globmod.glob(os.path.join(src, "*." + args.ext)))]
+    else:
+        inputs = [caffe_io.load_image(src)]
+    print(f"Classifying {len(inputs)} inputs.")
+
+    start = time.time()
+    predictions = clf.predict(inputs, not args.center_only)
+    print(f"Done in {time.time() - start:.2f} s.")
+    np.save(args.output_file, predictions)
+    print(f"Saving results into {args.output_file}")
+
+
+def _load_mean_blob(path):
+    """mean.binaryproto -> per-channel or full mean in caffe CHW."""
+    from .utils.caffemodel import load_blob_binaryproto
+
+    arr = np.asarray(load_blob_binaryproto(path), np.float32)
+    return arr[0] if arr.ndim == 4 else arr
+
+
+def cmd_detect(args):
+    """python/detect.py equivalence: a window CSV
+    (filename,ymin,xmin,ymax,xmax) -> per-window class scores (CSV or
+    .npz) via the Detector wrapper."""
+    import csv
+    import time
+
+    from .models import Detector
+
+    mean = channel_swap = None
+    if args.mean_file:
+        mean = (np.load(args.mean_file) if args.mean_file.endswith(".npy")
+                else _load_mean_blob(args.mean_file))
+        if mean.ndim == 3 and mean.shape[1:] != (1, 1):
+            mean = mean.mean(1).mean(1)  # detect.py:104-106
+    if args.channel_swap:
+        channel_swap = [int(s) for s in args.channel_swap.split(",")]
+
+    det = Detector(args.model_def, args.pretrained_model, mean=mean,
+                   input_scale=args.input_scale, raw_scale=args.raw_scale,
+                   channel_swap=channel_swap,
+                   context_pad=args.context_pad)
+
+    if not args.input_file.lower().endswith(".csv"):
+        raise SystemExit("input must be a CSV with header "
+                         "filename,ymin,xmin,ymax,xmax (the selective-"
+                         "search txt mode needs the external MATLAB "
+                         "package, same as the reference)")
+    by_file: dict = {}
+    with open(args.input_file, newline="") as f:
+        for row in csv.DictReader(f):
+            by_file.setdefault(row["filename"], []).append(np.array(
+                [int(float(row[k]))
+                 for k in ("ymin", "xmin", "ymax", "xmax")]))
+    t = time.time()
+    detections = det.detect_windows(sorted(by_file.items()))
+    print(f"Processed {len(detections)} windows in "
+          f"{time.time() - t:.3f} s.")
+
+    if args.output_file.lower().endswith(".csv"):
+        n_cls = len(detections[0]["prediction"])
+        with open(args.output_file, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["filename", "ymin", "xmin", "ymax", "xmax"]
+                       + [f"class{i}" for i in range(n_cls)])
+            for d in detections:
+                w.writerow([d["filename"], *map(int, d["window"]),
+                            *map(float, d["prediction"])])
+    else:
+        np.savez(args.output_file,
+                 filenames=np.array([d["filename"] for d in detections]),
+                 windows=np.stack([d["window"] for d in detections]),
+                 predictions=np.stack([d["prediction"]
+                                       for d in detections]))
+    print(f"Saved to {args.output_file}")
+
+
 def cmd_device_query(args):
     import jax
 
@@ -1023,6 +1130,53 @@ def main(argv=None):
     p.add_argument("--out-dir", help="directory for the CSVs "
                                      "(default: beside the log)")
     p.set_defaults(fn=cmd_parse_log)
+
+    p = sub.add_parser(
+        "classify",
+        help="classify.py tool: images -> class-probability .npy via "
+             "the Classifier wrapper")
+    p.add_argument("input_file", help="image file, directory, or .npy "
+                                      "stack of (H, W, K) images")
+    p.add_argument("output_file", help="output .npy of predictions")
+    p.add_argument("--model-def", required=True, help="deploy prototxt")
+    p.add_argument("--pretrained-model",
+                   help=".caffemodel[.h5] weights (random init if "
+                        "omitted — useful for smoke tests only)")
+    p.add_argument("--center-only", action="store_true",
+                   help="center crop alone instead of 10-crop "
+                        "oversampling")
+    p.add_argument("--images-dim", default="256,256",
+                   help="resize canvas H,W before cropping")
+    p.add_argument("--mean-file",
+                   help=".npy (CHW or per-channel) or mean.binaryproto")
+    p.add_argument("--input-scale", type=float)
+    p.add_argument("--raw-scale", type=float, default=255.0)
+    p.add_argument("--channel-swap", default="2,1,0",
+                   help="e.g. 2,1,0 maps RGB -> BGR")
+    p.add_argument("--ext", default="jpg",
+                   help="extension glob when input is a directory")
+    p.set_defaults(fn=cmd_classify)
+
+    p = sub.add_parser(
+        "detect",
+        help="detect.py tool: window CSV -> per-window class scores "
+             "via the Detector wrapper")
+    p.add_argument("input_file",
+                   help="CSV with header filename,ymin,xmin,ymax,xmax")
+    p.add_argument("output_file", help=".csv or .npz of detections")
+    p.add_argument("--model-def", required=True, help="deploy prototxt")
+    p.add_argument("--pretrained-model", help=".caffemodel[.h5] weights")
+    p.add_argument("--crop-mode", default="list", choices=["list"],
+                   help="selective_search needs the external MATLAB "
+                        "package (same constraint as the reference)")
+    p.add_argument("--context-pad", type=int, default=16)
+    p.add_argument("--mean-file",
+                   help=".npy or mean.binaryproto (collapsed to "
+                        "per-channel like detect.py)")
+    p.add_argument("--input-scale", type=float)
+    p.add_argument("--raw-scale", type=float, default=255.0)
+    p.add_argument("--channel-swap", default="2,1,0")
+    p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)

@@ -271,3 +271,81 @@ class TestDetector:
         crop = det.crop(im, np.array([0, 0, 6, 6]))
         assert crop.shape == tuple(det.crop_dims)
         assert np.any(crop == 0.0)
+
+
+class TestClassifyDetectCLI:
+    def test_qa_classify_npy_stack(self, tmp_path, capsys):
+        """`qa classify` ≙ python/classify.py on a .npy image stack."""
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        ims = np.random.default_rng(0).random((3, 10, 10, 3)).astype(
+            np.float32)
+        np.save(tmp_path / "ims.npy", ims)
+        main(["classify", str(tmp_path / "ims.npy"),
+              str(tmp_path / "out.npy"),
+              "--model-def", str(tmp_path / "deploy.prototxt"),
+              "--images-dim", "12,12"])
+        preds = np.load(tmp_path / "out.npy")
+        assert preds.shape == (3, 4)
+        np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-5)
+
+    def test_qa_classify_center_only_single_image(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        np.save(tmp_path / "im.npy",
+                np.random.default_rng(1).random((9, 9, 3)).astype(
+                    np.float32))
+        # single .npy IMAGE loads via load_image (ndim 3) not as a stack
+        main(["classify", str(tmp_path / "im.npy"),
+              str(tmp_path / "out.npy"),
+              "--model-def", str(tmp_path / "deploy.prototxt"),
+              "--images-dim", "8,8", "--center-only"])
+        assert np.load(tmp_path / "out.npy").shape == (1, 4)
+
+    def test_qa_detect_csv(self, tmp_path, capsys):
+        """`qa detect` ≙ python/detect.py list mode, CSV in/out."""
+        import csv
+
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        im = np.random.default_rng(2).random((20, 20, 3)).astype(
+            np.float32)
+        np.save(tmp_path / "im.npy", im)
+        with open(tmp_path / "win.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["filename", "ymin", "xmin", "ymax", "xmax"])
+            w.writerow([str(tmp_path / "im.npy"), 0, 0, 10, 10])
+            w.writerow([str(tmp_path / "im.npy"), 5, 5, 18, 18])
+        main(["detect", str(tmp_path / "win.csv"),
+              str(tmp_path / "out.csv"),
+              "--model-def", str(tmp_path / "deploy.prototxt"),
+              "--context-pad", "2"])
+        with open(tmp_path / "out.csv", newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        assert rows[0]["class0"]
+        assert int(rows[1]["ymax"]) == 18
+
+    def test_qa_detect_npz_out(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        np.save(tmp_path / "im.npy",
+                np.random.default_rng(3).random((16, 16, 3)).astype(
+                    np.float32))
+        import csv
+
+        with open(tmp_path / "win.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["filename", "ymin", "xmin", "ymax", "xmax"])
+            w.writerow([str(tmp_path / "im.npy"), 0, 0, 8, 8])
+        main(["detect", str(tmp_path / "win.csv"),
+              str(tmp_path / "out.npz"),
+              "--model-def", str(tmp_path / "deploy.prototxt"),
+              "--context-pad", "0"])
+        z = np.load(tmp_path / "out.npz")
+        assert z["predictions"].shape == (1, 4)
+        assert z["windows"].shape == (1, 4)
