@@ -797,6 +797,110 @@ def cmd_nettest(args):
     print(json.dumps(result))
 
 
+def cmd_extract_features(args):
+    """tools/extract_features.cpp: run a net in TEST phase for N
+    mini-batches with trained weights, saving each named blob's values
+    (one .npy per blob, concatenated over batches — the reference
+    writes one LMDB per blob instead)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.graph_net import DATA_TYPES, GraphNet
+    from .training.graph_solver import _build_feed
+
+    with open(args.model) as f:
+        text = f.read()
+    net = GraphNet(text, phase="test")
+    base_dir = os.path.dirname(os.path.abspath(args.model))
+
+    def make_feeds():
+        out = []
+        for node in net.layers:
+            if node.type in DATA_TYPES:
+                f = _build_feed(node.cfg, "test", args.seed, base_dir,
+                                None)
+                if f is not None:
+                    out.append(f)
+        return out
+
+    def next_batch(feeds):
+        batch = {}
+        for f in feeds:
+            batch.update(next(f))
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    blob_names = [b for b in args.blobs.split(",") if b]
+    known = set(net.input_names)
+    for node in net.layers:
+        known.update(node.tops)
+    for b in blob_names:
+        if b not in known:  # extract_features.cpp:93's has_blob CHECK
+            raise SystemExit(f"Unknown feature blob name {b} in the "
+                             f"network {args.model}")
+
+    feeds = make_feeds()
+    example = next_batch(feeds)
+    params, state = net.init(jax.random.PRNGKey(args.seed), example)
+    if args.weights:
+        from .utils.caffemodel import (load_caffemodel_binaryproto,
+                                       load_caffemodel_h5)
+
+        specs = net.caffemodel_specs(params, state)
+        with open(args.weights, "rb") as f:
+            is_h5 = f.read(4) == b"\x89HDF"
+        loader = (load_caffemodel_h5 if is_h5
+                  else load_caffemodel_binaryproto)
+        params, state, _ = loader(args.weights, params, state,
+                                  specs=specs)
+    feeds = make_feeds()  # init only peeked for shapes; restart at batch 0
+
+    @jax.jit
+    def fwd(p, s, batch, rng):
+        blobs, _ = net.apply(p, s, batch, train=False, rng=rng)
+        return {b: blobs[b] for b in blob_names}
+
+    key = jax.random.PRNGKey(args.seed ^ 0xFEA7)
+    acc: dict = {b: [] for b in blob_names}
+    for i in range(args.iterations):
+        out = fwd(params, state, next_batch(feeds),
+                  jax.random.fold_in(key, i))
+        for b in blob_names:
+            acc[b].append(np.asarray(out[b]))
+    os.makedirs(args.out, exist_ok=True)
+    for b in blob_names:
+        stacked = np.concatenate(acc[b], axis=0)
+        dest = os.path.join(args.out, f"{b}.npy")
+        np.save(dest, stacked)
+        print(f"wrote {dest} {stacked.shape}")
+    print(f"Successfully extracted {len(blob_names)} features for "
+          f"{args.iterations} batches")
+
+
+def cmd_upgrade(args):
+    """tools/upgrade_net_proto_text.cpp + upgrade_solver_proto_text.cpp:
+    read a (possibly V0/V1-era) prototxt, upgrade it to the modern
+    schema, write it back as text."""
+    from .utils.prototxt import (emit_prototxt, parse_prototxt,
+                                 upgrade_net_prototxt,
+                                 upgrade_solver_prototxt)
+
+    with open(args.input) as f:
+        d = parse_prototxt(f.read())
+    kind = args.kind
+    if kind == "auto":
+        kind = ("net" if any(k in d for k in ("layer", "layers", "input"))
+                else "solver")
+    up = (upgrade_net_prototxt(d) if kind == "net"
+          else upgrade_solver_prototxt(d))
+    text = emit_prototxt(up) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out} ({kind})")
+    else:
+        print(text, end="")
+
+
 def cmd_classify(args):
     """python/classify.py equivalence: images (file / dir glob / .npy
     stack) -> (N, C) class-probability .npy via the Classifier
@@ -1130,6 +1234,32 @@ def main(argv=None):
     p.add_argument("--out-dir", help="directory for the CSVs "
                                      "(default: beside the log)")
     p.set_defaults(fn=cmd_parse_log)
+
+    p = sub.add_parser(
+        "extract_features",
+        help="extract_features tool: save named blobs over N TEST "
+             "batches (one .npy per blob)")
+    p.add_argument("--model", required=True,
+                   help="net prototxt with data layers (TEST phase)")
+    p.add_argument("--weights", help=".caffemodel[.h5] trained weights")
+    p.add_argument("--blobs", required=True,
+                   help="comma-separated blob names to extract")
+    p.add_argument("--iterations", type=int, default=10,
+                   help="num_mini_batches")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_extract_features)
+
+    p = sub.add_parser(
+        "upgrade",
+        help="upgrade_net/solver_proto_text tools: legacy prototxt -> "
+             "modern schema text")
+    p.add_argument("input", help="net or solver prototxt (any era)")
+    p.add_argument("out", nargs="?", help="output path (stdout if "
+                                          "omitted)")
+    p.add_argument("--kind", default="auto",
+                   choices=["auto", "net", "solver"])
+    p.set_defaults(fn=cmd_upgrade)
 
     p = sub.add_parser(
         "classify",

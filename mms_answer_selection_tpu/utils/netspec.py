@@ -40,8 +40,7 @@ __all__ = ["L", "P", "NetSpec", "Enum", "Top", "Function", "to_proto",
            "layers", "params"]
 
 
-class Enum(str):
-    """An enum token: serialized into prototxt without quotes."""
+from .prototxt import EnumToken as Enum  # noqa: E402  (re-export)
 
 
 # layer type -> its parameter message field; every type GraphNet executes
@@ -127,38 +126,24 @@ def register_param_message(type_name: str, param_field: str) -> None:
 # prototxt emission (generic inverse of prototxt.parse_prototxt)
 # ---------------------------------------------------------------------------
 
-def _fmt_scalar(v) -> str:
-    if isinstance(v, Enum):
-        return str(v)
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, str):
-        escaped = v.replace("\\", "\\\\").replace('"', '\\"')
-        return f'"{escaped}"'
-    if isinstance(v, float):
-        out = repr(v)
-        return out
-    return str(v)
+class ProtoDict(dict):
+    """A parse_prototxt-shaped dict whose ``str()`` is the prototxt
+    text — so the pycaffe idiom ``f.write(str(n.to_proto()))``
+    (net_spec.py usage throughout the reference examples) works
+    verbatim while dict consumers keep structured access."""
 
-
-def _emit_message(d: dict, indent: int, out: list) -> None:
-    pad = "  " * indent
-    for key, value in d.items():
-        vals = value if isinstance(value, (list, tuple)) else [value]
-        for v in vals:
-            if isinstance(v, dict):
-                out.append(f"{pad}{key} {{")
-                _emit_message(v, indent + 1, out)
-                out.append(f"{pad}}}")
-            else:
-                out.append(f"{pad}{key}: {_fmt_scalar(v)}")
+    def __str__(self) -> str:
+        return dict_to_prototxt(self)
 
 
 def dict_to_prototxt(d: dict) -> str:
-    """Nested dict (parse_prototxt's shape) -> prototxt text."""
-    out: list = []
-    _emit_message(d, 0, out)
-    return "\n".join(out) + "\n"
+    """Nested dict (parse_prototxt's shape) -> prototxt text.  One
+    emitter serves the DSL and the upgrade tool: ``Enum`` values and
+    known enum FIELDS serialize bare, all other strings quoted
+    (prototxt.emit_prototxt)."""
+    from .prototxt import emit_prototxt
+
+    return emit_prototxt(d) + "\n"
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +266,7 @@ class NetSpec:
         layers_od = OrderedDict()
         for _name, top in self.tops.items():
             top._to_proto(layers_od, names, autonames)
-        return {"layer": list(layers_od.values())}
+        return ProtoDict({"layer": list(layers_od.values())})
 
     def to_prototxt(self, *, name: str | None = None) -> str:
         d = self.to_proto()
@@ -296,7 +281,7 @@ def to_proto(*tops) -> dict:
     autonames = Counter()
     for top in tops:
         top.fn._to_proto(layers_od, {}, autonames)
-    return {"layer": list(layers_od.values())}
+    return ProtoDict({"layer": list(layers_od.values())})
 
 
 def to_prototxt(*tops) -> str:

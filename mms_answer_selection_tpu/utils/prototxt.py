@@ -237,6 +237,94 @@ def upgrade_net_prototxt(d: dict) -> dict:
     return out
 
 
+# solver_type enum value -> the modern string `type:`
+# (upgrade_proto.cpp:1002-1035 UpgradeSolverType's exact case strings)
+_SOLVER_TYPE_STRINGS = {
+    "SGD": "SGD", "NESTEROV": "Nesterov", "ADAGRAD": "AdaGrad",
+    "RMSPROP": "RMSProp", "ADADELTA": "AdaDelta", "ADAM": "Adam",
+    0: "SGD", 1: "Nesterov", 2: "AdaGrad", 3: "RMSProp", 4: "AdaDelta",
+    5: "Adam",
+}
+
+
+def upgrade_solver_prototxt(d: dict) -> dict:
+    """Parsed-SolverParameter dict -> modern shape: the legacy
+    ``solver_type:`` enum becomes the string ``type:`` field
+    (UpgradeSolverType, upgrade_proto.cpp:1002-1035).  No-op when
+    already modern; both-fields-present is the same hard error the
+    reference CHECKs."""
+    if "solver_type" not in d:
+        return d
+    if "type" in d:
+        raise ValueError(
+            "old solver_type field (enum) and new type field (string) "
+            "cannot be both specified in solver proto text")
+    st = d["solver_type"]
+    if isinstance(st, list):
+        st = st[-1]
+    key = st.upper() if isinstance(st, str) else int(st)
+    if key not in _SOLVER_TYPE_STRINGS:
+        raise ValueError(f"unknown SolverParameter solver_type: {st}")
+    out = {k: v for k, v in d.items() if k != "solver_type"}
+    out["type"] = _SOLVER_TYPE_STRINGS[key]
+    return out
+
+
+# Fields whose values are PROTO ENUMS (emitted as bare all-caps tokens);
+# every other string field is quoted.  Covers the enum fields of
+# caffe.proto's NetParameter/LayerParameter/SolverParameter subtree this
+# framework ingests (phase/pool/eltwise op/loss norm/db backend/...).
+_ENUM_FIELDS = frozenset({
+    "phase", "pool", "norm_region", "operation", "snapshot_format",
+    "solver_mode", "solver_type", "backend", "engine", "mode", "norm",
+    "round_mode", "variance_norm", "db", "level", "share_mode",
+})
+
+_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\t": "\\t",
+            "\r": "\\r"}
+
+
+class EnumToken(str):
+    """An explicitly-marked enum token: serialized into prototxt without
+    quotes regardless of field name (the NetSpec DSL's ``Enum``)."""
+
+
+def _emit_value(key: str, v) -> str:
+    if isinstance(v, EnumToken):
+        return str(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v)
+    if key in _ENUM_FIELDS and re.fullmatch(r"[A-Z][A-Z0-9_]*", s):
+        return s  # enum token, bare
+    return '"' + "".join(_ESCAPES.get(c, c) for c in s) + '"'
+
+
+def emit_prototxt(d: dict, *, indent: int = 0) -> str:
+    """Nested dict (the parse_prototxt representation) -> protobuf text
+    format.  The inverse of :func:`parse_prototxt` up to formatting:
+    ``parse(emit(parse(text))) == parse(text)``.  Backs the `qa upgrade`
+    tool (tools/upgrade_net_proto_text.cpp, upgrade_solver_proto_text.cpp
+    write the upgraded message back as text the same way)."""
+    pad = "  " * indent
+    lines = []
+    for k, v in d.items():
+        for item in (v if isinstance(v, (list, tuple)) else [v]):
+            if isinstance(item, dict):
+                body = emit_prototxt(item, indent=indent + 1)
+                lines.append(f"{pad}{k} {{")
+                if body:
+                    lines.append(body)
+                lines.append(pad + "}")
+            else:
+                lines.append(f"{pad}{k}: {_emit_value(k, item)}")
+    return "\n".join(lines)
+
+
 def solver_config_from_prototxt(text: str):
     """solver.prototxt -> (SolverConfig, extras dict with the loop-level
     fields: max_iter/test_interval/snapshot/snapshot_prefix/random_seed/
