@@ -797,6 +797,58 @@ def cmd_nettest(args):
     print(json.dumps(result))
 
 
+def cmd_convert_imageset(args):
+    """tools/convert_imageset.cpp: a `path label` list -> a dataset the
+    data layers consume.  The reference packs uint8 Datums into
+    LMDB/LevelDB; here the TPU-consumable artifact is chunked HDF5
+    (data: (N, H, W, C) float32 in the cv::Mat [0,255] convention +
+    label) with a list file, which HDF5Data layers read directly."""
+    import h5py
+
+    from .data.pair_image import load_image
+
+    with open(args.listfile) as f:
+        rows = [(ln.rsplit(None, 1)[0], float(ln.rsplit(None, 1)[1]))
+                for ln in (s.strip() for s in f) if ln]
+    if not rows:
+        raise SystemExit(f"empty image list {args.listfile}")
+    if args.shuffle:
+        # convert_imageset.cpp:58-62 shuffles the LINES once up front
+        np.random.default_rng(args.seed).shuffle(rows)
+
+    imgs, labels = [], []
+    shape = None
+    for path, label in rows:
+        arr = load_image(os.path.join(args.root, path),
+                         new_height=args.resize_height,
+                         new_width=args.resize_width,
+                         is_color=not args.gray)
+        if shape is None:
+            shape = arr.shape
+        elif arr.shape != shape:
+            # --check_size is implicit: HDF5 rows must stack
+            raise SystemExit(
+                f"{path}: shape {arr.shape} != first image {shape} "
+                "(use --resize-height/--resize-width)")
+        imgs.append(arr)
+        labels.append(label)
+
+    os.makedirs(args.out, exist_ok=True)
+    data = np.stack(imgs).astype(np.float32)
+    lab = np.asarray(labels, np.float64)
+    list_path = os.path.join(args.out, f"{args.name}.txt")
+    with open(list_path, "w") as lf:
+        for i in range(0, len(rows), args.chunk_rows):
+            path = os.path.join(args.out,
+                                f"data{i // args.chunk_rows}.h5")
+            with h5py.File(path, "w") as h5:
+                h5["data"] = data[i:i + args.chunk_rows]
+                h5["label"] = lab[i:i + args.chunk_rows]
+            lf.write(path + "\n")
+    print(f"Processed {len(rows)} files.")
+    print(f"wrote {list_path}")
+
+
 def cmd_extract_features(args):
     """tools/extract_features.cpp: run a net in TEST phase for N
     mini-batches with trained weights, saving each named blob's values
@@ -1234,6 +1286,25 @@ def main(argv=None):
     p.add_argument("--out-dir", help="directory for the CSVs "
                                      "(default: beside the log)")
     p.set_defaults(fn=cmd_parse_log)
+
+    p = sub.add_parser(
+        "convert_imageset",
+        help="convert_imageset tool: `path label` list -> chunked HDF5 "
+             "dataset + list file for HDF5Data layers")
+    p.add_argument("root", help="image root folder (prefixed to paths)")
+    p.add_argument("listfile", help="`path label` rows")
+    p.add_argument("out", help="output directory")
+    p.add_argument("--shuffle", action="store_true",
+                   help="randomly shuffle the order of images")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gray", action="store_true",
+                   help="treat images as grayscale")
+    p.add_argument("--resize-height", type=int, default=0)
+    p.add_argument("--resize-width", type=int, default=0)
+    p.add_argument("--name", default="data",
+                   help="list file basename (data -> data.txt)")
+    p.add_argument("--chunk-rows", type=int, default=100000)
+    p.set_defaults(fn=cmd_convert_imageset)
 
     p = sub.add_parser(
         "extract_features",

@@ -255,3 +255,92 @@ I0817 14:00:06.200000  71 sgd_solver.cpp:105] Iteration 100, lr = 0.009
         assert [r["NumIters"] for r in train] == [0, 2]
         assert train[0]["LearningRate"] == 0.05
         assert len(test) == 1 and test[0]["NumIters"] == 2
+
+
+class TestConvertImageset:
+    """`qa convert_imageset` ≙ tools/convert_imageset.cpp (LMDB of uint8
+    Datums there; chunked HDF5 + list file here — what HDF5Data layers
+    consume)."""
+
+    def _corpus(self, tmp_path, n=10):
+        rng = np.random.default_rng(0)
+        lines = []
+        for i in range(n):
+            im = rng.integers(0, 256, (6, 6, 3)).astype(np.float32)
+            np.save(tmp_path / f"im{i}.npy", im)
+            lines.append(f"im{i}.npy {i % 3}")
+        (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+        return lines
+
+    def test_basic(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data.hdf5_compat import \
+            load_hdf5_list
+
+        self._corpus(tmp_path)
+        main(["convert_imageset", str(tmp_path), str(tmp_path / "list.txt"),
+              str(tmp_path / "db")])
+        out = capsys.readouterr().out
+        assert "Processed 10 files." in out
+        arrays = load_hdf5_list(str(tmp_path / "db" / "data.txt"))
+        assert arrays["data"].shape == (10, 6, 6, 3)
+        np.testing.assert_array_equal(arrays["label"],
+                                      np.arange(10) % 3)
+        # row 0 is im0 (no shuffle): content preserved
+        np.testing.assert_array_equal(
+            arrays["data"][0], np.load(tmp_path / "im0.npy"))
+
+    def test_shuffle_deterministic(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.data.hdf5_compat import \
+            load_hdf5_list
+
+        self._corpus(tmp_path)
+        main(["convert_imageset", str(tmp_path), str(tmp_path / "list.txt"),
+              str(tmp_path / "a"), "--shuffle", "--seed", "1"])
+        main(["convert_imageset", str(tmp_path), str(tmp_path / "list.txt"),
+              str(tmp_path / "b"), "--shuffle", "--seed", "1"])
+        la = load_hdf5_list(str(tmp_path / "a" / "data.txt"))["label"]
+        lb = load_hdf5_list(str(tmp_path / "b" / "data.txt"))["label"]
+        np.testing.assert_array_equal(la, lb)
+        assert not np.array_equal(la, np.arange(10) % 3)  # order moved
+
+    def test_size_mismatch_exits(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+
+        self._corpus(tmp_path)
+        np.save(tmp_path / "odd.npy",
+                np.zeros((4, 4, 3), np.float32))
+        with open(tmp_path / "list.txt", "a") as f:
+            f.write("odd.npy 0\n")
+        with pytest.raises(SystemExit, match="shape"):
+            main(["convert_imageset", str(tmp_path),
+                  str(tmp_path / "list.txt"), str(tmp_path / "db")])
+
+    def test_feeds_hdf5data_training(self, tmp_path):
+        """The produced dataset drives an HDF5Data net end-to-end."""
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.training.graph_solver import \
+            GraphSolver
+
+        self._corpus(tmp_path, n=12)
+        main(["convert_imageset", str(tmp_path), str(tmp_path / "list.txt"),
+              str(tmp_path / "db")])
+        net = f"""
+        layer {{ name: "d" type: "HDF5Data" top: "data" top: "label"
+          hdf5_data_param {{ source: "{tmp_path / 'db' / 'data.txt'}"
+            batch_size: 4 }} }}
+        layer {{ name: "flat" type: "Flatten" bottom: "data" top: "flat" }}
+        layer {{ name: "fc" type: "InnerProduct" bottom: "flat" top: "fc"
+          inner_product_param {{ num_output: 3
+            weight_filler {{ type: "xavier" }} }} }}
+        layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "fc"
+          bottom: "label" top: "loss" }}
+        """
+        (tmp_path / "net.prototxt").write_text(net)
+        (tmp_path / "solver.prototxt").write_text(
+            'net: "net.prototxt"\nbase_lr: 0.01\nlr_policy: "fixed"\n'
+            'max_iter: 6\ntest_interval: 0\nsnapshot_prefix: "s"\n')
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"))
+        smoothed = gs.step(6)
+        assert np.isfinite(smoothed)
