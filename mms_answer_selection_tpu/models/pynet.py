@@ -50,12 +50,15 @@ class Net:
     def __init__(self, prototxt: str, *, phase: str = "test",
                  weights: str | None = None, seed: int = 0):
         text = prototxt
+        self._base_dir = "."
         if os.path.exists(prototxt):
             with open(prototxt) as f:
                 text = f.read()
+            self._base_dir = os.path.dirname(os.path.abspath(prototxt))
         self._net = GraphNet(text, phase=phase)
         self._phase = phase
         self._seed = seed
+        self._feed_cache: dict = {}
         self._weights_pending = weights
         self._params = None
         self._state = None
@@ -122,12 +125,40 @@ class Net:
         return jax.random.fold_in(jax.random.PRNGKey(self._seed ^ 0xF0),
                                   self._calls)
 
+    # -- data-layer feeds --------------------------------------------------
+    def _feed_missing(self, inputs: dict) -> dict:
+        """pycaffe's ``net.forward()`` with no arguments advances the
+        net's own data layers; here the prototxt-declared sources
+        (HDF5Data / ImageData / PairImageData) feed any data-layer top
+        the caller did not pass explicitly.  Explicit inputs always
+        win."""
+        from ..training.graph_solver import _build_feed
+
+        for node in self._net.layers:
+            if node.type not in DATA_TYPES or node.type == "Input":
+                continue
+            if all(t in inputs for t in node.tops):
+                continue
+            if node.name not in self._feed_cache:
+                self._feed_cache[node.name] = _build_feed(
+                    node.cfg, self._phase, self._seed, self._base_dir,
+                    None)
+            feed = self._feed_cache[node.name]
+            if feed is None:  # DummyData: generated in-graph
+                continue
+            for k, v in next(feed).items():
+                inputs.setdefault(k, jnp.asarray(v))
+        return inputs
+
     # -- forward / backward ----------------------------------------------
     def forward(self, **inputs):
         """Run the net on the given input blobs; updates ``self.blobs``
         with EVERY top and returns {output blob: array}
-        (pycaffe.py:62-110's `_Net_forward`)."""
+        (pycaffe.py:62-110's `_Net_forward`).  Data-layer tops not
+        passed explicitly stream from the prototxt's declared sources
+        (see `_feed_missing`)."""
         inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        inputs = self._feed_missing(inputs)
         self._maybe_init(inputs)
         if self._fwd is None:
             net, train = self._net, self._phase == "train"

@@ -100,3 +100,24 @@ class TestPortedScriptFlow:
         assert out["prob"].shape == (2, 3)
         np.testing.assert_allclose(np.asarray(out["prob"]).sum(1), 1.0,
                                    rtol=1e-5)
+
+
+class TestPortedExample:
+    def test_pycaffe_port_example(self, tmp_path, monkeypatch, capsys):
+        """examples/pycaffe_port.py: the canonical pycaffe tutorial flow
+        end-to-end (net_spec -> solver -> step/blobs -> snapshot ->
+        restore -> deploy Net)."""
+        import importlib
+        import os
+        import sys
+
+        examples = os.path.join(os.path.dirname(__file__), "..",
+                                "examples")
+        monkeypatch.syspath_prepend(examples)
+        monkeypatch.setattr(sys, "argv", ["pycaffe_port",
+                                          str(tmp_path)])
+        mod = importlib.import_module("pycaffe_port")
+        mod.main()
+        out = capsys.readouterr().out
+        assert "OK" in out
+        assert "iter 500" in out

@@ -132,3 +132,54 @@ class TestWeightsIO:
         out = c.forward(**ins)  # weights load lazily at first forward
         np.testing.assert_allclose(out["loss"], a.forward(**ins)["loss"],
                                    atol=1e-6)
+
+
+class TestDataLayerFeeds:
+    """pycaffe's no-argument ``net.forward()`` advances the net's own
+    data layers; PyNet streams prototxt-declared sources the same way
+    (pycaffe.py:82-95 batches through the data layer)."""
+
+    def _net_text(self, tmp_path, n=20):
+        import h5py
+
+        rng = np.random.default_rng(0)
+        xs = rng.normal(size=(n, 4)).astype(np.float32)
+        ys = np.arange(n).astype(np.float64)  # row id as label
+        with h5py.File(tmp_path / "d.h5", "w") as f:
+            f["data"], f["label"] = xs, ys
+        (tmp_path / "d.txt").write_text(str(tmp_path / "d.h5") + "\n")
+        return (f'layer {{ name: "d" type: "HDF5Data" top: "data" '
+                f'top: "label" hdf5_data_param {{ '
+                f'source: "{tmp_path / "d.txt"}" batch_size: 5 }} }}\n'
+                'layer { name: "fc" type: "InnerProduct" bottom: "data" '
+                'top: "fc" inner_product_param { num_output: 2 '
+                'weight_filler { type: "xavier" } } }\n'), xs
+
+    def test_forward_streams_batches(self, tmp_path):
+        text, xs = self._net_text(tmp_path)
+        net = Net(text, phase="test")
+        net.forward()
+        np.testing.assert_array_equal(np.asarray(net.blobs["label"]),
+                                      [0, 1, 2, 3, 4])
+        np.testing.assert_allclose(np.asarray(net.blobs["data"]),
+                                   xs[:5], rtol=1e-6)
+        net.forward()  # the data layer ADVANCES
+        np.testing.assert_array_equal(np.asarray(net.blobs["label"]),
+                                      [5, 6, 7, 8, 9])
+
+    def test_explicit_inputs_win(self, tmp_path):
+        text, xs = self._net_text(tmp_path)
+        net = Net(text, phase="test")
+        override = np.full((5, 4), 2.0, np.float32)
+        net.forward(data=override)          # label still streams
+        np.testing.assert_array_equal(np.asarray(net.blobs["data"]),
+                                      override)
+        np.testing.assert_array_equal(np.asarray(net.blobs["label"]),
+                                      [0, 1, 2, 3, 4])
+
+    def test_input_layers_still_require_args(self):
+        net = Net('layer { name: "in" type: "Input" top: "x" }\n'
+                  'layer { name: "r" type: "ReLU" bottom: "x" '
+                  'top: "y" }\n')
+        with pytest.raises(KeyError):
+            net.forward()  # Input tops have no prototxt source
