@@ -716,6 +716,7 @@ def cmd_solve(args):
     typed model families — through the full solver loop (GraphSolver:
     test passes, smoothed-loss display, snapshots, resume)."""
     from .training.graph_solver import GraphSolver
+    from .training.signals import SignalHandler
 
     gs = GraphSolver(args.solver)
     if args.snapshot:
@@ -723,7 +724,10 @@ def cmd_solve(args):
     elif args.weights:
         report = gs.copy_weights(args.weights)
         log.info("copied weights: %s", report)
-    loss = gs.solve()
+    # caffe.cpp:44-49 signal mapping: SIGINT -> stop (snapshot + exit
+    # loop), SIGHUP -> snapshot and continue
+    with SignalHandler() as h:
+        loss = gs.solve(action_fn=h.get_requested_action)
     tests = {k: (v.tolist() if hasattr(v, "tolist") else v)
              for rec in gs.history if rec["phase"].startswith("Test")
              for k, v in rec.items() if k not in ("iter", "phase")}

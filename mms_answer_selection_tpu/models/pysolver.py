@@ -180,6 +180,13 @@ class Solver:
         self.net.blobs.update(self._gs.last_outs)
         return out
 
+    def add_callback(self, on_start, on_gradients_ready):
+        """Solver::add_callback (solver.hpp:87; pycaffe exposes the same
+        pair) — ``on_start`` fires at each iteration's start,
+        ``on_gradients_ready`` after the fused step (update included;
+        see GraphSolver.callbacks)."""
+        self._gs.callbacks.append((on_start, on_gradients_ready))
+
     def test_nets_forward_all(self):
         """Solver::TestAll — averaged output blobs per test net."""
         return self._gs.test_all()

@@ -286,6 +286,13 @@ class GraphSolver:
         self._start_iter = 0
         self.history: list[dict] = []
         self.last_outs: dict = {}  # train-net output blobs of last step
+        # Solver::Callback pairs (solver.hpp:78-89): fired on the host
+        # around each fused device step — on_start before the dispatch
+        # (solver.cpp:215), on_gradients_ready after it (solver.cpp:251;
+        # the parameter update happens INSIDE the fused step here, so
+        # "gradients ready" and "applied" coincide at the host boundary)
+        self.callbacks: list = []
+        self._early_exit = False
         self._step_fn = None
         self._test_fns = {}
 
@@ -403,8 +410,14 @@ class GraphSolver:
         return {k: jnp.stack([m[k] for m in micro]) for k in micro[0]}
 
     # ------------------------------------------------------------------
-    def step(self, iters: int):
-        """Solver::Step (solver.cpp:193-290)."""
+    def step(self, iters: int, *, action_fn=None):
+        """Solver::Step (solver.cpp:193-290).  ``action_fn`` is the
+        SolverAction poll (signal_handler.cpp via caffe.cpp:44-49):
+        return Action.SNAPSHOT to checkpoint-and-continue, Action.STOP
+        to checkpoint-and-break — polled once per iteration like
+        solver.cpp:259-272."""
+        from .signals import Action
+
         if self._step_fn is None:
             self._step_fn = self._build_step()
         stop = self.iter_ + iters
@@ -413,10 +426,22 @@ class GraphSolver:
         self._start_iter = self.iter_
         key = jax.random.PRNGKey(self.seed ^ 0x5EED)
         while self.iter_ < stop:
+            if action_fn is not None:
+                act = action_fn()
+                if act == Action.SNAPSHOT:
+                    self.snapshot()
+                elif act == Action.STOP:
+                    # solver.cpp:262-271: STOP breaks WITHOUT its own
+                    # snapshot; Solve's snapshot_after_train covers it
+                    log.info("Optimization stopped early (signal).")
+                    self._early_exit = True
+                    break
             if (self.test_interval
                     and self.iter_ % self.test_interval == 0
                     and (self.iter_ > 0 or self.test_initialization)):
                 self.test_all()
+            for cb in self.callbacks:
+                cb[0]()  # on_start
             batch = self._pull_train_batch()
             rng = jax.random.fold_in(key, self.iter_)
             (self.params, self.state, self.opt_state, loss,
@@ -424,6 +449,8 @@ class GraphSolver:
                                    self.iter_, batch, rng)
             self._update_smoothed(float(loss))
             self.last_outs = outs
+            for cb in self.callbacks:
+                cb[1]()  # on_gradients_ready
             if self.display and self.iter_ % self.display == 0:
                 self._display_outputs("Train", outs)
                 # sgd_solver.cpp:105's companion line; parse_log reads it
@@ -435,14 +462,20 @@ class GraphSolver:
                 self.snapshot()
         return self._smoothed
 
-    def solve(self):
+    def solve(self, *, action_fn=None):
         """Solver::Solve via caffe.cpp train(): run to max_iter, final
-        snapshot, final test pass (solver.cpp:293-324)."""
-        self.step(self.max_iter - self.iter_)
+        snapshot, final test pass (solver.cpp:293-324); an early exit
+        (STOP action) snapshots via snapshot_after_train and skips the
+        final display/test, like solver.cpp:304-310."""
+        self._early_exit = False
+        self.step(self.max_iter - self.iter_, action_fn=action_fn)
         if self.snapshot_after_train and (
-                not self.snapshot_every
+                self._early_exit
+                or not self.snapshot_every
                 or self.iter_ % self.snapshot_every != 0):
             self.snapshot()
+        if self._early_exit:
+            return self._smoothed
         if self.display:
             log.info("Iteration %d, loss = %g", self.iter_, self._smoothed)
         if self.test_interval and self.iter_ % self.test_interval == 0:

@@ -386,3 +386,55 @@ class TestCLI:
               str(tmp_path / "snap_iter_30.solverstate.h5")])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["iter"] == 60
+
+
+class TestSignalActions:
+    """SolverAction polling (solver.cpp:259-272 + caffe.cpp:44-49):
+    SNAPSHOT checkpoints and continues, STOP breaks the loop and
+    snapshot_after_train covers the final checkpoint."""
+
+    def test_snapshot_action_continues(self, tmp_path):
+        from mms_answer_selection_tpu.training.signals import Action
+
+        sp = _setup(tmp_path, SOLVER + "test_interval: 0\ndisplay: 0\n")
+        gs = GraphSolver(str(sp))
+        fired = []
+
+        def action():
+            if gs.iter_ == 5 and not fired:
+                fired.append(1)
+                return Action.SNAPSHOT
+            return Action.NONE
+
+        gs.step(10, action_fn=action)
+        assert gs.iter_ == 10  # ran to completion
+        assert (tmp_path / "snap_iter_5.solverstate.h5").exists()
+
+    def test_stop_action_breaks_and_solve_snapshots(self, tmp_path):
+        from mms_answer_selection_tpu.training.signals import Action
+
+        sp = _setup(tmp_path, SOLVER + "test_interval: 0\ndisplay: 0\n")
+        gs = GraphSolver(str(sp))
+
+        def action():
+            return Action.STOP if gs.iter_ >= 7 else Action.NONE
+
+        gs.solve(action_fn=action)
+        assert gs.iter_ == 7  # stopped early, max_iter 60 never reached
+        # snapshot_after_train covered the early exit (solver.cpp:304)
+        assert (tmp_path / "snap_iter_7.solverstate.h5").exists()
+        # early exit skips the final test pass
+        assert not [r for r in gs.history if r["phase"].startswith("Test")]
+
+    def test_resume_after_stop(self, tmp_path):
+        from mms_answer_selection_tpu.training.signals import Action
+
+        sp = _setup(tmp_path, SOLVER + "test_interval: 0\ndisplay: 0\n")
+        gs = GraphSolver(str(sp))
+        gs.solve(action_fn=lambda: (Action.STOP if gs.iter_ >= 7
+                                    else Action.NONE))
+        gs2 = GraphSolver(str(sp))
+        gs2.restore(str(tmp_path / "snap_iter_7.solverstate.h5"))
+        assert gs2.iter_ == 7
+        gs2.solve()
+        assert gs2.iter_ == 60

@@ -104,3 +104,16 @@ class TestTypedClasses:
         np.testing.assert_array_equal(
             np.asarray(a.net.params["fc2"]["w"]),
             np.asarray(b.params["fc2"]["w"]))
+
+
+class TestCallbacks:
+    def test_add_callback_fires_per_iteration(self, tmp_path):
+        """Solver::Callback pair (solver.hpp:78-89, fired at
+        solver.cpp:215/251): on_start at iteration start,
+        on_gradients_ready after the step."""
+        solver = get_solver(str(_setup(tmp_path)))
+        events = []
+        solver.add_callback(lambda: events.append("start"),
+                            lambda: events.append("ready"))
+        solver.step(3)
+        assert events == ["start", "ready"] * 3
