@@ -28,9 +28,16 @@ def _quant_fns(mode: str):
         bilinear_maxsim_scores_int4, bilinear_maxsim_scores_int8,
         pack_candidate_pool_int4, pack_candidate_pool_int8,
         project_queries_int4, project_queries_int8)
+    import functools
+
     return {
-        "int8": (project_queries_int8, pack_candidate_pool_int8,
-                 bilinear_maxsim_scores_int8),
+        # int8 benches the serving configuration: token-major pool
+        # layout (+4.7% v5e, docs/PERF.md r3 part 2)
+        "int8": (project_queries_int8,
+                 functools.partial(pack_candidate_pool_int8,
+                                   layout="tokmaj"),
+                 functools.partial(bilinear_maxsim_scores_int8,
+                                   layout="tokmaj")),
         "int4": (project_queries_int4, pack_candidate_pool_int4,
                  bilinear_maxsim_scores_int4),
     }[mode]

@@ -382,10 +382,22 @@ def _quantize_rows(x):
     return q, scale[:, 0]
 
 
-def pack_candidate_pool_int8(tokens, *, w2p: int | None = None):
+def pack_candidate_pool_int8(tokens, *, w2p: int | None = None,
+                             layout: str = "candmaj"):
     """(C, W2, D) -> (pool_i8 (C, W2P, Dp) int8, aux (C, 2) bf16 with
     lane0 = per-candidate dequant scale, lane1 = additive post-max mask).
-    w2p defaults to W2 rounded up to the 8-sublane granularity."""
+    w2p defaults to W2 rounded up to the 8-sublane granularity.
+
+    ``layout="tokmaj"`` stores each C_SUB_INT8-candidate group
+    TOKEN-MAJOR (rows = token * c_sub + cand within the group): the
+    kernel's max-over-tokens then reduces over the OUTER axis — whole
+    contiguous (c_sub, cols) tiles of elementwise maxima instead of
+    strided sublane reductions — measured +4.7% on v5e (docs/PERF.md r3
+    part 2).  Requires C divisible by C_SUB_INT8 (QueryEngine pads to
+    c_block multiples, which covers it); score with
+    ``bilinear_maxsim_scores_int8(..., layout="tokmaj")``.  The outer
+    array shape is unchanged, so chunk SLICING at c_block boundaries
+    still works; only per-candidate row semantics differ."""
     c, w2, d = tokens.shape
     if w2p is None:
         w2p = _round_up(w2, 8)
@@ -401,6 +413,17 @@ def pack_candidate_pool_int8(tokens, *, w2p: int | None = None):
     # duplicate-token padding: a copy of token 0 never changes the max
     if w2p > w2:
         pool = pool.at[:, w2:, :d].set(q[:, 0:1, :])
+    if layout == "tokmaj":
+        g = min(C_SUB_INT8, c)
+        if c % g:
+            raise ValueError(
+                f"tokmaj layout needs pool size {c} divisible by the "
+                f"candidate group {g} (pad the pool to a c_block "
+                f"multiple first, as QueryEngine does)")
+        pool = pool.reshape(c // g, g, w2p, dp).transpose(0, 2, 1, 3) \
+            .reshape(c, w2p, dp)
+    elif layout != "candmaj":
+        raise ValueError(f"unknown pool layout {layout!r}")
     aux = jnp.zeros((c, AUX_LANES), jnp.bfloat16)
     aux = aux.at[:, 0].set(scale.astype(jnp.bfloat16))
     return pool, aux
@@ -466,6 +489,68 @@ def _maxsim_int8_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *, c_block,
         o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
 
 
+def _tree_max_axis0(s, n):
+    """Elementwise max over axis 0 of (n, ...) by halving — log2(n)
+    whole-tile maximum ops (no strided sublane reductions)."""
+    while n > 1:
+        if n % 2:
+            s = jnp.concatenate(
+                [jnp.maximum(s[0:1], s[n - 1:n]), s[1:n - 1]], axis=0)
+            n -= 1
+        h = n // 2
+        s = jnp.maximum(s[:h], s[h:n])
+        n = h
+    return s[0]
+
+
+def _maxsim_int8_tokmaj_kernel(qw_ref, qs_ref, pool_ref, aux_ref, o_ref, *,
+                               c_block, c_sub, q_sub, w2p, rows_per_q, nq):
+    """Token-major int8 variant: each c_sub-candidate group's rows are
+    ordered token * c_sub + cand (pack_candidate_pool_int8
+    layout="tokmaj"), so the MXU product reshapes to (w2p, c_sub, cols)
+    and the token max is a fold over the OUTER axis — contiguous
+    (c_sub, cols) tiles of elementwise maxima, where the candidate-major
+    kernel reduces across strided sublanes.  w2p factorizes as
+    8 * (w2p // 8): the first factor folds with an unrolled maximum
+    chain, the remainder with the halving tree.  Measured 193.3M vs
+    184.6M pairs/s on v5e at 1024/128 (docs/PERF.md r3 part 2)."""
+    r = rows_per_q
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (q_sub * r, q_sub), 0) // r
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (q_sub * r, q_sub), 1)
+    sel = (row_q == col_q).astype(jnp.float32)
+    a0 = 8 if w2p % 8 == 0 else 1
+    b0 = w2p // a0
+
+    for t in range(c_block // c_sub):
+        rows = c_sub * w2p
+        chunk = pool_ref[pl.ds(t * rows, rows), :]
+        sc = aux_ref[pl.ds(t * c_sub, c_sub), 0:1].astype(jnp.float32)
+        msk = aux_ref[pl.ds(t * c_sub, c_sub), 1:2].astype(jnp.float32)
+        q_parts = []
+        for qb in range(nq // q_sub):
+            qw = qw_ref[pl.ds(qb * q_sub * r, q_sub * r), :]
+            sq = qs_ref[0:1, pl.ds(qb * q_sub * r, q_sub * r)].astype(
+                jnp.float32)
+            s_i32 = jax.lax.dot_general(
+                chunk, qw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            cols = q_sub * r
+            if a0 > 1:
+                s4 = s_i32.reshape(a0, b0, c_sub, cols)
+                acc = s4[0]
+                for j in range(1, a0):
+                    acc = jnp.maximum(acc, s4[j])     # (b0, c_sub, cols)
+                per = _tree_max_axis0(acc, b0)         # (c_sub, cols)
+            else:
+                per = _tree_max_axis0(
+                    s_i32.reshape(w2p, c_sub, cols), w2p)
+            per_cand = per.astype(jnp.float32) * sq
+            q_parts.append(jnp.dot(per_cand * sc, sel,
+                                   preferred_element_type=jnp.float32)
+                           + msk)
+        o_ref[pl.ds(t * c_sub, c_sub), :] = jnp.concatenate(q_parts, axis=1)
+
+
 C_SUB_INT8 = 128  # tuned on v5e at vmem 100MB: with the default 16MB
                   # scoped-vmem budget 128 overflowed and 64 was the
                   # ceiling (154.7M); raising vmem_limit_bytes unlocks it
@@ -492,15 +577,34 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
                                 q_block: int | None = None,
                                 vmem_limit_mb: int | None
                                 = VMEM_LIMIT_INT8_MB,
+                                layout: str = "candmaj",
                                 interpret: bool | None = None):
     """int8 scoring: (Nq, C) f32 approximate scores (per-candidate
     symmetric quantization, ~1-3% score error; padding is exact).  Rerank
-    the shortlist with score_pairs when exactness matters."""
+    the shortlist with score_pairs when exactness matters.
+
+    ``layout`` must match how the pool was packed: "candmaj" (default)
+    or "tokmaj" (token-major groups — the faster serving path; see
+    pack_candidate_pool_int8)."""
     if interpret is None:
         interpret = not _on_tpu()
     nq, rows_per_q, dp = qw_i8.shape
     c = pool_i8.shape[0]
     w2p = pool_i8.shape[1]
+    if layout == "tokmaj":
+        # the group size is pinned at pack time: c_sub must equal it
+        g = min(C_SUB_INT8, c)
+        if c % g:
+            raise ValueError(f"tokmaj pool size {c} not divisible by "
+                             f"its candidate group {g}")
+        if c_sub != C_SUB_INT8 and c_sub != g:
+            raise ValueError(
+                f"tokmaj pools are packed in groups of {g}; c_sub "
+                f"{c_sub} cannot apply (repack candmaj for custom "
+                f"c_sub)")
+        c_sub = g
+    elif layout != "candmaj":
+        raise ValueError(f"unknown pool layout {layout!r}")
     # the REQUESTED pair must be consistent (a non-dividing c_sub would
     # silently leave output rows unwritten -- the kernel iterates
     # c_block // c_sub sub-chunks); only a pool-driven c_block shrink may
@@ -529,7 +633,9 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
     qs_flat = q_scales.reshape(1, nq_pad * rows_per_q).astype(jnp.bfloat16)
     pool_flat = pool_i8.reshape(c * w2p, dp)
 
-    kernel = functools.partial(_maxsim_int8_kernel, c_block=c_block,
+    kern = (_maxsim_int8_tokmaj_kernel if layout == "tokmaj"
+            else _maxsim_int8_kernel)
+    kernel = functools.partial(kern, c_block=c_block,
                                c_sub=c_sub, q_sub=q_sub, w2p=w2p,
                                rows_per_q=rows_per_q, nq=nq_pad)
     out = pl.pallas_call(

@@ -20,6 +20,8 @@ candidate pool, sharded top-k across a mesh):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,10 +46,18 @@ from ..ops.sim_cross_pallas import (
     project_queries_int8,
 )
 
-# quantized-path function tables, keyed by the pool_dtype string
+# quantized-path function tables, keyed by the pool_dtype string.
+# int8 serves with the token-major pool layout (+4.7% on v5e — the
+# kernel's token max folds contiguous tiles instead of strided sublanes;
+# sim_cross_pallas.py); engine pools are always padded to c_block
+# multiples, which satisfies the layout's group divisibility
 _QUANT = {
-    "int8": (pack_candidate_pool_int8, project_queries_int8,
-             bilinear_maxsim_scores_int8, mask_out_candidates_int8),
+    "int8": (functools.partial(pack_candidate_pool_int8,
+                               layout="tokmaj"),
+             project_queries_int8,
+             functools.partial(bilinear_maxsim_scores_int8,
+                               layout="tokmaj"),
+             mask_out_candidates_int8),
     "int4": (pack_candidate_pool_int4, project_queries_int4,
              bilinear_maxsim_scores_int4, mask_out_candidates_int4),
 }

@@ -211,3 +211,83 @@ class TestTileValidation:
                                                      interpret=True))
         assert out.shape == (2, 384)
         np.testing.assert_allclose(out, ref, atol=0.05 * np.abs(ref).max())
+
+
+class TestTokmajLayout:
+    """Token-major pool layout (the serving default through QueryEngine):
+    per-group rows ordered token*c_sub+cand so the kernel's token max
+    folds whole contiguous tiles.  Bit-identical scores to candmaj."""
+
+    def _setup(self, nq=3, c=256, w1=5, w2=7, d=50, m=2, seed=7):
+        r = np.random.default_rng(seed)
+        q = jnp.asarray(r.normal(size=(nq, w1, d)).astype(np.float32))
+        cand = jnp.asarray(r.normal(size=(c, w2, d)).astype(np.float32))
+        w = jnp.asarray(r.normal(size=(m, d, d)).astype(np.float32) * 0.1)
+        return q, cand, w
+
+    def test_exact_agreement_with_candmaj(self):
+        q, cand, w = self._setup()
+        qw, qs = project_queries_int8(q, w)
+        p1, a1 = pack_candidate_pool_int8(cand)
+        s1 = np.asarray(bilinear_maxsim_scores_int8(qw, qs, p1, a1,
+                                                    interpret=True))
+        p2, a2 = pack_candidate_pool_int8(cand, layout="tokmaj")
+        s2 = np.asarray(bilinear_maxsim_scores_int8(qw, qs, p2, a2,
+                                                    layout="tokmaj",
+                                                    interpret=True))
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_small_pool_group_shrinks(self):
+        # pool < C_SUB_INT8: the group pins to the whole pool
+        q, cand, w = self._setup(c=64)
+        qw, qs = project_queries_int8(q, w)
+        p1, a1 = pack_candidate_pool_int8(cand)
+        s1 = np.asarray(bilinear_maxsim_scores_int8(qw, qs, p1, a1,
+                                                    interpret=True))
+        p2, a2 = pack_candidate_pool_int8(cand, layout="tokmaj")
+        s2 = np.asarray(bilinear_maxsim_scores_int8(qw, qs, p2, a2,
+                                                    layout="tokmaj",
+                                                    interpret=True))
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_masking_composes(self):
+        # aux-based pool-padding masks are layout-independent
+        q, cand, w = self._setup(c=128)
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand, layout="tokmaj")
+        aux = mask_out_candidates_int8(aux, 100)
+        s = np.asarray(bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                                   layout="tokmaj",
+                                                   interpret=True))
+        assert np.all(s[:, 100:] < -1e29)
+        assert np.all(np.isfinite(s[:, :100]))
+
+    def test_indivisible_pool_rejected_at_pack(self):
+        import pytest
+
+        q, cand, w = self._setup(c=192)  # 192 % 128 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            pack_candidate_pool_int8(cand, layout="tokmaj")
+
+    def test_custom_c_sub_rejected(self):
+        import pytest
+
+        q, cand, w = self._setup(c=256)
+        qw, qs = project_queries_int8(q, w)
+        pool, aux = pack_candidate_pool_int8(cand, layout="tokmaj")
+        with pytest.raises(ValueError, match="group"):
+            bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                        layout="tokmaj", c_sub=64,
+                                        interpret=True)
+
+    def test_unknown_layout_rejected(self):
+        import pytest
+
+        q, cand, w = self._setup(c=128)
+        qw, qs = project_queries_int8(q, w)
+        with pytest.raises(ValueError, match="layout"):
+            pack_candidate_pool_int8(cand, layout="rowmaj")
+        pool, aux = pack_candidate_pool_int8(cand)
+        with pytest.raises(ValueError, match="layout"):
+            bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                        layout="rowmaj", interpret=True)
