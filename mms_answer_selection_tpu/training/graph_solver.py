@@ -201,11 +201,56 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
                                                    axis=-1),
                            tops[1]: b["label"]}
         return _Feed(gen(), tops)
+    if t == "WindowData":
+        from ..data.window_data import WindowListDataset
+
+        p = _one(node_cfg.get("window_data_param"), {}) or {}
+        tf = _one(node_cfg.get("transform_param"), {}) or {}
+        source = _one(p.get("source"))
+        if source is None:
+            raise ValueError(f"WindowData layer {name!r} has no source")
+        if not os.path.isabs(source):
+            cand = os.path.join(base_dir, source)
+            source = cand if os.path.exists(cand) else source
+        mean = None
+        mv = _as_list(tf.get("mean_value"))
+        mf = _one(tf.get("mean_file"))
+        if mv and mf:
+            raise ValueError(f"WindowData layer {name!r}: transform_param "
+                             f"sets both mean_file and mean_value")
+        if mv:
+            mean = np.asarray(mv, np.float32)
+        elif mf:
+            from ..data.pair_image import load_mean_hwc
+
+            mf = str(mf)
+            if not os.path.isabs(mf):
+                cand = os.path.join(base_dir, mf)
+                mf = cand if os.path.exists(cand) else mf
+            mean = load_mean_hwc(mf)
+        ds = WindowListDataset(
+            source, int(_one(p.get("batch_size"), 1)),
+            crop_size=int(_one(tf.get("crop_size"), 0)),
+            root=str(_one(p.get("root_folder"), "")),
+            fg_threshold=float(_one(p.get("fg_threshold"), 0.5)),
+            bg_threshold=float(_one(p.get("bg_threshold"), 0.5)),
+            fg_fraction=float(_one(p.get("fg_fraction"), 0.25)),
+            context_pad=int(_one(p.get("context_pad"), 0)),
+            crop_mode=str(_one(p.get("crop_mode"), "warp")),
+            mirror=str(_one(tf.get("mirror"), False)).lower() == "true",
+            mean=mean,
+            scale=float(_one(p.get("scale"), 1.0)),
+            seed=seed)
+
+        def gen(ds=ds, tops=tops):
+            for b in ds:
+                yield {tops[0]: b["data"], tops[1]: b["label"]}
+        return _Feed(gen(), tops)
     raise ValueError(
         f"data layer {name!r} (type {t}) needs a feeds= entry: "
         f"feeds={{{name!r}: {{top: array, ..., 'batch_size': n}}}} — only "
-        f"HDF5Data, ImageData, PairImageData and DummyData sources are "
-        f"read from the prototxt")
+        f"HDF5Data, ImageData, PairImageData, WindowData and DummyData "
+        f"sources are read from the prototxt")
 
 
 class GraphSolver:
