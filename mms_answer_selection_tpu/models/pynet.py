@@ -129,9 +129,9 @@ class Net:
     def _feed_missing(self, inputs: dict) -> dict:
         """pycaffe's ``net.forward()`` with no arguments advances the
         net's own data layers; here the prototxt-declared sources
-        (HDF5Data / ImageData / PairImageData) feed any data-layer top
-        the caller did not pass explicitly.  Explicit inputs always
-        win."""
+        (HDF5Data / ImageData / PairImageData / WindowData) feed any
+        data-layer top the caller did not pass explicitly.  Explicit
+        inputs always win."""
         from ..training.graph_solver import _build_feed
 
         for node in self._net.layers:
