@@ -126,6 +126,39 @@ class Net:
                                   self._calls)
 
     # -- data-layer feeds --------------------------------------------------
+    def set_input_arrays(self, data, labels):
+        """MemoryDataLayer::Reset via pycaffe's ``net.set_input_arrays``
+        (pycaffe.py:235-243, memory_data_layer.cpp:77-97): subsequent
+        ``forward()`` calls slice successive ``batch_size`` rows from
+        these arrays for the MemoryData layer's tops, wrapping around."""
+        import numpy as np
+
+        data = np.asarray(data)
+        labels = np.asarray(labels).reshape(len(data))
+        node = next((n for n in self._net.layers
+                     if n.type == "MemoryData"), None)
+        if node is None:
+            raise ValueError("set_input_arrays needs a MemoryData layer "
+                             "(pycaffe.py:238)")
+        from .graph_net import _one, _p
+
+        bs = int(_one(_p(node, "memory_data_param").get("batch_size"),
+                      len(data)))
+        if len(data) % bs:
+            raise ValueError(
+                f"source array size {len(data)} must be a multiple of "
+                f"batch_size {bs} (memory_data_layer.cpp:84)")
+        tops = node.tops
+
+        def gen():
+            i = 0
+            while True:
+                yield {tops[0]: data[i:i + bs],
+                       tops[1]: labels[i:i + bs]}
+                i = (i + bs) % len(data)
+
+        self._feed_cache[node.name] = gen()
+
     def _feed_missing(self, inputs: dict) -> dict:
         """pycaffe's ``net.forward()`` with no arguments advances the
         net's own data layers; here the prototxt-declared sources

@@ -183,3 +183,48 @@ class TestDataLayerFeeds:
                   'top: "y" }\n')
         with pytest.raises(KeyError):
             net.forward()  # Input tops have no prototxt source
+
+
+class TestMemoryData:
+    def test_set_input_arrays(self):
+        """pycaffe's net.set_input_arrays (pycaffe.py:235-243 over
+        MemoryDataLayer::Reset): forward slices successive batch_size
+        rows, wrapping."""
+        txt = """
+        layer { name: "md" type: "MemoryData" top: "data" top: "label"
+          memory_data_param { batch_size: 2 } }
+        layer { name: "fc" type: "InnerProduct" bottom: "data" top: "fc"
+          inner_product_param { num_output: 3
+            weight_filler { type: "xavier" } } }
+        """
+        net = Net(txt, phase="test")
+        data = np.arange(12, dtype=np.float32).reshape(6, 2)
+        labels = np.arange(6, dtype=np.float32)
+        net.set_input_arrays(data, labels)
+        net.forward()
+        np.testing.assert_array_equal(np.asarray(net.blobs["label"]),
+                                      [0, 1])
+        net.forward()
+        np.testing.assert_array_equal(np.asarray(net.blobs["label"]),
+                                      [2, 3])
+        for _ in range(2):
+            net.forward()  # wraps to the start
+        np.testing.assert_array_equal(np.asarray(net.blobs["label"]),
+                                      [0, 1])
+
+    def test_batch_size_mismatch_raises(self):
+        txt = ('layer { name: "md" type: "MemoryData" top: "data" '
+               'top: "label" memory_data_param { batch_size: 4 } }\n'
+               'layer { name: "r" type: "ReLU" bottom: "data" '
+               'top: "y" }\n')
+        net = Net(txt, phase="test")
+        with pytest.raises(ValueError, match="multiple"):
+            net.set_input_arrays(np.zeros((6, 2), np.float32),
+                                 np.zeros(6, np.float32))
+
+    def test_requires_memory_data_layer(self):
+        net = Net('layer { name: "in" type: "Input" top: "x" }\n'
+                  'layer { name: "r" type: "ReLU" bottom: "x" '
+                  'top: "y" }\n')
+        with pytest.raises(ValueError, match="MemoryData"):
+            net.set_input_arrays(np.zeros((2, 2)), np.zeros(2))
