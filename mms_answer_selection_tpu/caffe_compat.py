@@ -26,6 +26,7 @@ import logging
 from .models import (AdaDeltaSolver, AdaGradSolver, AdamSolver,  # noqa: F401
                      Classifier, Detector, NesterovSolver, RMSPropSolver,
                      SGDSolver, Solver, get_solver)
+from .models.graph_net import layer_type_list  # noqa: F401
 from .models.pynet import Net as _PyNet
 from .utils import io  # noqa: F401
 from .utils.netspec import NetSpec, to_proto  # noqa: F401
@@ -37,7 +38,7 @@ __all__ = [
     "SGDSolver", "NesterovSolver", "AdaGradSolver", "RMSPropSolver",
     "AdaDeltaSolver", "AdamSolver", "Solver", "get_solver",
     "NetSpec", "layers", "params", "to_proto", "io",
-    "TRAIN", "TEST",
+    "layer_type_list", "TRAIN", "TEST",
     "set_mode_cpu", "set_mode_gpu", "set_device", "set_random_seed",
 ]
 

@@ -121,3 +121,15 @@ class TestPortedExample:
         out = capsys.readouterr().out
         assert "OK" in out
         assert "iter 500" in out
+
+
+class TestLayerTypeList:
+    def test_layer_type_list(self):
+        """caffe.layer_type_list (python/caffe/test/test_layer_type_list
+        checks 'Data' is present; _caffe.cpp binds
+        LayerRegistry::LayerTypeList)."""
+        types = caffe.layer_type_list()
+        for t in ("Data", "Convolution", "InnerProduct", "ReLU",
+                  "SoftmaxWithLoss", "SimCross", "Python"):
+            assert t in types
+        assert types == sorted(types)
