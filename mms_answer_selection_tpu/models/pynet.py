@@ -90,6 +90,37 @@ class Net:
         return self._net.output_blob_names()
 
     @property
+    def layers(self):
+        """pycaffe's ``net.layers`` vector view (_caffe.cpp exposes
+        Layer objects with ``.type`` and ``.blobs``): per-layer
+        caffe-ordered, caffe-SHAPED parameter blobs (conv OIHW, fc
+        (out, in) — the caffemodel_specs layouts).  Read-only
+        numpy snapshots; assign through ``self.params`` to mutate."""
+        import numpy as np
+
+        self._require_init()
+        trees = {"params": self._params, "state": self._state}
+
+        class _LayerView:
+            __slots__ = ("name", "type", "blobs")
+
+            def __init__(self, name, type_, blobs):
+                self.name, self.type, self.blobs = name, type_, blobs
+
+        by_name = {n.name: n.type for n in self._net.layers}
+        out = []
+        for layer, rows, _shared in self._net.caffemodel_specs(
+                self._params, self._state):
+            blobs = []
+            for _idx, tree, keypath, to_caffe, _ in rows:
+                node = trees[tree]
+                for k in keypath:
+                    node = node[k]
+                blobs.append(to_caffe(np.asarray(node, np.float32)))
+            out.append(_LayerView(layer, by_name.get(layer, ""), blobs))
+        return out
+
+    @property
     def params(self):
         self._require_init()
         return self._params

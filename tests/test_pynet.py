@@ -228,3 +228,25 @@ class TestMemoryData:
                   'top: "y" }\n')
         with pytest.raises(ValueError, match="MemoryData"):
             net.set_input_arrays(np.zeros((2, 2)), np.zeros(2))
+
+
+class TestLayersView:
+    def test_layers_types_and_blob_shapes(self):
+        """pycaffe's net.layers[i].type / .blobs (the _caffe.cpp Layer
+        binding): caffe-ordered, caffe-SHAPED parameter blobs."""
+        txt = """
+        layer { name: "in" type: "Input" top: "x" }
+        layer { name: "fc" type: "InnerProduct" bottom: "x" top: "fc"
+          inner_product_param { num_output: 3
+            weight_filler { type: "xavier" } } }
+        layer { name: "relu" type: "ReLU" bottom: "fc" top: "fc" }
+        """
+        net = Net(txt, phase="test")
+        net.forward(x=jnp.ones((2, 5)))
+        layers = net.layers
+        by_name = {lv.name: lv for lv in layers}
+        assert by_name["fc"].type == "InnerProduct"
+        # caffe InnerProduct blob 0 is (out, in); ours is (in, out)
+        assert by_name["fc"].blobs[0].shape == (3, 5)
+        assert by_name["fc"].blobs[1].shape == (3,)
+        assert by_name["relu"].blobs == []
