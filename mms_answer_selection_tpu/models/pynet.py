@@ -90,6 +90,18 @@ class Net:
         return self._net.output_blob_names()
 
     @property
+    def top_names(self):
+        """layer name -> its top blob names (pycaffe.py:307)."""
+        return OrderedDict((n.name, list(n.tops))
+                           for n in self._net.layers)
+
+    @property
+    def bottom_names(self):
+        """layer name -> its bottom blob names (pycaffe.py:308)."""
+        return OrderedDict((n.name, list(n.bottoms))
+                           for n in self._net.layers)
+
+    @property
     def layers(self):
         """pycaffe's ``net.layers`` vector view (_caffe.cpp exposes
         Layer objects with ``.type`` and ``.blobs``): per-layer

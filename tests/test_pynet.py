@@ -250,3 +250,16 @@ class TestLayersView:
         assert by_name["fc"].blobs[0].shape == (3, 5)
         assert by_name["fc"].blobs[1].shape == (3,)
         assert by_name["relu"].blobs == []
+
+
+class TestTopBottomNames:
+    def test_top_bottom_names(self):
+        txt = """
+        layer { name: "in" type: "Input" top: "x" }
+        layer { name: "fc" type: "InnerProduct" bottom: "x" top: "fc"
+          inner_product_param { num_output: 2
+            weight_filler { type: "xavier" } } }
+        """
+        net = Net(txt, phase="test")
+        assert net.top_names == {"in": ["x"], "fc": ["fc"]}
+        assert net.bottom_names == {"in": [], "fc": ["x"]}
