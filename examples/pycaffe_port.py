@@ -79,8 +79,8 @@ random_seed: 7
     for _ in range(5):
         solver.step(100)
         print(f"iter {solver.iter}: "
-              f"loss={float(solver.net.blobs['loss']):.4f} "
-              f"acc={float(solver.net.blobs['acc']):.3f}")
+              f"loss={float(solver.net.blobs['loss'].data):.4f} "
+              f"acc={float(solver.net.blobs['acc'].data):.3f}")
 
     model_path, state_path = solver.snapshot()
     print(f"snapshotted {model_path}")

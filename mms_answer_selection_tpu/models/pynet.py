@@ -33,7 +33,57 @@ import jax.numpy as jnp
 
 from .graph_net import DATA_TYPES, GraphNet
 
-__all__ = ["Net"]
+__all__ = ["Net", "Blob"]
+
+
+class Blob:
+    """pycaffe blob view: ``net.blobs['ip'].data`` reads the array
+    (_caffe.cpp:142-179 exposes zero-copy numpy views; here a read-only
+    snapshot — JAX arrays are immutable, so in-place ``.data[...] = x``
+    mutation has no equivalent; assign ``net.params`` instead).  Also
+    acts array-like (``np.asarray``, ``float()``, indexing), so code
+    that forgot ``.data`` works too."""
+
+    __slots__ = ("_a",)
+
+    def __init__(self, a):
+        self._a = a
+
+    @property
+    def data(self):
+        import numpy as np
+
+        return np.asarray(self._a)
+
+    @property
+    def diff(self):
+        raise AttributeError(
+            "per-blob diffs are not retained: gradients are computed "
+            "exactly by net.backward(...) (returns input diffs, fills "
+            "net.param_diffs)")
+
+    @property
+    def shape(self):
+        return tuple(self._a.shape)
+
+    @property
+    def ndim(self):
+        return self._a.ndim
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as np
+
+        a = np.asarray(self._a)
+        return a.astype(dtype) if dtype is not None else a
+
+    def __float__(self):
+        return float(self._a)
+
+    def __getitem__(self, idx):
+        return self.data[idx]
+
+    def __repr__(self):
+        return f"Blob{self.shape}"
 
 
 class Net:
@@ -250,7 +300,7 @@ class Net:
             self._state = new_state  # BN EMA updates, like Forward would
         self._last_inputs = inputs
         self._last_rng = rng
-        self.blobs = OrderedDict(blobs)
+        self.blobs = OrderedDict((k, Blob(v)) for k, v in blobs.items())
         return {k: blobs[k] for k in self.outputs if k in blobs}
 
     def forward_all(self, **input_batches):

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..training.graph_solver import GraphSolver
 from ..training.optim import make_solver
+from .pynet import Blob
 
 __all__ = ["Solver", "SGDSolver", "NesterovSolver", "AdaGradSolver",
            "RMSPropSolver", "AdaDeltaSolver", "AdamSolver", "get_solver"]
@@ -110,7 +111,7 @@ class _NetView:
         blobs, new_state = self._fwd(p, s, batch, rng)
         if train:
             gs.state = new_state  # BN EMA moves on a train forward
-        self.blobs = OrderedDict(blobs)
+        self.blobs = OrderedDict((k, Blob(v)) for k, v in blobs.items())
         return {k: blobs[k] for k in self.outputs if k in blobs}
 
     # -- weights IO ---------------------------------------------------------
@@ -170,14 +171,18 @@ class Solver:
     def history(self):
         return self._gs.history
 
+    def _publish_outs(self):
+        self.net.blobs.update(
+            (k, Blob(v)) for k, v in self._gs.last_outs.items())
+
     def step(self, iters: int):
         out = self._gs.step(iters)
-        self.net.blobs.update(self._gs.last_outs)
+        self._publish_outs()
         return out
 
     def solve(self):
         out = self._gs.solve()
-        self.net.blobs.update(self._gs.last_outs)
+        self._publish_outs()
         return out
 
     def add_callback(self, on_start, on_gradients_ready):

@@ -263,3 +263,20 @@ class TestTopBottomNames:
         net = Net(txt, phase="test")
         assert net.top_names == {"in": ["x"], "fc": ["fc"]}
         assert net.bottom_names == {"in": [], "fc": ["x"]}
+
+
+class TestBlobView:
+    def test_data_idiom(self):
+        """The pycaffe read idiom: net.blobs['x'].data (a numpy
+        snapshot), plus array-like fallbacks."""
+        txt = ('layer { name: "in" type: "Input" top: "x" }\n'
+               'layer { name: "r" type: "ReLU" bottom: "x" top: "y" }\n')
+        net = Net(txt, phase="test")
+        net.forward(x=jnp.asarray([-1.0, 2.0]))
+        b = net.blobs["y"]
+        np.testing.assert_array_equal(b.data, [0.0, 2.0])
+        assert b.shape == (2,) and b.ndim == 1
+        np.testing.assert_array_equal(np.asarray(b), [0.0, 2.0])
+        assert b[1] == 2.0
+        with pytest.raises(AttributeError, match="backward"):
+            _ = b.diff
