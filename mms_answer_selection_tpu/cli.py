@@ -801,6 +801,69 @@ def cmd_nettest(args):
     print(json.dumps(result))
 
 
+_PLOT_TYPES = [  # tools/extra/plot_training_log.py.example:41-52's order
+    ("Test accuracy", "Iters"), ("Test accuracy", "Seconds"),
+    ("Test loss", "Iters"), ("Test loss", "Seconds"),
+    ("Train learning rate", "Iters"),
+    ("Train learning rate", "Seconds"),
+    ("Train loss", "Iters"), ("Train loss", "Seconds"),
+]
+
+
+def cmd_plot(args):
+    """tools/extra/plot_training_log.py.example: chart_type [0-7] +
+    parsed training logs -> a PNG of learning curves, one line per
+    log."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .utils.parse_log import parse_log
+
+    if args.chart_type is None or not args.out or not args.logs:
+        for i, (y, x) in enumerate(_PLOT_TYPES):
+            print(f"{i}: {y}  vs. {x}")
+        return
+    y_desc, x_desc = _PLOT_TYPES[args.chart_type]
+    split = y_desc.split()[0].lower()     # train / test rows
+    x_col = "NumIters" if x_desc == "Iters" else "Seconds"
+
+    def y_value(row):
+        if "learning rate" in y_desc:
+            return row.get("LearningRate")
+        want = y_desc.split()[1]          # accuracy / loss
+        if want in row:
+            return row[want]
+        for k in row:                      # accuracy matches acc/accuracy
+            if k not in ("NumIters", "Seconds", "LearningRate") \
+                    and k.startswith(want[:3]):
+                return row[k]
+        return None
+
+    plt.figure()
+    for log_path in args.logs:
+        with open(log_path) as f:
+            train, test = parse_log(f.read())
+        rows = train if split == "train" else test
+        pts = [(r.get(x_col), y_value(r)) for r in rows]
+        pts = [(x, y) for x, y in pts if x is not None and y is not None]
+        if not pts:
+            raise SystemExit(
+                f"{log_path}: no ({x_desc}, {y_desc}) points — check the "
+                f"log has {split} display lines"
+                + (" with glog timestamps" if x_col == "Seconds" else ""))
+        xs, ys = zip(*pts)
+        plt.plot(xs, ys, marker=".",
+                 label=os.path.basename(log_path))
+    plt.xlabel(x_desc)
+    plt.ylabel(y_desc)
+    plt.title(f"{y_desc} vs. {x_desc}")
+    plt.legend()
+    plt.savefig(args.out)
+    print(f"wrote {args.out}")
+
+
 def cmd_convert_imageset(args):
     """tools/convert_imageset.cpp: a `path label` list -> a dataset the
     data layers consume.  The reference packs uint8 Datums into
@@ -1290,6 +1353,15 @@ def main(argv=None):
     p.add_argument("--out-dir", help="directory for the CSVs "
                                      "(default: beside the log)")
     p.set_defaults(fn=cmd_parse_log)
+
+    p = sub.add_parser(
+        "plot",
+        help="plot_training_log tool: chart_type [0-7] + logs -> "
+             "learning-curve PNG (no args lists chart types)")
+    p.add_argument("chart_type", nargs="?", type=int)
+    p.add_argument("out", nargs="?", help="output .png")
+    p.add_argument("logs", nargs="*", help="training log files")
+    p.set_defaults(fn=cmd_plot)
 
     p = sub.add_parser(
         "convert_imageset",

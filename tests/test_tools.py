@@ -344,3 +344,52 @@ class TestConvertImageset:
         gs = GraphSolver(str(tmp_path / "solver.prototxt"))
         smoothed = gs.step(6)
         assert np.isfinite(smoothed)
+
+
+class TestPlot:
+    """`qa plot` ≙ tools/extra/plot_training_log.py.example."""
+
+    LOG = """\
+I0817 14:00:01.000000 1 solver.cpp:100] Iteration 0, loss = 2.0
+I0817 14:00:01.100000 1 solver.cpp:101]     Train net output #0: loss = 2.0 (* 1 = 2.0 loss)
+I0817 14:00:01.200000 1 sgd_solver.cpp:105] Iteration 0, lr = 0.1
+I0817 14:00:02.000000 1 solver.cpp:330] Iteration 10, Testing net (#0)
+I0817 14:00:02.100000 1 solver.cpp:397]     Test net output #0: accuracy = 0.5
+I0817 14:00:02.200000 1 solver.cpp:397]     Test net output #1: loss = 1.5 (* 1 = 1.5 loss)
+I0817 14:00:03.000000 1 solver.cpp:100] Iteration 10, loss = 1.0
+I0817 14:00:03.100000 1 solver.cpp:101]     Train net output #0: loss = 1.0 (* 1 = 1.0 loss)
+I0817 14:00:03.200000 1 sgd_solver.cpp:105] Iteration 10, lr = 0.1
+I0817 14:00:04.000000 1 solver.cpp:330] Iteration 20, Testing net (#0)
+I0817 14:00:04.100000 1 solver.cpp:397]     Test net output #0: accuracy = 0.8
+I0817 14:00:04.200000 1 solver.cpp:397]     Test net output #1: loss = 0.7 (* 1 = 0.7 loss)
+"""
+
+    def test_lists_chart_types(self, capsys):
+        from mms_answer_selection_tpu.cli import main
+
+        main(["plot"])
+        out = capsys.readouterr().out
+        assert "0: Test accuracy  vs. Iters" in out
+        assert "7: Train loss  vs. Seconds" in out
+
+    def test_plots_test_accuracy_and_train_loss(self, tmp_path, capsys):
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "run.log").write_text(self.LOG)
+        main(["plot", "0", str(tmp_path / "acc.png"),
+              str(tmp_path / "run.log")])
+        main(["plot", "6", str(tmp_path / "loss.png"),
+              str(tmp_path / "run.log")])
+        main(["plot", "5", str(tmp_path / "lr_s.png"),
+              str(tmp_path / "run.log")])  # Seconds axis from glog ts
+        assert (tmp_path / "acc.png").stat().st_size > 0
+        assert (tmp_path / "loss.png").stat().st_size > 0
+        assert (tmp_path / "lr_s.png").stat().st_size > 0
+
+    def test_no_points_is_explicit(self, tmp_path):
+        from mms_answer_selection_tpu.cli import main
+
+        (tmp_path / "empty.log").write_text("nothing to see\n")
+        with pytest.raises(SystemExit, match="no .*points"):
+            main(["plot", "0", str(tmp_path / "x.png"),
+                  str(tmp_path / "empty.log")])
