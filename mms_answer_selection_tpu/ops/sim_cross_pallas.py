@@ -413,20 +413,28 @@ def pack_candidate_pool_int8(tokens, *, w2p: int | None = None,
     # duplicate-token padding: a copy of token 0 never changes the max
     if w2p > w2:
         pool = pool.at[:, w2:, :d].set(q[:, 0:1, :])
-    if layout == "tokmaj":
-        g = min(C_SUB_INT8, c)
-        if c % g:
-            raise ValueError(
-                f"tokmaj layout needs pool size {c} divisible by the "
-                f"candidate group {g} (pad the pool to a c_block "
-                f"multiple first, as QueryEngine does)")
-        pool = pool.reshape(c // g, g, w2p, dp).transpose(0, 2, 1, 3) \
-            .reshape(c, w2p, dp)
-    elif layout != "candmaj":
-        raise ValueError(f"unknown pool layout {layout!r}")
+    pool = _apply_pool_layout(pool, layout)
     aux = jnp.zeros((c, AUX_LANES), jnp.bfloat16)
     aux = aux.at[:, 0].set(scale.astype(jnp.bfloat16))
     return pool, aux
+
+
+def _apply_pool_layout(pool, layout: str):
+    """candmaj (C, W2P, Dp) -> the requested storage layout (shared by
+    the int8 and int4 packers; see pack_candidate_pool_int8)."""
+    if layout == "candmaj":
+        return pool
+    if layout != "tokmaj":
+        raise ValueError(f"unknown pool layout {layout!r}")
+    c, w2p, dp = pool.shape
+    g = min(C_SUB_INT8, c)
+    if c % g:
+        raise ValueError(
+            f"tokmaj layout needs pool size {c} divisible by the "
+            f"candidate group {g} (pad the pool to a c_block "
+            f"multiple first, as QueryEngine does)")
+    return pool.reshape(c // g, g, w2p, dp).transpose(0, 2, 1, 3) \
+        .reshape(c, w2p, dp)
 
 
 def mask_out_candidates_int8(aux, start: int):
@@ -685,9 +693,11 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
 INT4_BOUND = 7.0
 
 
-def pack_candidate_pool_int4(tokens, *, w2p: int | None = None):
+def pack_candidate_pool_int4(tokens, *, w2p: int | None = None,
+                             layout: str = "candmaj"):
     """(C, W2, D) -> (pool_i4 (C, W2P, Dp) int4, aux (C, 2) bf16).
-    int4 analogue of pack_candidate_pool_int8."""
+    int4 analogue of pack_candidate_pool_int8 (incl. the "tokmaj"
+    layout; same candidate group)."""
     c, w2, d = tokens.shape
     if w2p is None:
         w2p = _round_up(w2, 8)
@@ -702,6 +712,7 @@ def pack_candidate_pool_int4(tokens, *, w2p: int | None = None):
     pool = pool.at[:, :w2, :d].set(q)
     if w2p > w2:  # duplicate-token padding: never changes the max
         pool = pool.at[:, w2:, :d].set(q[:, 0:1, :])
+    pool = _apply_pool_layout(pool, layout)
     aux = jnp.zeros((c, AUX_LANES), jnp.bfloat16)
     aux = aux.at[:, 0].set(scale.astype(jnp.bfloat16))
     return pool, aux
@@ -740,6 +751,7 @@ def bilinear_maxsim_scores_int4(qw_i4, q_scales, pool_i4, aux, *,
                                 c_sub: int = C_SUB_INT4,
                                 q_sub: int = Q_SUB,
                                 q_block: int | None = None,
+                                layout: str = "candmaj",
                                 interpret: bool | None = None):
     """int4 scoring: (Nq, C) f32 approximate scores.  The kernel body is
     the int8 one (dot_general accumulates any int operand pair into int32);
@@ -756,4 +768,4 @@ def bilinear_maxsim_scores_int4(qw_i4, q_scales, pool_i4, aux, *,
     return bilinear_maxsim_scores_int8(qw_i4, q_scales, pool_i4, aux,
                                        c_block=c_block, c_sub=c_sub,
                                        q_sub=q_sub, q_block=q_block,
-                                       interpret=interpret)
+                                       layout=layout, interpret=interpret)

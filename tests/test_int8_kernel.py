@@ -291,3 +291,21 @@ class TestTokmajLayout:
         with pytest.raises(ValueError, match="layout"):
             bilinear_maxsim_scores_int8(qw, qs, pool, aux,
                                         layout="rowmaj", interpret=True)
+
+    def test_int4_tokmaj_agreement(self):
+        # the int4 path shares the kernel; its tokmaj layout must agree
+        # with its candmaj scores the same way
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores_int4, pack_candidate_pool_int4,
+            project_queries_int4)
+
+        q, cand, w = self._setup(c=256)
+        qw, qs = project_queries_int4(q, w)
+        p1, a1 = pack_candidate_pool_int4(cand)
+        s1 = np.asarray(bilinear_maxsim_scores_int4(qw, qs, p1, a1,
+                                                    interpret=True))
+        p2, a2 = pack_candidate_pool_int4(cand, layout="tokmaj")
+        s2 = np.asarray(bilinear_maxsim_scores_int4(qw, qs, p2, a2,
+                                                    layout="tokmaj",
+                                                    interpret=True))
+        np.testing.assert_array_equal(s1, s2)
