@@ -438,3 +438,56 @@ class TestSignalActions:
         assert gs2.iter_ == 7
         gs2.solve()
         assert gs2.iter_ == 60
+
+
+class TestConvNet:
+    def test_lenet_shaped_net_learns(self, tmp_path):
+        """The generic path on a real vision stack (the examples/mnist
+        LeNet shape: conv-pool-conv-pool-fc-relu-fc-loss), HDF5-fed.
+        Labels depend on spatial structure so conv must actually work."""
+        rng = np.random.default_rng(0)
+        n = 256
+        # NHWC, this framework's data layout (docs/ARCHITECTURE.md)
+        xs = rng.normal(size=(n, 12, 12, 1)).astype(np.float32)
+        # class = which half (top/bottom) holds the brighter blob
+        bright = rng.integers(0, 2, n)
+        for i in range(n):
+            r = 2 if bright[i] == 0 else 8
+            xs[i, r:r + 2, 4:8, 0] += 3.0
+        _write_h5(tmp_path / "train.h5", xs, bright)
+        (tmp_path / "train.txt").write_text(
+            str(tmp_path / "train.h5") + "\n")
+        net = f"""
+        layer {{ name: "d" type: "HDF5Data" top: "data" top: "label"
+          hdf5_data_param {{ source: "{tmp_path / 'train.txt'}"
+            batch_size: 32 shuffle: true }} }}
+        layer {{ name: "conv1" type: "Convolution" bottom: "data"
+          top: "conv1" convolution_param {{ num_output: 8 kernel_size: 3
+            weight_filler {{ type: "xavier" }} }} }}
+        layer {{ name: "pool1" type: "Pooling" bottom: "conv1"
+          top: "pool1" pooling_param {{ pool: MAX kernel_size: 2
+            stride: 2 }} }}
+        layer {{ name: "conv2" type: "Convolution" bottom: "pool1"
+          top: "conv2" convolution_param {{ num_output: 8 kernel_size: 3
+            weight_filler {{ type: "xavier" }} }} }}
+        layer {{ name: "relu1" type: "ReLU" bottom: "conv2"
+          top: "conv2" }}
+        layer {{ name: "fc1" type: "InnerProduct" bottom: "conv2"
+          top: "fc1" inner_product_param {{ num_output: 2
+            weight_filler {{ type: "xavier" }} }} }}
+        layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "fc1"
+          bottom: "label" top: "loss" }}
+        layer {{ name: "acc" type: "Accuracy" bottom: "fc1"
+          bottom: "label" top: "acc" }}
+        """
+        (tmp_path / "net.prototxt").write_text(net)
+        (tmp_path / "solver.prototxt").write_text(
+            'net: "net.prototxt"\nbase_lr: 0.01\nlr_policy: "fixed"\n'
+            'momentum: 0.9\nmax_iter: 80\ntest_interval: 0\n'
+            'display: 20\nsnapshot_prefix: "s"\nrandom_seed: 5\n'
+            'type: "SGD"\n')
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"))
+        gs.step(80)
+        accs = [r["acc"] for r in gs.history
+                if r["phase"] == "Train" and "acc" in r]
+        assert accs[-1] > 0.9, accs
