@@ -103,7 +103,7 @@ class WindowListDataset:
                  bg_threshold: float = 0.5, fg_fraction: float = 0.25,
                  context_pad: int = 0, crop_mode: str = "warp",
                  mirror: bool = False, mean=None, scale: float = 1.0,
-                 seed: int = 0):
+                 cache_images: bool = False, seed: int = 0):
         if crop_size <= 0:
             raise ValueError("WindowData requires transform_param "
                              "crop_size > 0 (window_data_layer.cpp:171)")
@@ -123,16 +123,29 @@ class WindowListDataset:
         self.scale = scale
         self.mean = None if mean is None else np.asarray(mean, np.float32)
         self.rng = np.random.default_rng(seed)
-        self._cache: dict = {}
+        # cache_images=True keeps every decoded image resident
+        # (window_data_layer.cpp's cache_images, proto default false);
+        # otherwise a small LRU bounds memory while still amortizing the
+        # common repeated-image case within a batch
+        self._cache_all = cache_images
+        from collections import OrderedDict as _OD
+
+        self._cache: dict = _OD()
         self.num_fg = int(batch_size * fg_fraction)
+
+    _LRU_CAP = 128
 
     # ------------------------------------------------------------------
     def _image(self, idx: int):
-        if idx not in self._cache:
-            path, (c, h, w) = self.image_db[idx]
-            img = load_image(path)  # f32 HWC [0, 255]
-            self._cache[idx] = img
-        return self._cache[idx]
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        path, (c, h, w) = self.image_db[idx]
+        img = load_image(path)  # f32 HWC [0, 255]
+        self._cache[idx] = img
+        if not self._cache_all and len(self._cache) > self._LRU_CAP:
+            self._cache.popitem(last=False)
+        return img
 
     def _crop(self, img, win, do_mirror: bool):
         """One window -> (crop_size, crop_size, C) float32 canvas

@@ -240,6 +240,8 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             mirror=str(_one(tf.get("mirror"), False)).lower() == "true",
             mean=mean,
             scale=float(_one(p.get("scale"), 1.0)),
+            cache_images=str(_one(p.get("cache_images"),
+                                  False)).lower() == "true",
             seed=seed)
 
         def gen(ds=ds, tops=tops):
