@@ -491,3 +491,98 @@ class TestConvNet:
         accs = [r["acc"] for r in gs.history
                 if r["phase"] == "Train" and "acc" in r]
         assert accs[-1] > 0.9, accs
+
+
+class TestTypedModelTrainingParity:
+    def test_generic_path_matches_typed_sgd_loop(self, tmp_path):
+        """Capstone pin: GraphSolver training the GENERATED V4 prototxt
+        takes the same SGD+momentum trajectory as a hand-rolled loop
+        over the typed model (same batches, same solver recurrence) —
+        the generic `caffe train` path IS the flagship path.
+
+        SGD rather than AdaDelta: at the zero-init sim-metric point
+        AdaDelta's self-normalization turns jit-vs-eager ULP noise in
+        near-zero gradient elements into +-constant sign-flipped updates
+        (the recipe_scale_v4 reproducibility note), so only an update
+        rule whose step is PROPORTIONAL to the gradient pins trajectory
+        equality at float tolerance."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from mms_answer_selection_tpu.models import mms_qa as M
+        from mms_answer_selection_tpu.training.optim import (SolverConfig,
+                                                             make_solver)
+        from mms_answer_selection_tpu.utils.prototxt import \
+            net_prototxt_from_config
+
+        cfg = dataclasses.replace(M.V4, vocab_size=120, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        rng = np.random.default_rng(11)
+        n = 6
+        batch = {
+            "question": np.asarray(rng.integers(0, 120, (n, 40)),
+                                   np.int32),
+            "answer": np.asarray(rng.integers(0, 120, (n, 40)), np.int32),
+            "label": np.asarray(rng.integers(0, 2, (n,)), np.int32),
+            "overlap_feat": rng.normal(size=(n, 2)).astype(np.float32),
+        }
+        (tmp_path / "net.prototxt").write_text(
+            net_prototxt_from_config(cfg))
+        (tmp_path / "solver.prototxt").write_text(
+            'net: "net.prototxt"\nbase_lr: 0.1\nlr_policy: "fixed"\n'
+            'momentum: 0.9\nweight_decay: 0.0005\ntype: "SGD"\n'
+            'max_iter: 5\ntest_interval: 0\nrandom_seed: 7\n'
+            'snapshot_prefix: "s"\n')
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"),
+                         feeds={"data": {**batch, "batch_size": n,
+                                         "shuffle": False}})
+        # TRUE copies: GraphSolver's jitted step donates its buffers
+        copy = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jnp.array(np.asarray(x)), t)
+        name_map = {"embed": "w2v_q", "sim": "sim_cross",
+                    "conv0": "conv0", "bn0": "bn0", "conv1": "conv1",
+                    "bn1": "bn1", "fc1": "fc1", "fc2": "fc2"}
+        params = {k: copy(gs.params[v]) for k, v in name_map.items()}
+        state = {"bn0": copy(gs.state["bn0"]),
+                 "bn1": copy(gs.state["bn1"])}
+        gs.step(5)
+
+        solver = make_solver(
+            SolverConfig(solver_type="sgd", base_lr=0.1, momentum=0.9,
+                         weight_decay=5e-4),
+            M.param_spec(params, cfg))
+        opt = solver.init(params)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def loss_fn(p, s):
+            out, new_s = M.mms_qa_apply(p, s, jb, cfg, train=True,
+                                        rng=jax.random.PRNGKey(0))
+            return out["loss"], new_s
+
+        # ONE jitted fused step, like GraphSolver's _build_step — the
+        # same XLA compilation regime keeps reduction orderings close
+        # (eager-vs-jit drift compounds visibly over steps otherwise)
+        @jax.jit
+        def typed_step(p, s, o, it):
+            (loss, new_s), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, s)
+            p2, o2 = solver.apply(p, grads, o, it)
+            return p2, new_s, o2, loss
+
+        for it in range(5):
+            params, state, opt, loss = typed_step(params, state, opt, it)
+
+        for typed_key, gs_key in name_map.items():
+            for blob, arr in params[typed_key].items():
+                np.testing.assert_allclose(
+                    np.asarray(gs.params[gs_key][blob]), np.asarray(arr),
+                    rtol=1e-4, atol=1e-6,
+                    err_msg=f"{gs_key}/{blob} diverged")
+        # the BN running stats walked the same EMA too
+        for bn in ("bn0", "bn1"):
+            for k, arr in state[bn].items():
+                np.testing.assert_allclose(
+                    np.asarray(gs.state[bn][k]), np.asarray(arr),
+                    rtol=1e-4, atol=1e-6, err_msg=f"{bn}/{k} diverged")
