@@ -619,3 +619,42 @@ class TestPairImageFamily:
         b = GraphSolver(str(tmp_path / "solver.prototxt"))
         b.restore(st)
         jax.tree.map(np.testing.assert_array_equal, gs.params, b.params)
+
+
+class TestCaptionImageFamily:
+    def test_caption_image_net_trains_generically(self, tmp_path):
+        """The THIRD model family through the generic path: HDF5-fed
+        cross-modal net (Embed caption x two conv towers under the
+        shared metric, MaxSim via MAX Pooling + SUM Reduction,
+        PairRankLoss)."""
+        from mms_answer_selection_tpu.models.caption_image import \
+            CaptionImageConfig
+        from mms_answer_selection_tpu.utils.prototxt import \
+            caption_image_net_prototxt
+
+        cfg = CaptionImageConfig(vocab_size=50, embed_dim=16,
+                                 caption_len=8, height=12, width=12)
+        rng = np.random.default_rng(0)
+        n = 32
+        with h5py.File(tmp_path / "d.h5", "w") as f:
+            f["caption"] = rng.integers(
+                0, 50, (n, cfg.caption_len)).astype(np.float64)
+            f["image_pos"] = rng.normal(
+                size=(n, 12, 12, 3)).astype(np.float32)
+            f["image_neg"] = rng.normal(
+                size=(n, 12, 12, 3)).astype(np.float32)
+            f["label"] = np.ones(n, np.float64)
+        (tmp_path / "d.txt").write_text(str(tmp_path / "d.h5") + "\n")
+        (tmp_path / "net.prototxt").write_text(
+            caption_image_net_prototxt(cfg,
+                                       source=str(tmp_path / "d.txt"),
+                                       batch_size=16))
+        (tmp_path / "solver.prototxt").write_text(
+            'net: "net.prototxt"\nbase_lr: 0.01\nlr_policy: "fixed"\n'
+            'momentum: 0.9\nmax_iter: 6\ntest_interval: 0\n'
+            'random_seed: 2\nsnapshot_prefix: "s"\n')
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"))
+        smoothed = gs.step(6)
+        assert np.isfinite(smoothed)
+        # shared proj/w2v params resolved to single owners
+        assert "w2v" in gs.params
