@@ -106,6 +106,25 @@ def _experiment_configs(args, meta):
     return model_cfg, trainer_cfg
 
 
+def _mesh_from_args(args):
+    """`caffe train -gpu 0,1,..` (tools/caffe.cpp:75-113): --mesh-dp N
+    trains data-parallel over the first N devices; 0/absent = single
+    device, -1 = all devices (`-gpu all`)."""
+    n = getattr(args, "mesh_dp", 0) or 0
+    if not n:
+        return None
+    import jax
+
+    from .parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    if n == -1:
+        n = len(devs)
+    if n > len(devs):
+        raise SystemExit(f"--mesh-dp {n}: only {len(devs)} devices")
+    return make_mesh(tp=1, devices=devs[:n])
+
+
 # -------------------------------------------------------------------- train
 def cmd_train(args):
     from .metrics import format_trec_table, trec_eval, write_trec_files
@@ -162,7 +181,7 @@ def cmd_train(args):
         # (`caffe train -snapshot`, tools/caffe.cpp:208-210)
         resume_from = (os.path.join(args.exp, "models")
                        if args.resume == "auto" else args.resume)
-    trainer = Trainer(model_cfg, trainer_cfg)
+    trainer = Trainer(model_cfg, trainer_cfg, mesh=_mesh_from_args(args))
     if getattr(args, "stream", False):
         # streaming path: out-of-core batches from the MMSP packed store
         # (C++ prefetch ring) when present, else a host-sharded in-memory
@@ -718,7 +737,7 @@ def cmd_solve(args):
     from .training.graph_solver import GraphSolver
     from .training.signals import SignalHandler
 
-    gs = GraphSolver(args.solver)
+    gs = GraphSolver(args.solver, mesh=_mesh_from_args(args))
     if args.snapshot:
         gs.restore(args.snapshot)
     elif args.weights:
@@ -1165,6 +1184,9 @@ def main(argv=None):
     p.add_argument("--data", required=True)
     p.add_argument("--exp", required=True)
     p.add_argument("--config", help="experiment config json")
+    p.add_argument("--mesh-dp", type=int, default=0,
+                   help="data-parallel over N devices (-1 = all; the "
+                        "`caffe train -gpu 0,1,..` analogue)")
     p.add_argument("--max-iter", type=int, default=None,
                    help="iterations (default 40001; always overrides a "
                         "--solver-prototxt's max_iter when given)")
@@ -1311,6 +1333,9 @@ def main(argv=None):
     p.add_argument("--weights", help="init from a .caffemodel[.h5] "
                                      "(CopyTrainedLayersFrom)")
     p.add_argument("--snapshot", help="resume from a .solverstate[.h5]")
+    p.add_argument("--mesh-dp", type=int, default=0,
+                   help="data-parallel over N devices (-1 = all; the "
+                        "`caffe train -gpu 0,1,..` analogue)")
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser(

@@ -658,3 +658,31 @@ class TestCaptionImageFamily:
         assert np.isfinite(smoothed)
         # shared proj/w2v params resolved to single owners
         assert "w2v" in gs.params
+
+
+class TestMeshCLI:
+    def test_qa_solve_mesh_dp(self, tmp_path, capsys):
+        """`qa solve --mesh-dp` ≙ `caffe train -gpu 0,1,..`
+        (tools/caffe.cpp:75-113): data-parallel over a device mesh from
+        the CLI."""
+        from mms_answer_selection_tpu.cli import main
+
+        sp = _setup(tmp_path, SOLVER.replace("max_iter: 60",
+                                             "max_iter: 20"))
+        main(["solve", "--solver", str(sp), "--mesh-dp", "4"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["iter"] == 20
+        assert np.isfinite(out["loss"])
+
+    def test_mesh_dp_all_and_overask(self, tmp_path):
+        import argparse
+
+        from mms_answer_selection_tpu.cli import _mesh_from_args
+
+        ns = argparse.Namespace(mesh_dp=-1)
+        m = _mesh_from_args(ns)
+        assert m.shape["dp"] == 8  # conftest's virtual 8-device mesh
+        ns = argparse.Namespace(mesh_dp=99)
+        with pytest.raises(SystemExit, match="only"):
+            _mesh_from_args(ns)
+        assert _mesh_from_args(argparse.Namespace(mesh_dp=0)) is None
