@@ -686,3 +686,34 @@ class TestMeshCLI:
         with pytest.raises(SystemExit, match="only"):
             _mesh_from_args(ns)
         assert _mesh_from_args(argparse.Namespace(mesh_dp=0)) is None
+
+
+class TestGenericMlpExample:
+    def test_example_workflow(self, tmp_path, capsys, monkeypatch):
+        """examples/generic_mlp: the tools-centric README workflow runs
+        end-to-end (solve -> nettest -> time --model -> upgrade)."""
+        import shutil
+        import subprocess
+        import sys
+
+        from mms_answer_selection_tpu.cli import main
+
+        src = os.path.join(os.path.dirname(__file__), "..", "examples",
+                           "generic_mlp")
+        for f in os.listdir(src):
+            shutil.copy(os.path.join(src, f), tmp_path)
+        monkeypatch.chdir(tmp_path)
+        # make_data.py writes next to itself — run it in the copy
+        subprocess.run([sys.executable, str(tmp_path / "make_data.py")],
+                       check=True, env={**os.environ,
+                                        "JAX_PLATFORMS": "cpu"})
+        main(["solve", "--solver", str(tmp_path / "solver.prototxt")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["iter"] == 300 and out["last_test"]["acc"] > 0.9
+        main(["nettest", "--model", str(tmp_path / "net.prototxt"),
+              "--weights", str(tmp_path / "snap_iter_300.caffemodel.h5"),
+              "--iterations", "2"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["acc"] > 0.9
+        main(["upgrade", str(tmp_path / "legacy_v1.prototxt")])
+        assert 'type: "InnerProduct"' in capsys.readouterr().out
