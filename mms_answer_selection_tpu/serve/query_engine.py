@@ -122,12 +122,16 @@ class QueryEngine:
         self.pool_size = 0
         self._padded_size = 0
         self._query_jit = None
+        self.cand_token_ids = None  # set by build_index (rerank path)
 
     # ------------------------------------------------------------------ build
     def build_index(self, candidate_ids):
         """candidate_ids: int (C, W2) token ids.  Embeds with the trained
-        table and packs/shards the pool."""
+        table and packs/shards the pool.  The ids are retained on the
+        HOST (small: C x W2 int32) so `query_rerank` can hand
+        shortlisted candidates to the exact scorer."""
         candidate_ids = jnp.asarray(candidate_ids)
+        self.cand_token_ids = np.asarray(candidate_ids)
         return self._build(
             candidate_ids,
             lambda chunk: embed_lookup(self.params["embed"], chunk))
@@ -138,6 +142,7 @@ class QueryEngine:
         modality living in the metric's D-dim space.  Same sharding/
         chunking behavior as build_index."""
         candidate_tokens = jnp.asarray(candidate_tokens)
+        self.cand_token_ids = None  # no ids -> no query_rerank
         return self._build(candidate_tokens, lambda chunk: chunk)
 
     def _build(self, candidates, to_tokens):
@@ -455,6 +460,39 @@ class QueryEngine:
         return vals, idx
 
     # ------------------------------------------------------- exact rescoring
+    def query_rerank(self, state, query_ids, k: int = 10, *,
+                     shortlist: int = 50, overlap_feat=None):
+        """Two-phase retrieve-then-rerank in one call: the (quantized)
+        kernel shortlists ``shortlist`` candidates per query, the FULL
+        interaction model rescores exactly those pairs (`score_pairs` —
+        the `caffe test` path), and the top-k by exact P(correct) comes
+        back as (probs (Nq, k), candidate indices (Nq, k)).
+
+        This is the serving recipe the quantization-fidelity numbers in
+        docs/PERF.md assume: int8 shortlist recall is measured, the
+        exact model owns the final order.  Needs ``build_index`` (token
+        ids retained); `build_index_from_tokens` pools have no ids to
+        rescore."""
+        if self.cand_token_ids is None:
+            raise ValueError(
+                "query_rerank needs build_index(candidate_ids); a "
+                "from-tokens pool keeps no candidate ids to rescore")
+        shortlist = min(shortlist, self.pool_size)
+        k = min(k, shortlist)
+        _, idx = self.query(query_ids, k=shortlist)
+        idx = np.asarray(idx)                       # (Nq, S) host gather
+        nq, s = idx.shape
+        q_host = np.asarray(query_ids)
+        cand = self.cand_token_ids[idx.reshape(-1)]  # (Nq*S, W2)
+        q_rep = np.repeat(q_host, s, axis=0)         # (Nq*S, W1)
+        of = (None if overlap_feat is None
+              else np.repeat(np.asarray(overlap_feat), s, axis=0))
+        probs = self.score_pairs(state, q_rep, cand,
+                                 overlap_feat=of).reshape(nq, s)
+        vals, order = jax.lax.top_k(probs, k)
+        re_idx = jnp.take_along_axis(jnp.asarray(idx), order, axis=1)
+        return vals, re_idx
+
     def score_pairs(self, state, query_ids, candidate_ids, overlap_feat=None):
         """Full interaction-model scores for explicit (query, candidate)
         pairs -- the exact `caffe test` scoring path, used to rerank the

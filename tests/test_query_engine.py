@@ -341,3 +341,56 @@ class TestChunkBlockAlignment:
         assert eng.chunk_size % C_BLOCK_BY_MODE["int8"] == 0
         v, i = eng.query(rng2.integers(0, 64, (2, 6)), k=5)
         assert np.isfinite(np.asarray(v)).all()
+
+
+class TestQueryRerank:
+    """Two-phase retrieve-then-rerank (QueryEngine.query_rerank): the
+    quantized shortlist hands off to the exact interaction model, the
+    serve recipe docs/PERF.md's fidelity numbers assume."""
+
+    def test_full_shortlist_equals_exact_ranking(self):
+        eng, params, state, cand_ids = _engine(n_cand=24)
+        query_ids = rng.integers(0, 64, (3, 6))
+        # shortlist == whole pool: rerank output must equal brute-force
+        # EXACT model top-k over every candidate
+        vals, idx = eng.query_rerank(state, query_ids, k=4,
+                                     shortlist=24)
+        nq, c = 3, 24
+        q_rep = np.repeat(query_ids, c, axis=0)
+        cand_rep = np.tile(cand_ids, (nq, 1))
+        probs = np.asarray(eng.score_pairs(
+            state, q_rep, cand_rep)).reshape(nq, c)
+        bi = np.argsort(-probs, axis=1, kind="stable")[:, :4]
+        bv = np.take_along_axis(probs, bi, axis=1)
+        np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-5)
+        # rank-EQUIVALENCE, not index equality: under exact-prob ties
+        # the two-phase path may pick a different tied candidate (the
+        # shortlist permutes tie order).  The chosen candidates' exact
+        # probabilities must match the brute-force top-k exactly.
+        chosen = np.take_along_axis(probs, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(chosen, bv, rtol=1e-6)
+        del bi  # index equality is unprovable under saturated-prob ties
+
+    def test_short_shortlist_subsets_and_orders(self):
+        eng, params, state, cand_ids = _engine(n_cand=24)
+        query_ids = rng.integers(0, 64, (2, 6))
+        vals, idx = eng.query_rerank(state, query_ids, k=3, shortlist=8)
+        # k clamps, probs descend, indices point into the real pool
+        assert vals.shape == (2, 3) and idx.shape == (2, 3)
+        v = np.asarray(vals)
+        assert np.all(v[:, :-1] >= v[:, 1:])
+        assert np.asarray(idx).max() < 24
+        # every reranked hit came from the kernel shortlist
+        _, short = eng.query(query_ids, k=8)
+        for qi in range(2):
+            assert set(np.asarray(idx)[qi]) <= set(np.asarray(short)[qi])
+
+    def test_from_tokens_pool_has_no_rerank(self):
+        params, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        toks = embed_lookup(params["embed"],
+                            jnp.asarray(rng.integers(0, 64, (16, 6))))
+        eng.build_index_from_tokens(toks)
+        with pytest.raises(ValueError, match="candidate ids"):
+            eng.query_rerank(state, rng.integers(0, 64, (1, 6)), k=2)
