@@ -310,7 +310,13 @@ def cmd_serve(args):
                          pool_dtype=jnp.bfloat16 if pd == "bf16" else pd)
     engine.build_index(split["answer"])
     n = min(args.n_queries, len(split["question"]))
-    vals, idx = engine.query(split["question"][:n], k=args.k)
+    if getattr(args, "rerank", 0):
+        # two-phase: quantized shortlist -> exact model rescoring
+        vals, idx = engine.query_rerank(
+            bundle["state"], split["question"][:n], k=args.k,
+            shortlist=args.rerank)
+    else:
+        vals, idx = engine.query(split["question"][:n], k=args.k)
     for qi in range(n):
         print(json.dumps({"query": qi,
                           "topk": [[int(i), float(v)] for i, v in
@@ -1238,6 +1244,10 @@ def main(argv=None):
     p.add_argument("--pool-dtype", choices=["bf16", "int8", "int4"],
                    help="pool precision (int4: 4x-packed HBM, 2x int8 MXU "
                         "rate, ~3-8%% score error; overrides --int8)")
+    p.add_argument("--rerank", type=int, default=0, metavar="SHORTLIST",
+                   help="two-phase serve: kernel-shortlist this many "
+                        "candidates, rescore them with the exact "
+                        "interaction model, return top-k by P(correct)")
     p.add_argument("--max-iter", type=int, default=40001)
     p.set_defaults(fn=cmd_serve)
 

@@ -125,6 +125,17 @@ class TestCLI:
         exact = {i for i, _ in rec["topk"]}
         assert len(exact & {i for i, _ in rec4["topk"]}) >= 1
 
+        # two-phase serve: int8 shortlist -> exact-model rerank, values
+        # become probabilities
+        main(["serve", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path), "--k", "3", "--n-queries", "1", "--int8",
+              "--rerank", "8"])
+        rr = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        assert len(rr["topk"]) == 3
+        assert all(0.0 <= v <= 1.0 for _, v in rr["topk"])
+        vs = [v for _, v in rr["topk"]]
+        assert vs == sorted(vs, reverse=True)
+
     def test_device_query(self, capsys):
         from mms_answer_selection_tpu.cli import main
         main(["device_query"])
