@@ -277,13 +277,21 @@ class Net:
         return inputs
 
     # -- forward / backward ----------------------------------------------
-    def forward(self, **inputs):
+    def forward(self, start: str | None = None, end: str | None = None,
+                **inputs):
         """Run the net on the given input blobs; updates ``self.blobs``
         with EVERY top and returns {output blob: array}
         (pycaffe.py:62-110's `_Net_forward`).  Data-layer tops not
         passed explicitly stream from the prototxt's declared sources
-        (see `_feed_missing`)."""
+        (see `_feed_missing`).
+
+        ``start``/``end`` name layers for a PARTIAL forward
+        (pycaffe.py:78-105): the previous forward's blobs seed the
+        range's bottoms (explicit inputs override), only [start, end]
+        executes, and the return is the end layer's tops."""
         inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        if start is not None or end is not None:
+            return self._forward_range(start, end, inputs)
         inputs = self._feed_missing(inputs)
         self._maybe_init(inputs)
         if self._fwd is None:
@@ -301,6 +309,39 @@ class Net:
         self._last_inputs = inputs
         self._last_rng = rng
         self.blobs = OrderedDict((k, Blob(v)) for k, v in blobs.items())
+        return {k: blobs[k] for k in self.outputs if k in blobs}
+
+    def _forward_range(self, start, end, inputs):
+        """Partial forward over [start, end] (see forward)."""
+        if start is not None and self._params is None:
+            raise RuntimeError("forward(start=...) needs a prior full "
+                               "forward (its blobs seed the range)")
+        seeded = {k: b._a for k, b in self.blobs.items()}
+        seeded.update(inputs)
+        if self._params is None:
+            self._maybe_init(seeded)
+        net, train = self._net, self._phase == "train"
+        key = (start, end)
+        if key not in getattr(self, "_range_jits", {}):
+            if not hasattr(self, "_range_jits"):
+                self._range_jits = {}
+
+            @jax.jit
+            def fwd(p, s, ins, rng):
+                return net.apply(p, s, ins, train=train, rng=rng,
+                                 start=start, end=end)
+
+            self._range_jits[key] = fwd
+        blobs, new_state = self._range_jits[key](
+            self._params, self._state, seeded, self._rng())
+        if train:
+            self._state = new_state
+        merged = OrderedDict(self.blobs)
+        merged.update((k, Blob(v)) for k, v in blobs.items())
+        self.blobs = merged
+        if end is not None:
+            node = next(n for n in net.layers if n.name == end)
+            return {t: blobs[t] for t in node.tops if t in blobs}
         return {k: blobs[k] for k in self.outputs if k in blobs}
 
     def forward_all(self, **input_batches):

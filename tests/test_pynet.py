@@ -280,3 +280,55 @@ class TestBlobView:
         assert b[1] == 2.0
         with pytest.raises(AttributeError, match="backward"):
             _ = b.diff
+
+
+class TestPartialForward:
+    """pycaffe's net.forward(start=, end=) (pycaffe.py:78-105): run a
+    layer RANGE against the previous forward's blobs."""
+
+    TXT = """
+    layer { name: "in" type: "Input" top: "x" }
+    layer { name: "fc1" type: "InnerProduct" bottom: "x" top: "h"
+      inner_product_param { num_output: 4
+        weight_filler { type: "xavier" } } }
+    layer { name: "relu" type: "ReLU" bottom: "h" top: "h" }
+    layer { name: "fc2" type: "InnerProduct" bottom: "h" top: "y"
+      inner_product_param { num_output: 2
+        weight_filler { type: "xavier" } } }
+    """
+
+    def test_end_stops_early(self):
+        net = Net(self.TXT, phase="test")
+        x = jnp.ones((2, 3))
+        net.forward(x=x)
+        out = net.forward(end="fc1", x=x)
+        assert set(out) == {"h"}
+        # relu/fc2 did not run in the partial pass: y keeps its old value
+        assert "y" in net.blobs
+
+    def test_start_reuses_previous_blobs(self):
+        net = Net(self.TXT, phase="test")
+        x = jnp.ones((2, 3))
+        full = net.forward(x=x)
+        # rerun only fc2 from the existing h: same y
+        out = net.forward(start="fc2")
+        np.testing.assert_allclose(np.asarray(out["y"]),
+                                   np.asarray(full["y"]), rtol=1e-6)
+        # override h explicitly: y responds to the injected activation
+        h2 = np.full((2, 4), 2.0, np.float32)
+        out2 = net.forward(start="fc2", h=h2)
+        expected = h2 @ np.asarray(net.params["fc2"]["w"]) \
+            + np.asarray(net.params["fc2"]["b"])
+        np.testing.assert_allclose(np.asarray(out2["y"]), expected,
+                                   rtol=1e-5)
+
+    def test_start_requires_prior_forward(self):
+        net = Net(self.TXT, phase="test")
+        with pytest.raises(RuntimeError, match="prior full forward"):
+            net.forward(start="fc2")
+
+    def test_unknown_layer_raises(self):
+        net = Net(self.TXT, phase="test")
+        net.forward(x=jnp.ones((2, 3)))
+        with pytest.raises(KeyError, match="no layer named"):
+            net.forward(end="nope")
