@@ -747,8 +747,11 @@ def cmd_solve(args):
     if args.snapshot:
         gs.restore(args.snapshot)
     elif args.weights:
-        report = gs.copy_weights(args.weights)
-        log.info("copied weights: %s", report)
+        # comma-separated list, applied in order (caffe.cpp:139-154
+        # CopyLayers splits FLAGS_weights on ',')
+        for w in args.weights.split(","):
+            report = gs.copy_weights(w)
+            log.info("copied weights from %s: %s", w, report)
     # caffe.cpp:44-49 signal mapping: SIGINT -> stop (snapshot + exit
     # loop), SIGHUP -> snapshot and continue
     with SignalHandler() as h:

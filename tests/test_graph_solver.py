@@ -717,3 +717,20 @@ class TestGenericMlpExample:
         assert out["acc"] > 0.9
         main(["upgrade", str(tmp_path / "legacy_v1.prototxt")])
         assert 'type: "InnerProduct"' in capsys.readouterr().out
+
+
+class TestMultiWeights:
+    def test_comma_separated_weights(self, tmp_path, capsys):
+        """`caffe train --weights a.caffemodel,b.caffemodel`
+        (tools/caffe.cpp:139-154): each file applies in order."""
+        from mms_answer_selection_tpu.cli import main
+
+        sp = _setup(tmp_path)
+        main(["solve", "--solver", str(sp)])
+        capsys.readouterr()
+        model = str(tmp_path / "snap_iter_60.caffemodel.h5")
+        # same file twice: still loads cleanly, later file wins
+        main(["solve", "--solver", str(sp), "--weights",
+              f"{model},{model}"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["iter"] == 60
