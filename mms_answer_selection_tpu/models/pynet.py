@@ -349,10 +349,17 @@ class Net:
         forward over the full arrays (XLA tiles internally)."""
         return self.forward(**input_batches)
 
-    def backward(self, **top_diffs):
+    def backward(self, start: str | None = None, end: str | None = None,
+                 **top_diffs):
         """Cotangents for named top blobs -> diffs of FLOAT input blobs;
         parameter gradients land in ``self.param_diffs``
-        (`_Net_backward`, pycaffe.py:113-157)."""
+        (`_Net_backward`, pycaffe.py:111-157).
+
+        ``start``/``end`` follow pycaffe's backward orientation: start =
+        the LATER layer the cotangents enter at, end = the earlier layer
+        to stop after.  Diffs are then taken w.r.t. the float blobs
+        FEEDING the [end, start] forward range (the previous forward's
+        blobs seed everything outside it)."""
         if self._last_inputs is None:
             raise RuntimeError("backward() needs a prior forward()")
         if not top_diffs:
@@ -360,15 +367,34 @@ class Net:
                              "backward(loss=jnp.ones(()))")
         names = sorted(top_diffs)
         net, train = self._net, self._phase == "train"
-        floats = {k: v for k, v in self._last_inputs.items()
+        if start is not None or end is not None:
+            # forward-range view: lo = end (earlier), hi = start (later)
+            lo_name, hi_name = end, start
+            produced = set()
+            lo = 0 if lo_name is None else net.layer_index(lo_name)
+            hi = (len(net.layers) - 1 if hi_name is None
+                  else net.layer_index(hi_name))
+            for node in net.layers[lo:hi + 1]:
+                # in-place tops (top == bottom) keep their seed: the
+                # range consumes the stored value (pycaffe's in-place
+                # buffers have the same final-value caveat)
+                produced.update(t for t in node.tops
+                                if t not in node.bottoms)
+            seeds = {k: b._a for k, b in self.blobs.items()
+                     if k not in produced}
+            seeds.update(self._last_inputs)
+        else:
+            lo_name = hi_name = None
+            seeds = dict(self._last_inputs)
+        floats = {k: v for k, v in seeds.items()
                   if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)}
-        others = {k: v for k, v in self._last_inputs.items()
-                  if k not in floats}
+        others = {k: v for k, v in seeds.items() if k not in floats}
         state, rng = self._state, self._last_rng
 
         def f(p, fi):
             blobs, _ = net.apply(p, state, {**others, **fi},
-                                 train=train, rng=rng)
+                                 train=train, rng=rng,
+                                 start=lo_name, end=hi_name)
             return tuple(blobs[n] for n in names)
 
         outs, vjp = jax.vjp(f, self._params, floats)

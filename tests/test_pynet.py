@@ -332,3 +332,39 @@ class TestPartialForward:
         net.forward(x=jnp.ones((2, 3)))
         with pytest.raises(KeyError, match="no layer named"):
             net.forward(end="nope")
+
+
+class TestPartialBackward:
+    """pycaffe's net.backward(start=, end=) (pycaffe.py:111-157):
+    cotangents enter at `start` (the later layer) and stop after `end`
+    (the earlier one)."""
+
+    def test_range_matches_manual_grad(self):
+        txt = TestPartialForward.TXT
+        net = Net(txt, phase="test")
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 3)).astype(np.float32))
+        net.forward(x=x)
+        # backward only through fc2, w.r.t. its input h
+        g = net.backward(start="fc2", end="fc2", y=np.ones((2, 2),
+                                                           np.float32))
+        # dL/dh with L = sum(y) is just fc2's weight rows summed
+        expected = np.tile(
+            np.asarray(net.params["fc2"]["w"]).sum(1), (2, 1))
+        np.testing.assert_allclose(np.asarray(g["h"]), expected,
+                                   rtol=1e-5)
+        # and only fc2's params carry diffs through the range
+        assert float(np.abs(np.asarray(
+            net.param_diffs["fc2"]["w"])).sum()) > 0
+        assert float(np.abs(np.asarray(
+            net.param_diffs["fc1"]["w"])).sum()) == 0.0
+
+    def test_full_backward_unchanged(self):
+        txt = TestPartialForward.TXT
+        net = Net(txt, phase="test")
+        x = jnp.ones((2, 3))
+        net.forward(x=x)
+        g = net.backward(y=np.ones((2, 2), np.float32))
+        assert "x" in g
+        assert float(np.abs(np.asarray(
+            net.param_diffs["fc1"]["w"])).sum()) > 0
