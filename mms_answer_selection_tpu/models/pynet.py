@@ -38,22 +38,48 @@ __all__ = ["Net", "Blob"]
 
 class Blob:
     """pycaffe blob view: ``net.blobs['ip'].data`` reads the array
-    (_caffe.cpp:142-179 exposes zero-copy numpy views; here a read-only
-    snapshot — JAX arrays are immutable, so in-place ``.data[...] = x``
-    mutation has no equivalent; assign ``net.params`` instead).  Also
-    acts array-like (``np.asarray``, ``float()``, indexing), so code
-    that forgot ``.data`` works too."""
+    (_caffe.cpp:142-179 exposes zero-copy numpy views).  JAX arrays are
+    immutable, so ``.data`` hands out a WRITABLE host buffer instead:
+    in-place writes (``net.blobs['data'].data[...] = x``) are detected
+    and fed into the next ``forward()`` — the standard pycaffe
+    input-setting idiom (python/caffe/pycaffe.py:97-104) — and partial
+    forwards/backwards seed from the written value too.  Also acts
+    array-like (``np.asarray``, ``float()``, indexing), so code that
+    forgot ``.data`` works too."""
 
-    __slots__ = ("_a",)
+    __slots__ = ("_a", "_buf", "_digest")
 
     def __init__(self, a):
         self._a = a
+        self._buf = None
+        self._digest = None
+
+    @staticmethod
+    def _hash(buf):
+        import hashlib
+
+        return hashlib.blake2b(buf.tobytes(), digest_size=16).digest()
 
     @property
     def data(self):
         import numpy as np
 
-        return np.asarray(self._a)
+        if self._buf is None:
+            self._buf = np.array(self._a)  # writable host copy
+            self._digest = self._hash(self._buf)
+        return self._buf
+
+    def _dirty(self):
+        """True iff the user wrote into the ``.data`` buffer since it
+        was materialized (detected by content hash — no device
+        transfer needed)."""
+        return (self._buf is not None
+                and self._hash(self._buf) != self._digest)
+
+    def _current(self):
+        """The blob's effective value: the user-mutated ``.data``
+        buffer if dirty, else the stored device array."""
+        return jnp.asarray(self._buf) if self._dirty() else self._a
 
     @property
     def diff(self):
@@ -73,7 +99,7 @@ class Blob:
     def __array__(self, dtype=None, copy=None):
         import numpy as np
 
-        a = np.asarray(self._a)
+        a = self.data  # the (possibly user-written) host buffer
         return a.astype(dtype) if dtype is not None else a
 
     def __float__(self):
@@ -292,6 +318,23 @@ class Net:
         inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
         if start is not None or end is not None:
             return self._forward_range(start, end, inputs)
+        # pycaffe idiom: writes into net.blobs[in_].data feed the next
+        # forward (pycaffe.py:97-104), and Input-layer blobs PERSIST
+        # between forwards like the reference's buffers.  Explicit
+        # kwargs win; streaming data-layer tops keep advancing unless
+        # the user dirtied their buffer.
+        stream_tops = {t for n in self._net.layers
+                       if n.type in DATA_TYPES and n.type != "Input"
+                       for t in n.tops}
+        for name in self.inputs:
+            b = self.blobs.get(name)
+            if b is None:
+                continue
+            if name in stream_tops:
+                if b._dirty():
+                    inputs.setdefault(name, jnp.asarray(b._buf))
+            else:
+                inputs.setdefault(name, b._current())
         inputs = self._feed_missing(inputs)
         self._maybe_init(inputs)
         if self._fwd is None:
@@ -316,7 +359,7 @@ class Net:
         if start is not None and self._params is None:
             raise RuntimeError("forward(start=...) needs a prior full "
                                "forward (its blobs seed the range)")
-        seeded = {k: b._a for k, b in self.blobs.items()}
+        seeded = {k: b._current() for k, b in self.blobs.items()}
         seeded.update(inputs)
         if self._params is None:
             self._maybe_init(seeded)
@@ -380,7 +423,7 @@ class Net:
                 # buffers have the same final-value caveat)
                 produced.update(t for t in node.tops
                                 if t not in node.bottoms)
-            seeds = {k: b._a for k, b in self.blobs.items()
+            seeds = {k: b._current() for k, b in self.blobs.items()
                      if k not in produced}
             seeds.update(self._last_inputs)
         else:

@@ -284,9 +284,14 @@ def load_image(filename: str, color: bool = True):
         from PIL import Image  # gated: only needed for real image files
 
         with Image.open(filename) as im:
-            img = np.asarray(im, np.float32)
-        if img.max() > 1.0:
-            img = img / 255.0
+            raw = np.asarray(im)
+        # img_as_float semantics: integer dtypes scale by their type's
+        # max (uint8 -> /255) regardless of the pixel VALUES; float
+        # images pass through.  Keying on values would brighten binary
+        # masks / near-black uint8 images 255x.
+        img = np.asarray(raw, np.float32)
+        if np.issubdtype(raw.dtype, np.integer):
+            img = img / float(np.iinfo(raw.dtype).max)
         if img.ndim == 2:
             img = img[:, :, np.newaxis]
     if img.shape[2] == 4:

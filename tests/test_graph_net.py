@@ -787,3 +787,77 @@ class TestTimeModelCLI:
         with pytest.raises(SystemExit, match="declares no shapes"):
             main(["time", "--model", str(tmp_path / "net.prototxt"),
                   "--iters", "1"])
+
+
+class TestAdviceRound3:
+    """Regression pins for the round-3 advisor findings (ADVICE.md)."""
+
+    def test_two_bottom_scale_bias_is_blob_zero(self, tmp_path):
+        """Two-bottom Scale with bias_term=true: the ONLY learned blob
+        is the bias, stored at caffemodel blob index 0
+        (scale_layer.cpp LayerSetUp: the scale is bottom[1], so
+        this->blobs_ holds just the bias)."""
+        txt = """
+        layer { name: "x" type: "Input" top: "x" }
+        layer { name: "s" type: "Input" top: "s" }
+        layer { name: "sc" type: "Scale" bottom: "x" bottom: "s" top: "y"
+          scale_param { bias_term: true } }
+        """
+        net = GraphNet(txt)
+        ins = {"x": jnp.ones((2, 3)), "s": jnp.full((3,), 2.0)}
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        assert "bias" in params["sc"] and "scale" not in params["sc"]
+        rows = next(r for name, r, _ in
+                    net.caffemodel_specs(params, state) if name == "sc")
+        assert [r[0] for r in rows] == [0]
+        assert rows[0][2] == ("sc", "bias")
+        # survives a binaryproto round trip
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_binaryproto, save_caffemodel_binaryproto)
+        params["sc"]["bias"] = jnp.asarray([1.0, 2.0, 3.0])
+        path = str(tmp_path / "sc.caffemodel")
+        save_caffemodel_binaryproto(
+            path, params, state, specs=net.caffemodel_specs(params, state))
+        p2, s2 = net.init(jax.random.PRNGKey(9), ins)
+        p2, s2, _ = load_caffemodel_binaryproto(
+            path, p2, s2, specs=net.caffemodel_specs(p2, s2))
+        np.testing.assert_allclose(np.asarray(p2["sc"]["bias"]),
+                                   [1.0, 2.0, 3.0])
+
+    def test_conv_repeated_kernel_size_is_per_axis(self):
+        """kernel_size: 3 kernel_size: 5 means kh=3, kw=5 —
+        base_conv_layer.cpp reads repeated spatial fields per-axis,
+        not last-wins."""
+        txt = """
+        layer { name: "x" type: "Input" top: "x" }
+        layer { name: "cv" type: "Convolution" bottom: "x" top: "y"
+          convolution_param { num_output: 4
+            kernel_size: 3 kernel_size: 5 stride: 1 stride: 2
+            weight_filler { type: "xavier" } } }
+        """
+        net = GraphNet(txt)
+        x = jnp.zeros((1, 10, 11, 2))
+        params, state = net.init(jax.random.PRNGKey(0), {"x": x})
+        assert params["cv"]["w"].shape == (3, 5, 2, 4)
+        blobs, _ = net.apply(params, state, {"x": x})
+        # H: (10-3)/1+1 = 8;  W: (11-5)/2+1 = 4
+        assert blobs["y"].shape == (1, 8, 4, 4)
+
+    def test_dummy_data_4d_shape_is_nchw(self):
+        """A 4-D DummyData shape declaration is caffe NCHW and must
+        land NHWC here, exactly like net-level input_shape — else
+        downstream convs silently read C=W."""
+        txt = """
+        layer { name: "dd" type: "DummyData" top: "d"
+          dummy_data_param { shape { dim: 2 dim: 3 dim: 8 dim: 6 }
+            data_filler { type: "constant" value: 1 } } }
+        layer { name: "cv" type: "Convolution" bottom: "d" top: "y"
+          convolution_param { num_output: 5 kernel_size: 3
+            weight_filler { type: "xavier" } } }
+        """
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(0), {})
+        blobs, _ = net.apply(params, state, {})
+        assert blobs["d"].shape == (2, 8, 6, 3)
+        assert params["cv"]["w"].shape == (3, 3, 3, 5)
+        assert blobs["y"].shape == (2, 6, 4, 5)

@@ -349,3 +349,30 @@ class TestClassifyDetectCLI:
         z = np.load(tmp_path / "out.npz")
         assert z["predictions"].shape == (1, 4)
         assert z["windows"].shape == (1, 4)
+
+
+class TestLoadImageDtype:
+    """img_as_float keys normalization on the SOURCE DTYPE, never the
+    pixel values (skimage img_as_float semantics the reference's
+    io.load_image relies on)."""
+
+    def test_uint8_mask_scales_by_255(self, tmp_path):
+        from PIL import Image
+
+        mask = np.zeros((4, 4), np.uint8)
+        mask[0, 0] = 1  # max value 1 but dtype uint8 -> still /255
+        Image.fromarray(mask, mode="L").save(tmp_path / "m.png")
+        out = cio.load_image(str(tmp_path / "m.png"))
+        assert out.shape == (4, 4, 3)
+        assert out.max() == pytest.approx(1.0 / 255.0)
+        assert out.min() == 0.0
+
+    def test_uint8_full_range(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        Image.fromarray(img, mode="RGB").save(tmp_path / "c.png")
+        out = cio.load_image(str(tmp_path / "c.png"))
+        np.testing.assert_allclose(out, img.astype(np.float32) / 255.0,
+                                   atol=1e-7)

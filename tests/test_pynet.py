@@ -368,3 +368,62 @@ class TestPartialBackward:
         assert "x" in g
         assert float(np.abs(np.asarray(
             net.param_diffs["fc1"]["w"])).sum()) > 0
+
+
+class TestBlobDataWrite:
+    """The standard pycaffe input-setting idiom must WORK (not silently
+    no-op): ``net.blobs[in_].data[...] = x`` then ``net.forward()``
+    (python/caffe/pycaffe.py:97-104 sets input blobs exactly this way)."""
+
+    def test_input_write_feeds_next_forward(self):
+        ins = _mlp_inputs()
+        net = Net(MLP, phase="test", seed=1)
+        net.forward(**ins)
+        x2 = np.asarray(ins["x"]) * 2.0 + 0.5
+        net.blobs["x"].data[...] = x2
+        net.blobs["label"].data[...] = np.asarray(ins["label"])
+        out = net.forward()  # no kwargs: the written buffers feed it
+        ref = Net(MLP, phase="test", seed=1)
+        expect = ref.forward(x=x2, label=ins["label"])
+        np.testing.assert_allclose(float(out["loss"]),
+                                   float(expect["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(net.blobs["ip2"].data),
+                                   np.asarray(ref.blobs["ip2"].data),
+                                   rtol=1e-6)
+
+    def test_clean_read_does_not_refeed(self):
+        """Reading .data without writing must not override explicit
+        inputs or change results (the buffer is clean)."""
+        ins = _mlp_inputs()
+        net = Net(MLP, phase="test", seed=1)
+        out0 = float(net.forward(**ins)["loss"])
+        _ = net.blobs["x"].data  # read only
+        ins2 = {**ins, "x": np.asarray(ins["x"]) * 3.0}
+        out1 = float(net.forward(**ins2)["loss"])
+        ref = Net(MLP, phase="test", seed=1)
+        ref.forward(**ins)
+        out_ref = float(ref.forward(**ins2)["loss"])
+        np.testing.assert_allclose(out1, out_ref, rtol=1e-6)
+        assert out1 != out0
+
+    def test_intermediate_write_seeds_partial_forward(self):
+        """pycaffe mutates intermediate blobs then forward(start=) — the
+        written value must seed the range."""
+        txt = TestPartialForward.TXT
+        net = Net(txt, phase="test")
+        x = jnp.ones((2, 3))
+        net.forward(x=x)
+        h2 = np.asarray(net.blobs["h"].data) + 1.25
+        net.blobs["h"].data[...] = h2
+        out = net.forward(start="fc2", end="fc2")
+        expected = h2 @ np.asarray(net.params["fc2"]["w"]) \
+            + np.asarray(net.params["fc2"]["b"])
+        np.testing.assert_allclose(np.asarray(out["y"]), expected,
+                                   rtol=1e-5)
+
+    def test_array_view_reflects_write(self):
+        net = Net(MLP, phase="test", seed=1)
+        net.forward(**_mlp_inputs())
+        net.blobs["ip1"].data[...] = 7.0
+        assert float(np.asarray(net.blobs["ip1"]).max()) == 7.0
+        assert float(net.blobs["ip1"][0, 0]) == 7.0
