@@ -588,6 +588,118 @@ class TestTypedModelTrainingParity:
                     rtol=1e-4, atol=1e-6, err_msg=f"{bn}/{k} diverged")
 
 
+    def test_generic_path_matches_typed_adadelta_warm_start(self, tmp_path):
+        """The flagship solver (AdaDelta, the recipe's actual update
+        rule) pins on the capstone path too — after a 5-step SGD warm
+        start moves the net off the zero-init sim-metric point where
+        ULP sign flips make AdaDelta trajectories chaotic (see the SGD
+        test's docstring).  Params, BN running state, AND both AdaDelta
+        accumulators must agree over 5 steps at float tolerance
+        (adadelta_solver.cpp:26-106 recurrence)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from mms_answer_selection_tpu.models import mms_qa as M
+        from mms_answer_selection_tpu.training.optim import (SolverConfig,
+                                                             make_solver)
+        from mms_answer_selection_tpu.utils.prototxt import \
+            net_prototxt_from_config
+
+        cfg = dataclasses.replace(M.V4, vocab_size=120, sim_dropout=0.0,
+                                  fc1_dropout=0.0)
+        rng = np.random.default_rng(11)
+        n = 6
+        batch = {
+            "question": np.asarray(rng.integers(0, 120, (n, 40)),
+                                   np.int32),
+            "answer": np.asarray(rng.integers(0, 120, (n, 40)), np.int32),
+            "label": np.asarray(rng.integers(0, 2, (n,)), np.int32),
+            "overlap_feat": rng.normal(size=(n, 2)).astype(np.float32),
+        }
+        (tmp_path / "net.prototxt").write_text(
+            net_prototxt_from_config(cfg))
+        (tmp_path / "solver.prototxt").write_text(
+            'net: "net.prototxt"\nbase_lr: 1.0\nlr_policy: "fixed"\n'
+            'momentum: 0.95\nweight_decay: 0.0005\ntype: "AdaDelta"\n'
+            'delta: 1e-6\nmax_iter: 5\ntest_interval: 0\n'
+            'random_seed: 7\nsnapshot_prefix: "s"\n')
+        gs = GraphSolver(str(tmp_path / "solver.prototxt"),
+                         feeds={"data": {**batch, "batch_size": n,
+                                         "shuffle": False}})
+        copy = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jnp.array(np.asarray(x)), t)
+        name_map = {"embed": "w2v_q", "sim": "sim_cross",
+                    "conv0": "conv0", "bn0": "bn0", "conv1": "conv1",
+                    "bn1": "bn1", "fc1": "fc1", "fc2": "fc2"}
+        params = {k: copy(gs.params[v]) for k, v in name_map.items()}
+        state = {"bn0": copy(gs.state["bn0"]),
+                 "bn1": copy(gs.state["bn1"])}
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        spec = M.param_spec(params, cfg)
+
+        def loss_fn(p, s):
+            out, new_s = M.mms_qa_apply(p, s, jb, cfg, train=True,
+                                        rng=jax.random.PRNGKey(0))
+            return out["loss"], new_s
+
+        def make_step(solver):
+            @jax.jit
+            def step(p, s, o, it):
+                (loss, new_s), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p, s)
+                p2, o2 = solver.apply(p, grads, o, it)
+                return p2, new_s, o2, loss
+            return step
+
+        # -- warm start: 5 typed SGD steps off the zero-init W point --
+        warm = make_solver(SolverConfig(
+            solver_type="sgd", base_lr=0.1, momentum=0.9,
+            weight_decay=5e-4), spec)
+        warm_step = make_step(warm)
+        wopt = warm.init(params)
+        for it in range(5):
+            params, state, wopt, _ = warm_step(params, state, wopt, it)
+        assert float(jnp.abs(params["sim"]["w"]).max()) > 0  # off zero-W
+
+        # inject the SAME warm point into the generic solver (fresh
+        # copies both ways: the jitted steps donate their buffers)
+        gs.params = {**gs.params,
+                     **{v: copy(params[k]) for k, v in name_map.items()}}
+        gs.state = {**gs.state, "bn0": copy(state["bn0"]),
+                    "bn1": copy(state["bn1"])}
+        gs.opt_state = gs.solver.init(gs.params)
+        gs.step(5)
+
+        solver = make_solver(SolverConfig(
+            solver_type="adadelta", base_lr=1.0, momentum=0.95,
+            weight_decay=5e-4, delta=1e-6), spec)
+        opt = solver.init(params)
+        typed_step = make_step(solver)
+        for it in range(5):
+            params, state, opt, loss = typed_step(params, state, opt, it)
+
+        for typed_key, gs_key in name_map.items():
+            for blob, arr in params[typed_key].items():
+                np.testing.assert_allclose(
+                    np.asarray(gs.params[gs_key][blob]), np.asarray(arr),
+                    rtol=1e-4, atol=1e-6,
+                    err_msg=f"{gs_key}/{blob} diverged")
+            # the AdaDelta accumulator HISTORY walked identically too
+            for acc in ("h", "h2"):
+                for blob, arr in opt[acc][typed_key].items():
+                    np.testing.assert_allclose(
+                        np.asarray(gs.opt_state[acc][gs_key][blob]),
+                        np.asarray(arr), rtol=1e-4, atol=1e-7,
+                        err_msg=f"opt.{acc}.{gs_key}/{blob} diverged")
+        for bn in ("bn0", "bn1"):
+            for k, arr in state[bn].items():
+                np.testing.assert_allclose(
+                    np.asarray(gs.state[bn][k]), np.asarray(arr),
+                    rtol=1e-4, atol=1e-6, err_msg=f"{bn}/{k} diverged")
+
+
 class TestPairImageFamily:
     def test_pair_image_net_trains_generically(self, tmp_path):
         """The SECOND model family end-to-end through the generic path:
