@@ -1024,13 +1024,36 @@ def cmd_extract_features(args):
 
 
 def cmd_upgrade(args):
-    """tools/upgrade_net_proto_text.cpp + upgrade_solver_proto_text.cpp:
-    read a (possibly V0/V1-era) prototxt, upgrade it to the modern
-    schema, write it back as text."""
+    """tools/upgrade_net_proto_text.cpp + upgrade_solver_proto_text.cpp
+    (and, with --binary, upgrade_net_proto_binary.cpp): read a
+    (possibly V0/V1-era) prototxt or binary NetParameter, upgrade it to
+    the modern schema, write it back."""
     from .utils.prototxt import (emit_prototxt, parse_prototxt,
                                  upgrade_net_prototxt,
                                  upgrade_solver_prototxt)
 
+    if args.binary:
+        from .utils.proto_wire import (collect_dropped_unknowns,
+                                       decode_net_binary,
+                                       encode_net_binary, strip_blobs)
+
+        if not args.out:
+            raise SystemExit("--binary needs an explicit output path")
+        with open(args.input, "rb") as f:
+            d = decode_net_binary(f.read())
+        dropped = collect_dropped_unknowns(d)
+        for path, num in dropped:
+            print(f"warning: dropping unknown field {num} at {path}")
+        up = upgrade_net_prototxt(d)
+        if args.out.endswith((".prototxt", ".txt")):
+            # structure only: blob payloads are not text
+            with open(args.out, "w") as f:
+                f.write(emit_prototxt(strip_blobs(up)) + "\n")
+        else:
+            with open(args.out, "wb") as f:
+                f.write(encode_net_binary(up))
+        print(f"wrote {args.out} (net, from binary)")
+        return
     with open(args.input) as f:
         d = parse_prototxt(f.read())
     kind = args.kind
@@ -1439,11 +1462,18 @@ def main(argv=None):
         "upgrade",
         help="upgrade_net/solver_proto_text tools: legacy prototxt -> "
              "modern schema text")
-    p.add_argument("input", help="net or solver prototxt (any era)")
+    p.add_argument("input", help="net or solver prototxt (any era), or "
+                                 "with --binary a binary NetParameter "
+                                 "(.caffemodel)")
     p.add_argument("out", nargs="?", help="output path (stdout if "
-                                          "omitted)")
+                                          "omitted; required with "
+                                          "--binary)")
     p.add_argument("--kind", default="auto",
                    choices=["auto", "net", "solver"])
+    p.add_argument("--binary", action="store_true",
+                   help="upgrade_net_proto_binary: input is a binary "
+                        "NetParameter; writes binary, or structure-only "
+                        "text when out ends in .prototxt")
     p.set_defaults(fn=cmd_upgrade)
 
     p = sub.add_parser(

@@ -459,9 +459,18 @@ def load_caffemodel_binaryproto(path, params, state, *, specs=None):
             raise ValueError(
                 f"layer {layer}: file has {len(blobs)} blobs, model "
                 f"expects {len(rows)} (net.cpp:755 CHECK_EQs the same)")
-        for (idx, tree, keypath, _, from_caffe), arr in zip(rows, blobs):
-            src = from_caffe(arr)
+        for (idx, tree, keypath, to_caffe, from_caffe), arr in zip(rows,
+                                                                   blobs):
             dst = _get(trees, tree, keypath)
+            want = np.shape(to_caffe(np.asarray(dst, np.float32)))
+            if tuple(arr.shape) != want and arr.ndim == 4 \
+                    and len(want) <= 4 \
+                    and arr.shape == (1,) * (4 - len(want)) + want:
+                # legacy 4-D (num, channels, h, w) dims right-align onto
+                # the modern shape (blob.cpp ShapeEquals' legacy branch:
+                # V0-era blobs store 2-D weights as (1, 1, out, in))
+                arr = arr.reshape(want)
+            src = from_caffe(arr)
             if tuple(src.shape) != tuple(np.shape(dst)):
                 raise ValueError(
                     f"shape mismatch for {layer} blob {idx}: file "

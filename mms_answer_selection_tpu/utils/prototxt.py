@@ -152,25 +152,36 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
-def _param_specs_from_mults(nl, lrs, wds):
-    """blobs_lr / weight_decay repeated multipliers -> modern param {}
-    specs (UpgradeV1LayerParameter, upgrade_proto.cpp:706-735; omitted
+def _param_specs_from_mults(nl, lrs, wds, names=(), shares=()):
+    """blobs_lr / weight_decay repeated multipliers (+ V1 ``param``
+    share NAMES and ``blob_share_mode``) -> modern param {} specs
+    (UpgradeV1LayerParameter, upgrade_proto.cpp:706-735; omitted
     entries read as the proto default 1)."""
-    n = max(len(lrs), len(wds))
+    n = max(len(lrs), len(wds), len(names), len(shares))
     if n:
-        nl["param"] = [
-            {"lr_mult": lrs[i] if i < len(lrs) else 1.0,
-             "decay_mult": wds[i] if i < len(wds) else 1.0}
-            for i in range(n)]
+        specs = []
+        for i in range(n):
+            sp: dict = {}
+            if i < len(names):
+                sp["name"] = names[i]
+            if i < len(shares):
+                sp["share_mode"] = shares[i]
+            sp["lr_mult"] = lrs[i] if i < len(lrs) else 1.0
+            sp["decay_mult"] = wds[i] if i < len(wds) else 1.0
+            specs.append(sp)
+        nl["param"] = specs
 
 
 def _upgrade_v1_layer(layer: dict) -> dict:
     nl = {k: v for k, v in layer.items()
-          if k not in ("type", "blobs_lr", "weight_decay")}
+          if k not in ("type", "blobs_lr", "weight_decay", "param",
+                       "blob_share_mode")}
     t = str(layer.get("type", ""))
     nl["type"] = _V1_TYPE_NAMES.get(t.upper(), t)
     _param_specs_from_mults(nl, _as_list(layer.get("blobs_lr")),
-                            _as_list(layer.get("weight_decay")))
+                            _as_list(layer.get("weight_decay")),
+                            _as_list(layer.get("param")),
+                            _as_list(layer.get("blob_share_mode")))
     return nl
 
 
@@ -216,6 +227,8 @@ def _upgrade_v0_layer(outer: dict) -> dict:
             knobs[_V0_RENAMES.get(f, f)] = v0[f]
     if msg and knobs:
         nl[msg] = knobs
+    if "blobs" in v0:  # binary upgrades carry the weight blobs verbatim
+        nl["blobs"] = v0["blobs"]
     _param_specs_from_mults(nl, _as_list(v0.get("blobs_lr")),
                             _as_list(v0.get("weight_decay")))
     return nl
