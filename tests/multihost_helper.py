@@ -76,8 +76,53 @@ def run_stream(steps: int = 20, eval_interval: int = 5):
                                  "best_dev_map")}
 
 
+def run_serve(k: int = 8):
+    """Deterministic QueryEngine build/query over the global ("c",) mesh:
+    the candidate pool shards across EVERY process's devices, per-shard
+    top-k merges over the collective fabric, and the merged result
+    replicates back to every controller.  Returns the top-k tables for
+    the plain sharded path and the chunked scan-inside-shard_map path.
+    Requires jax configured (cpu, 8 global devices) first."""
+    import jax
+    from jax.sharding import Mesh
+    from mms_answer_selection_tpu.models.mms_qa import (
+        ConvBlock, MMSQAConfig, mms_qa_init)
+    from mms_answer_selection_tpu.serve import QueryEngine
+
+    assert len(jax.devices()) == 8, jax.devices()
+    cfg = MMSQAConfig(
+        vocab_size=64, embed_dim=16, question_len=12, answer_len=12,
+        sim_measures=2,
+        blocks=(ConvBlock(3, 3, 8, "ave", 2, 2),
+                ConvBlock(3, 3, 8, "ave", 3, 1)),
+        fc1_dim=8, sim_weight_init="xavier")
+    params, _ = mms_qa_init(jax.random.PRNGKey(0), cfg)
+    # host-side copies: every process holds identical global values, so
+    # device_put with a cross-process NamedSharding is well-defined
+    params = jax.device_get(params)
+    mesh = Mesh(np.asarray(jax.devices()), ("c",))
+    rng = np.random.default_rng(7)
+    queries = rng.integers(0, 64, (4, 12)).astype(np.int32)
+    out = {}
+    cand = rng.integers(0, 64, (1024, 12)).astype(np.int32)
+    eng = QueryEngine(params, cfg, mesh=mesh,
+                      interpret=True).build_index(cand)
+    vals, idx = eng.query(queries, k=k)
+    out["vals"] = np.asarray(vals).tolist()
+    out["idx"] = np.asarray(idx).tolist()
+    big = rng.integers(0, 64, (2088, 12)).astype(np.int32)
+    eng_c = QueryEngine(params, cfg, mesh=mesh, interpret=True,
+                        chunk_size=128).build_index(big)
+    assert eng_c.chunks is not None, "expected the chunked sharded path"
+    v2, i2 = eng_c.query(queries, k=k)
+    out["vals_chunked"] = np.asarray(v2).tolist()
+    out["idx_chunked"] = np.asarray(i2).tolist()
+    return out
+
+
 def main(argv):
     port, pid, out = int(argv[1]), int(argv[2]), argv[3]
+    mode = argv[4] if len(argv) > 4 else "train"
     import jax
     # the sandbox's sitecustomize force-selects the axon TPU backend; undo
     # BEFORE any backend init (see CLAUDE.md)
@@ -85,7 +130,7 @@ def main(argv):
     from mms_answer_selection_tpu.parallel.multihost import initialize
     initialize(f"localhost:{port}", 2, pid)
     assert jax.process_count() == 2, jax.process_count()
-    hist = run_stream()
+    hist = run_stream() if mode == "train" else run_serve()
     with open(out, "w") as f:
         json.dump({"process_index": jax.process_index(), **hist}, f)
     print("WORKER OK", pid, flush=True)
