@@ -861,3 +861,65 @@ class TestAdviceRound3:
         assert blobs["d"].shape == (2, 8, 6, 3)
         assert params["cv"]["w"].shape == (3, 3, 3, 5)
         assert blobs["y"].shape == (2, 6, 4, 5)
+
+
+class TestLSTMUnit:
+    def test_standalone_prototxt_type(self):
+        """LSTMUnit (lstm_unit_layer.cpp) as a directly-named prototxt
+        type: one parameter-free cell step, gate order i,f,o,g."""
+        txt = """
+        layer { name: "c0" type: "Input" top: "c_prev" }
+        layer { name: "x0" type: "Input" top: "x" }
+        layer { name: "ct" type: "Input" top: "cont" }
+        layer { name: "u" type: "LSTMUnit" bottom: "c_prev" bottom: "x"
+          bottom: "cont" top: "c" top: "h" }
+        """
+        rng = np.random.default_rng(4)
+        n, hdim = 3, 4
+        c_prev = rng.normal(size=(1, n, hdim)).astype(np.float32)
+        x = rng.normal(size=(1, n, 4 * hdim)).astype(np.float32)
+        cont = np.asarray([[1.0, 0.0, 1.0]], np.float32)
+        net = GraphNet(txt)
+        ins = {"c_prev": jnp.asarray(c_prev), "x": jnp.asarray(x),
+               "cont": jnp.asarray(cont)}
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        assert params == {}  # parameter-free
+        blobs, _ = net.apply(params, state, ins)
+
+        def sig(v):
+            return 1.0 / (1.0 + np.exp(-v))
+
+        i, f, o, g = np.split(x, 4, axis=-1)
+        c = cont[..., None] * sig(f) * c_prev + sig(i) * np.tanh(g)
+        h = sig(o) * np.tanh(c)
+        np.testing.assert_allclose(np.asarray(blobs["c"]), c, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(blobs["h"]), h, rtol=1e-5)
+
+    def test_matches_lstm_apply_step(self):
+        """Composing the unit with the fused gate linear reproduces one
+        lstm_apply step (lstm_layer.cpp's unrolled net IS this
+        composition)."""
+        from mms_answer_selection_tpu.ops.recurrent import (lstm_apply,
+                                                            lstm_init)
+
+        rng = np.random.default_rng(5)
+        d, hdim, n = 5, 4, 3
+        params = lstm_init(jax.random.PRNGKey(1), d, hdim)
+        x_seq = rng.normal(size=(1, n, d)).astype(np.float32)
+        out, _ = lstm_apply(params, jnp.asarray(x_seq))
+
+        gates = x_seq[0] @ np.asarray(params["wx"]) \
+            + np.asarray(params["b"])  # h0 = 0 -> no wh term
+        txt = """
+        layer { name: "c0" type: "Input" top: "c_prev" }
+        layer { name: "x0" type: "Input" top: "x" }
+        layer { name: "u" type: "LSTMUnit" bottom: "c_prev" bottom: "x"
+          top: "c" top: "h" }
+        """
+        net = GraphNet(txt)
+        ins = {"c_prev": jnp.zeros((1, n, hdim)),
+               "x": jnp.asarray(gates[None])}
+        p, s = net.init(jax.random.PRNGKey(0), ins)
+        blobs, _ = net.apply(p, s, ins)
+        np.testing.assert_allclose(np.asarray(blobs["h"]),
+                                   np.asarray(out), rtol=1e-5)
