@@ -920,13 +920,31 @@ def cmd_convert_imageset(args):
                          is_color=not args.gray)
         if shape is None:
             shape = arr.shape
-        elif arr.shape != shape:
-            # --check_size is implicit: HDF5 rows must stack
+        elif arr.shape != shape and args.backend != "lmdb":
+            # --check_size is implicit: HDF5 rows must stack (Datums
+            # may vary per-row, like the reference's LMDB)
             raise SystemExit(
                 f"{path}: shape {arr.shape} != first image {shape} "
                 "(use --resize-height/--resize-width)")
         imgs.append(arr)
         labels.append(label)
+
+    if args.backend == "lmdb":
+        # the reference's artifact: uint8 (C, H, W) Datums keyed
+        # "%08d_%path" (convert_imageset.cpp:140-156)
+        from .utils.io import array_to_datum
+        from .utils.lmdb_io import write_lmdb
+
+        entries = []
+        for i, ((path, label), arr) in enumerate(zip(rows, imgs)):
+            chw = np.transpose(np.clip(arr, 0, 255).astype(np.uint8),
+                               (2, 0, 1))
+            entries.append((f"{i:08d}_{path}".encode(),
+                            array_to_datum(chw, int(label))))
+        out = write_lmdb(args.out, entries)
+        print(f"Processed {len(rows)} files.")
+        print(f"wrote {out}")
+        return
 
     os.makedirs(args.out, exist_ok=True)
     data = np.stack(imgs).astype(np.float32)
@@ -1441,6 +1459,13 @@ def main(argv=None):
     p.add_argument("--name", default="data",
                    help="list file basename (data -> data.txt)")
     p.add_argument("--chunk-rows", type=int, default=100000)
+    p.add_argument("--backend", default="hdf5",
+                   choices=["hdf5", "lmdb"],
+                   help="hdf5 (chunked HDF5 + list, the TPU-native "
+                        "artifact) or lmdb (uint8 Datums in an LMDB "
+                        "env, the reference's convert_imageset format "
+                        "— readable by Data layers both here and in "
+                        "the reference)")
     p.set_defaults(fn=cmd_convert_imageset)
 
     p = sub.add_parser(

@@ -248,11 +248,64 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             for b in ds:
                 yield {tops[0]: b["data"], tops[1]: b["label"]}
         return _Feed(gen(), tops)
+    if t == "Data":
+        from ..data.lmdb_data import LmdbDatumDataset
+
+        p = _one(node_cfg.get("data_param"), {}) or {}
+        tf = _one(node_cfg.get("transform_param"), {}) or {}
+        source = _one(p.get("source"))
+        if source is None:
+            raise ValueError(f"Data layer {name!r} has no source")
+        if not os.path.isabs(source):
+            cand = os.path.join(base_dir, source)
+            source = cand if os.path.exists(cand) else source
+        backend = str(_one(p.get("backend"), "LEVELDB")).upper()
+        has_mdb = os.path.exists(
+            source if source.endswith(".mdb")
+            else os.path.join(source, "data.mdb"))
+        if backend != "LMDB" and not has_mdb:
+            raise ValueError(
+                f"Data layer {name!r}: backend {backend} is not "
+                f"readable here — only LMDB environments are "
+                f"(db_lmdb.cpp path; convert LevelDB artifacts with the "
+                f"reference's convert tool first)")
+        mean = None
+        mv = _as_list(tf.get("mean_value"))
+        mf = _one(tf.get("mean_file"), _one(p.get("mean_file")))
+        if mv and mf:
+            raise ValueError(f"Data layer {name!r}: transform_param sets "
+                             f"both mean_file and mean_value")
+        if mv:
+            mean = np.asarray(mv, np.float32)
+        elif mf:
+            from ..data.pair_image import load_mean_hwc
+
+            mf = str(mf)
+            if not os.path.isabs(mf):
+                cand = os.path.join(base_dir, mf)
+                mf = cand if os.path.exists(cand) else mf
+            mean = load_mean_hwc(mf)
+        ds = LmdbDatumDataset(
+            source, int(_one(p.get("batch_size"), 1)),
+            scale=float(_one(tf.get("scale"), _one(p.get("scale"), 1.0))),
+            mean=mean,
+            crop_size=int(_one(tf.get("crop_size"),
+                               _one(p.get("crop_size"), 0))),
+            mirror=str(_one(tf.get("mirror"),
+                            _one(p.get("mirror"), False))).lower()
+            == "true",
+            rand_skip=int(_one(p.get("rand_skip"), 0)),
+            train=phase == "train", seed=seed)
+
+        def gen(ds=ds, tops=tops):
+            for b in ds:
+                yield {tops[0]: b["data"], tops[1]: b["label"]}
+        return _Feed(gen(), tops)
     raise ValueError(
         f"data layer {name!r} (type {t}) needs a feeds= entry: "
         f"feeds={{{name!r}: {{top: array, ..., 'batch_size': n}}}} — only "
-        f"HDF5Data, ImageData, PairImageData, WindowData and DummyData "
-        f"sources are read from the prototxt")
+        f"Data (LMDB), HDF5Data, ImageData, PairImageData, WindowData "
+        f"and DummyData sources are read from the prototxt")
 
 
 class GraphSolver:
