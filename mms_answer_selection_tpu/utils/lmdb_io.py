@@ -218,8 +218,8 @@ def write_lmdb(path: str, items, *, psize: int = 4096,
             cur, lower, upper = [], _HDR, psize
 
         for key, nb in nodes:
-            need = 2 + _even(len(nb))
-            if cur and lower + 2 + need > upper:
+            need = 2 + _even(len(nb))  # ptr slot + aligned node
+            if cur and lower + need > upper:
                 flush()
             lower += 2
             upper -= _even(len(nb))
