@@ -242,6 +242,48 @@ def run_pool_suite(pool_size: int, *, n_fid_queries: int = 16, k: int = 10,
     return out
 
 
+def run_rerank_bench(pool_size: int, *, shortlist: int = 50, k: int = 10,
+                     iters: int = 10):
+    """End-to-end TWO-PHASE serving p50: int8 token-major shortlist ->
+    exact interaction-model rescoring (QueryEngine.query_rerank — the
+    serving recipe the fidelity tables assume).  Params are a full
+    random-init V4-geometry model with the synthetic embed/metric
+    swapped in; BN runs its init stats (timing is shape-, not
+    value-dependent)."""
+    import jax
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.models.mms_qa import (MMSQAConfig,
+                                                        mms_qa_init)
+    from mms_answer_selection_tpu.serve import QueryEngine
+
+    d, w1, w2, m, vocab = 50, 40, 40, 4, 50000
+    cfg = MMSQAConfig(vocab_size=vocab, embed_dim=d, question_len=w1,
+                      answer_len=w2, sim_measures=m)
+    params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    params["embed"]["w"] = jnp.asarray(
+        rng.normal(size=(vocab, d)).astype(np.float32) * 0.3)
+    params["sim"]["w"] = jnp.asarray(
+        rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
+    eng = QueryEngine(params, cfg, pool_dtype="int8")
+    eng.build_index(rng.integers(0, vocab, (pool_size, w2))
+                    .astype(np.int32))
+    out = {"pool": eng.pool_size, "shortlist": shortlist, "k": k}
+    for nq in (1, 32):
+        q = rng.integers(0, vocab, (nq, w1)).astype(np.int32)
+        # warm both phases' executables; host fetch fences (tunnel rule)
+        np.asarray(eng.query_rerank(state, q, k=k,
+                                    shortlist=shortlist)[0])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(eng.query_rerank(state, q, k=k,
+                                        shortlist=shortlist)[0])
+            times.append(time.perf_counter() - t0)
+        out[f"rerank_p50_ms_{nq}q"] = float(np.median(times) * 1e3)
+    return out
+
+
 def run_train_bench(batch: int, iters: int, fused_k: int = 0):
     """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta).
 
@@ -365,6 +407,7 @@ def main():
                     "int8_p50_1q_ms": s1m["int8_p50_1q_ms"],
                     "build_seconds": s1m["build_seconds"],
                 },
+                "rerank_262k": run_rerank_bench(262144),
             }
         print(json.dumps({
             "metric": "learned_metric_pairs_scored_per_sec_per_chip",

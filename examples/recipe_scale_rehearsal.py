@@ -58,6 +58,11 @@ def main():
                          "on-topic distractor negatives) so MAP converges "
                          "to an interior asymptote like real data")
     ap.add_argument("--seed", type=int, default=22)
+    ap.add_argument("--early-stop-patience", type=int, default=5,
+                    help="epochs without dev-MAP improvement before "
+                         "stopping (do_trec_qa_clean.py's wait_patience "
+                         "5); 0 disables — the full-budget timing run "
+                         "walks all max_iter steps")
     args = ap.parse_args()
 
     if args.cpu:
@@ -104,7 +109,9 @@ def main():
         max_iter=args.max_iter, batch_size=50,
         test_interval=args.test_interval,
         snapshot_interval=args.snapshot_interval,
-        early_stop_patience=5, seed=args.seed,
+        early_stop_patience=(args.early_stop_patience
+                             or args.max_iter),  # 0 = never fires
+        seed=args.seed,
         snapshot_dir=os.path.join(args.out, "models"))
     trainer = Trainer(model_cfg, trainer_cfg)
     hist = trainer.fit(splits["train"], splits["dev"],
@@ -152,6 +159,9 @@ def main():
         "test_trec_eval": {k: v for k, v in ev.items()
                            if not isinstance(v, dict)},
         "max_iter": args.max_iter,
+        "early_stop_patience": args.early_stop_patience,
+        "last_eval_step": int(hist["steps"][-1]) if hist.get("steps")
+        else 0,
         "backend": "cpu" if args.cpu else "tpu",
         "wall_s": round(time.time() - t0, 1),
     }
