@@ -351,8 +351,26 @@ class Net:
             self._state = new_state  # BN EMA updates, like Forward would
         self._last_inputs = inputs
         self._last_rng = rng
-        self.blobs = OrderedDict((k, Blob(v)) for k, v in blobs.items())
+        self.blobs = OrderedDict((k, self._refresh_blob(k, v))
+                                 for k, v in blobs.items())
         return {k: blobs[k] for k in self.outputs if k in blobs}
+
+    def _refresh_blob(self, name, value):
+        """New value for a named blob: REUSE the existing Blob object
+        (updating its host buffer in place) when the user materialized
+        one — pycaffe's ``.data`` is a persistent view, so scripts hold
+        it across forwards and keep writing into it; a fresh object per
+        forward would silently orphan those references."""
+        import numpy as np
+
+        old = self.blobs.get(name)
+        if old is not None and old._buf is not None \
+                and old._buf.shape == tuple(value.shape):
+            old._a = value
+            np.copyto(old._buf, np.asarray(value))
+            old._digest = old._hash(old._buf)
+            return old
+        return Blob(value)
 
     def _forward_range(self, start, end, inputs):
         """Partial forward over [start, end] (see forward)."""
@@ -380,7 +398,8 @@ class Net:
         if train:
             self._state = new_state
         merged = OrderedDict(self.blobs)
-        merged.update((k, Blob(v)) for k, v in blobs.items())
+        merged.update((k, self._refresh_blob(k, v))
+                      for k, v in blobs.items())
         self.blobs = merged
         if end is not None:
             node = next(n for n in net.layers if n.name == end)

@@ -122,7 +122,8 @@ def datum_to_array(datum: bytes):
     float32 from ``float_data`` (io.py:83-94).  Label is available via
     :func:`datum_label`."""
     c = h = w = 0
-    data = fdata = None
+    data = None
+    fparts: list = []
     for field, wt, val in _iter_fields(memoryview(datum)):
         if field == 1 and wt == 0:
             c = val
@@ -132,9 +133,14 @@ def datum_to_array(datum: bytes):
             w = val
         elif field == 4 and wt == 2:
             data = np.frombuffer(val, np.uint8)
-        elif field == 6 and wt == 2:
-            fdata = np.frombuffer(val, "<f4")
-    src = data if data is not None else fdata
+        elif field == 6 and wt == 2:  # packed float_data
+            fparts.append(np.frombuffer(val, "<f4"))
+        elif field == 6 and wt == 5:
+            # UNPACKED repeated float: proto2's default encoding — the
+            # C++ runtime writes one wiretype-5 field per element
+            fparts.append(np.frombuffer(bytes(val), "<f4"))
+    src = data if data is not None \
+        else (np.concatenate(fparts) if fparts else None)
     if src is None:
         raise ValueError("datum carries neither data nor float_data")
     return src.reshape(c, h, w).copy()

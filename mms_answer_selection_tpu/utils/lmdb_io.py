@@ -166,6 +166,10 @@ def write_lmdb(path: str, items, *, psize: int = 4096,
     ``data.mdb`` inside, like mdb_env_open without MDB_NOSUBDIR) or an
     explicit ``.mdb`` file path.  Returns the data file path."""
     rows = sorted((bytes(k), bytes(v)) for k, v in items)
+    for k, _v in rows:
+        if len(k) > 511:  # liblmdb's default MDB_MAXKEYSIZE
+            raise ValueError(f"key of {len(k)} bytes exceeds LMDB's "
+                             f"511-byte key limit")
     pages: dict[int, bytearray] = {}
     next_pg = [2]
 

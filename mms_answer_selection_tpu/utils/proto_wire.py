@@ -56,6 +56,15 @@ _LOSS_NORMALIZATION = {0: "FULL", 1: "VALID", 2: "BATCH_SIZE", 3: "NONE"}
 _SHARE_MODE = {0: "STRICT", 1: "PERMISSIVE"}
 _SOLVER_TYPE = {0: "SGD", 1: "NESTEROV", 2: "ADAGRAD", 3: "RMSPROP",
                 4: "ADADELTA", 5: "ADAM"}
+_REDUCTION_OP = {1: "SUM", 2: "ASUM", 3: "SUMSQ", 4: "MEAN"}
+
+
+def _signed(v: int) -> int:
+    """Varint -> Python int with int32/int64 sign recovery: protobuf
+    encodes negative int32/int64 as a 10-byte sign-extended varint, so
+    any value with bit 63 set is a negative field (no NetParameter
+    field legitimately holds an unsigned >= 2^63)."""
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +175,54 @@ _WINDOW_DATA = {
     13: ("root_folder", "s"),
 }
 _INPUT = {1: ("shape", ("m", "BlobShape"))}
+_PYTHON = {1: ("module", "s"), 2: ("layer", "s"), 3: ("param_str", "s"),
+           4: ("share_in_parallel", "b")}
+_PRELU = {1: ("filler", ("m", "Filler")), 2: ("channel_shared", "b")}
+_SPP = {1: ("pyramid_height", "i"), 2: ("pool", ("e", _POOL_METHOD)),
+        6: ("engine", "i")}
+_RESHAPE = {1: ("shape", ("m", "BlobShape")), 2: ("axis", "i"),
+            3: ("num_axes", "i")}
+_LOG = {1: ("base", "f"), 2: ("scale", "f"), 3: ("shift", "f")}
+_REDUCTION = {1: ("operation", ("e", _REDUCTION_OP)), 2: ("axis", "i"),
+              3: ("coeff", "f")}
+_EMBED = {1: ("num_output", "i"), 2: ("input_dim", "i"),
+          3: ("bias_term", "b"), 4: ("weight_filler", ("m", "Filler")),
+          5: ("bias_filler", ("m", "Filler")), 7: ("weight_source", "s")}
+_TILE = {1: ("axis", "i"), 2: ("tiles", "i")}
+_BATCH_NORM = {1: ("use_global_stats", "b"),
+               2: ("moving_average_fraction", "f"), 3: ("eps", "f")}
+_ELU = {1: ("alpha", "f")}
+_BIAS = {1: ("axis", "i"), 2: ("num_axes", "i"),
+         3: ("filler", ("m", "Filler"))}
+_SCALE_P = {1: ("axis", "i"), 2: ("num_axes", "i"),
+            3: ("filler", ("m", "Filler")), 4: ("bias_term", "b"),
+            5: ("bias_filler", ("m", "Filler"))}
+_CROP = {1: ("axis", "i"), 2: ("offset", "i")}
+_PARAMETER = {1: ("shape", ("m", "BlobShape"))}
+_RECURRENT = {1: ("num_output", "i"),
+              2: ("weight_filler", ("m", "Filler")),
+              3: ("bias_filler", ("m", "Filler")),
+              4: ("debug_info", "b"), 5: ("expose_hidden", "b")}
+# the fork's extension params (reference caffe.proto:407-488)
+_AUC = {1: ("fixed_axis", "i"), 2: ("axis", "i"), 3: ("ignore_label", "i")}
+_BN = {1: ("bn_memory", "f"), 2: ("scale_filler", ("m", "Filler")),
+       3: ("shift_filler", ("m", "Filler"))}
+_SIM_CROSS = {1: ("dist_mode", "i"), 2: ("mesure_count", "i"),
+              3: ("weight_filler", ("m", "Filler")),
+              4: ("bias_term", "b"),
+              5: ("bias_filler", ("m", "Filler"))}
+_PAIR_RANK_LOSS = {1: ("margin", "f")}
+_PAIR_IMAGE_DATA = {
+    1: ("source", "s"), 2: ("scale", "f"), 3: ("mean_file", "s"),
+    4: ("batch_size", "i"), 5: ("crop_size", "i"), 6: ("mirror", "b"),
+    7: ("rand_skip", "i"), 8: ("shuffle", "b"), 9: ("new_height", "i"),
+    10: ("new_width", "i"), 11: ("is_color", "b"),
+    12: ("root_folder", "s"),
+}
+_SIM_MATRIX = {1: ("weight_filler", ("m", "Filler"))}
+_MRR = {1: ("fixed_axis", "i")}
+_MAP = {1: ("fixed_axis", "i")}
+_FM = {1: ("bias_term", "b")}
 
 # V0LayerParameter (upgrade_proto.cpp:87-560 reads these flat fields)
 _V0_LAYER = {
@@ -179,8 +236,11 @@ _V0_LAYER = {
     19: ("batchsize", "i"), 20: ("cropsize", "i"), 21: ("mirror", "b"),
     22: ("k", "f"), 50: ("blobs", "B"), 51: ("blobs_lr", "f"),
     52: ("weight_decay", "f"), 53: ("rand_skip", "i"),
-    58: ("new_num", "i"), 59: ("new_channels", "i"),
-    60: ("new_height", "i"), 61: ("new_width", "i"),
+    54: ("det_fg_threshold", "f"), 55: ("det_bg_threshold", "f"),
+    56: ("det_fg_fraction", "f"), 58: ("det_context_pad", "i"),
+    59: ("det_crop_mode", "s"),
+    60: ("new_num", "i"), 61: ("new_channels", "i"),
+    62: ("new_height", "i"), 63: ("new_width", "i"),
     # shuffle_images -> the text-side knob name "shuffle"
     64: ("shuffle", "b"), 65: ("concat_dim", "i"),
 }
@@ -265,8 +325,33 @@ _LAYER = {
     127: ("tanh_param", ("m", "TanH")),
     128: ("threshold_param", ("m", "Threshold")),
     129: ("window_data_param", ("m", "WindowData")),
+    130: ("python_param", ("m", "Python")),
+    131: ("prelu_param", ("m", "PReLU")),
+    132: ("spp_param", ("m", "SPP")),
+    133: ("reshape_param", ("m", "Reshape")),
+    134: ("log_param", ("m", "Log")),
     135: ("flatten_param", ("m", "Flatten")),
+    136: ("reduction_param", ("m", "Reduction")),
+    137: ("embed_param", ("m", "Embed")),
+    138: ("tile_param", ("m", "Tile")),
+    139: ("batch_norm_param", ("m", "BatchNorm")),
+    140: ("elu_param", ("m", "ELU")),
+    141: ("bias_param", ("m", "Bias")),
+    142: ("scale_param", ("m", "ScaleParam")),
     143: ("input_param", ("m", "Input")),
+    144: ("crop_param", ("m", "Crop")),
+    145: ("parameter_param", ("m", "Parameter")),
+    146: ("recurrent_param", ("m", "Recurrent")),
+    # the fork's extension params (reference caffe.proto:407-415)
+    160: ("auc_param", ("m", "AUC")),
+    161: ("bn_param", ("m", "BN")),
+    162: ("sim_cross_param", ("m", "SimCross")),
+    163: ("pair_rank_loss_param", ("m", "PairRankLoss")),
+    164: ("pair_image_data_param", ("m", "PairImageData")),
+    165: ("sim_matrix_param", ("m", "SimMatrix")),
+    166: ("mrr_param", ("m", "MRR")),
+    167: ("map_param", ("m", "MAP")),
+    168: ("fm_param", ("m", "FM")),
 }
 
 _NET = {
@@ -294,7 +379,14 @@ _SCHEMAS = {
     "Power": _POWER, "ReLU": _RELU, "Sigmoid": _SIGMOID,
     "Slice": _SLICE, "Softmax": _SOFTMAX, "TanH": _TANH,
     "Threshold": _THRESHOLD, "WindowData": _WINDOW_DATA,
-    "Input": _INPUT,
+    "Input": _INPUT, "Python": _PYTHON, "PReLU": _PRELU, "SPP": _SPP,
+    "Reshape": _RESHAPE, "Log": _LOG, "Reduction": _REDUCTION,
+    "Embed": _EMBED, "Tile": _TILE, "BatchNorm": _BATCH_NORM,
+    "ELU": _ELU, "Bias": _BIAS, "ScaleParam": _SCALE_P, "Crop": _CROP,
+    "Parameter": _PARAMETER, "Recurrent": _RECURRENT, "AUC": _AUC,
+    "BN": _BN, "SimCross": _SIM_CROSS, "PairRankLoss": _PAIR_RANK_LOSS,
+    "PairImageData": _PAIR_IMAGE_DATA, "SimMatrix": _SIM_MATRIX,
+    "MRR": _MRR, "MAP": _MAP, "FM": _FM,
 }
 
 # name -> (number, kind) reverse tables, built once
@@ -359,7 +451,8 @@ def _decode(buf, msg: str) -> dict:
             continue
         name, kind = spec
         if kind == "i":
-            v = int(val) if wt == 0 else int.from_bytes(val, "little")
+            v = _signed(int(val)) if wt == 0 \
+                else int.from_bytes(val, "little")
         elif kind == "b":
             v = bool(val)
         elif kind == "f":
@@ -370,12 +463,12 @@ def _decode(buf, msg: str) -> dict:
             v = val  # opaque passthrough
         elif kind == "pi":
             if wt == 0:
-                v = int(val)
+                v = _signed(int(val))
             else:  # packed varints
                 p, dims = 0, []
                 while p < len(val):
                     d_, p = _read_varint(val, p)
-                    dims.append(d_)
+                    dims.append(_signed(d_))
                 for d_ in dims:
                     _store(out, name, d_)
                 continue
@@ -401,7 +494,7 @@ def decode_net_binary(data: bytes) -> dict:
 
 def _varint(n):
     out = bytearray()
-    n = int(n)
+    n = int(n) & ((1 << 64) - 1)  # negatives: 10-byte sign-extended form
     while True:
         b = n & 0x7F
         n >>= 7

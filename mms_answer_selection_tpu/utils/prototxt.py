@@ -291,6 +291,7 @@ _ENUM_FIELDS = frozenset({
     "phase", "pool", "norm_region", "operation", "snapshot_format",
     "solver_mode", "solver_type", "backend", "engine", "mode", "norm",
     "round_mode", "variance_norm", "db", "level", "share_mode",
+    "normalization",  # LossParameter.NormalizationMode
 })
 
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\t": "\\t",

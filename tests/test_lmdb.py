@@ -215,3 +215,42 @@ class TestConvertImagesetLmdb:
         b = next(ds)
         assert b["data"].shape == (3, 5, 4, 3)
         np.testing.assert_array_equal(b["label"], [0, 1, 2])
+
+
+class TestReviewFixes:
+    def test_oversized_key_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="511"):
+            write_lmdb(str(tmp_path / "env"), [(b"k" * 600, b"v")])
+
+    def test_unpacked_float_datum(self, tmp_path):
+        """Reference-written float Datums encode repeated float_data
+        UNPACKED (one wiretype-5 field per element) — the Data-layer
+        ingest must read them."""
+        from mms_answer_selection_tpu.data.lmdb_data import \
+            LmdbDatumDataset
+        from mms_answer_selection_tpu.utils.io import datum_to_array
+
+        vals = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+
+        def vi(n):
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        datum = b"".join([vi(1 << 3) + vi(1), vi(2 << 3) + vi(3),
+                          vi(3 << 3) + vi(4)])
+        for v in vals.ravel():
+            datum += vi((6 << 3) | 5) + struct.pack("<f", v)
+        datum += vi(5 << 3) + vi(1)  # label
+        np.testing.assert_allclose(datum_to_array(datum), vals)
+        write_lmdb(str(tmp_path / "env"), [(b"k", datum)])
+        b = next(LmdbDatumDataset(str(tmp_path / "env"), 1, train=False))
+        np.testing.assert_allclose(b["data"][0],
+                                   np.transpose(vals, (1, 2, 0)))
+        np.testing.assert_array_equal(b["label"], [1])

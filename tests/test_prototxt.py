@@ -425,3 +425,19 @@ class TestStepsizeDefault:
         with pytest.raises(ValueError, match="stepsize"):
             solver_config_from_prototxt(
                 'base_lr: 0.1\nlr_policy: "step"\ngamma: 0.5\n')
+
+
+def test_loss_normalization_emits_bare_enum():
+    """LossParameter.NormalizationMode is an enum: `normalization:
+    VALID` must emit unquoted or the reference's text parser rejects
+    the upgraded prototxt."""
+    from mms_answer_selection_tpu.utils.prototxt import (emit_prototxt,
+                                                         parse_prototxt)
+
+    text = emit_prototxt({"layer": {"name": "l", "type": "SoftmaxWithLoss",
+                                    "loss_param": {"normalization":
+                                                   "VALID"}}})
+    assert "normalization: VALID" in text
+    assert '"VALID"' not in text
+    assert parse_prototxt(text)["layer"]["loss_param"]["normalization"] \
+        == "VALID"

@@ -427,3 +427,25 @@ class TestBlobDataWrite:
         net.blobs["ip1"].data[...] = 7.0
         assert float(np.asarray(net.blobs["ip1"]).max()) == 7.0
         assert float(net.blobs["ip1"][0, 0]) == 7.0
+
+    def test_held_buffer_survives_forwards(self):
+        """The classic pycaffe loop holds ONE .data reference and writes
+        it every iteration — the buffer must stay live across forwards
+        (real pycaffe's .data is a persistent zero-copy view)."""
+        net = Net(MLP, phase="test", seed=1)
+        ins = _mlp_inputs()
+        net.forward(**ins)
+        buf = net.blobs["x"].data
+        lbl = net.blobs["label"].data
+        ref = Net(MLP, phase="test", seed=1)
+        ref.forward(**ins)
+        for it in range(3):
+            x_it = np.asarray(ins["x"]) * (it + 2.0)
+            buf[...] = x_it
+            lbl[...] = np.asarray(ins["label"])
+            out = net.forward()
+            expect = ref.forward(x=x_it, label=ins["label"])
+            np.testing.assert_allclose(float(out["loss"]),
+                                       float(expect["loss"]), rtol=1e-6,
+                                       err_msg=f"iteration {it}")
+            assert net.blobs["x"].data is buf  # same object, still live

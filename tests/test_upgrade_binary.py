@@ -214,3 +214,68 @@ class TestUpgradeBinaryCLI:
         (tmp_path / "x.caffemodel").write_bytes(_s(1, "n"))
         with pytest.raises(SystemExit, match="output"):
             main(["upgrade", "--binary", str(tmp_path / "x.caffemodel")])
+
+
+class TestCodecReviewFixes:
+    """Regression pins from the round-4 self-review."""
+
+    def test_negative_int32_roundtrip(self):
+        d = {"layer": [{"name": "c", "type": "Concat", "bottom": "a",
+                        "top": "c", "concat_param": {"axis": -1}},
+                       {"name": "l", "type": "SoftmaxWithLoss",
+                        "bottom": "c", "top": "loss",
+                        "loss_param": {"ignore_label": -1,
+                                       "normalization": "VALID"}}]}
+        rt = decode_net_binary(encode_net_binary(d))
+        assert rt["layer"][0]["concat_param"]["axis"] == -1
+        assert rt["layer"][1]["loss_param"]["ignore_label"] == -1
+        assert rt["layer"][1]["loss_param"]["normalization"] == "VALID"
+
+    def test_negative_blobshape_dim(self):
+        d = {"layer": {"name": "r", "type": "Reshape", "bottom": "x",
+                       "top": "y",
+                       "reshape_param": {"shape": {"dim": [0, -1, 4]}}}}
+        rt = decode_net_binary(encode_net_binary(d))
+        assert rt["layer"]["reshape_param"]["shape"]["dim"] == [0, -1, 4]
+
+    def test_fork_extension_params_roundtrip(self):
+        """The fork's own layer params (sim_cross_param 162 etc.) must
+        survive a binary round trip — the repo's primary interop
+        artifact uses them (reference caffe.proto:407-415)."""
+        d = {"layer": [
+            {"name": "s", "type": "SimCross", "bottom": "q", "top": "m",
+             "sim_cross_param": {"dist_mode": 2, "mesure_count": 4,
+                                 "bias_term": False}},
+            {"name": "bn", "type": "BN", "bottom": "m", "top": "m",
+             "bn_param": {"bn_memory": 0.875}},
+            {"name": "e", "type": "Embed", "bottom": "q", "top": "emb",
+             "embed_param": {"num_output": 50, "input_dim": 100,
+                             "weight_source": "w2v.bin"}},
+            {"name": "pl", "type": "PairRankLoss", "bottom": "m",
+             "top": "loss", "pair_rank_loss_param": {"margin": 0.5}},
+            {"name": "sc", "type": "Scale", "bottom": "m", "top": "sm",
+             "scale_param": {"bias_term": True, "axis": -1}},
+        ]}
+        rt = decode_net_binary(encode_net_binary(d))
+        las = {la["name"]: la for la in rt["layer"]}
+        assert las["s"]["sim_cross_param"] == {
+            "dist_mode": 2, "mesure_count": 4, "bias_term": False}
+        assert las["bn"]["bn_param"] == {"bn_memory": 0.875}
+        assert las["e"]["embed_param"]["weight_source"] == "w2v.bin"
+        assert las["pl"]["pair_rank_loss_param"] == {"margin": 0.5}
+        assert las["sc"]["scale_param"] == {"bias_term": True, "axis": -1}
+
+    def test_v0_det_and_new_fields(self):
+        """V0 fields 58-63: det_context_pad/det_crop_mode live at 58/59
+        (crop_mode is a STRING) and new_num..new_width at 60-63."""
+        v0 = (_s(1, "w") + _s(2, "window_data")
+              + _tag(58, 0) + _vi(16)            # det_context_pad
+              + _s(59, "square")                 # det_crop_mode
+              + _tag(62, 0) + _vi(24)            # new_height
+              + _tag(63, 0) + _vi(32))           # new_width
+        data = _ld(2, _ld(1, v0) + _s(3, "win"))
+        d = decode_net_binary(data)
+        inner = d["layers"]["layer"]
+        assert inner["det_context_pad"] == 16
+        assert inner["det_crop_mode"] == "square"
+        assert inner["new_height"] == 24 and inner["new_width"] == 32
