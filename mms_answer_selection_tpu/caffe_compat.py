@@ -13,21 +13,29 @@ names so existing scripts need only::
     solver = caffe.get_solver("solver.prototxt")
 
 Differences, by design: the device-mode setters are no-ops (JAX/XLA
-owns device placement — there is no global mode to flip), and there is
-no ``caffe.proto`` submodule (no generated protobuf classes exist here;
-the wire codecs in :mod:`.utils.io` / :mod:`.utils.caffemodel` work on
-serialized bytes directly).
+owns device placement — there is no global mode to flip).  The
+``caffe.proto.caffe_pb2`` surface is provided by
+:mod:`.utils.caffe_pb2_shim` (message-style Datum/BlobProto/
+NetParameter classes over the clean-room wire codec — no protobuf
+runtime exists here) and registered as a real importable submodule, so
+both spellings work::
+
+    from mms_answer_selection_tpu.caffe_compat.proto import caffe_pb2
+    datum = caffe.proto.caffe_pb2.Datum()
 """
 
 from __future__ import annotations
 
 import logging
+import sys
+import types
 
 from .models import (AdaDeltaSolver, AdaGradSolver, AdamSolver,  # noqa: F401
                      Classifier, Detector, NesterovSolver, RMSPropSolver,
                      SGDSolver, Solver, get_solver)
 from .models.graph_net import layer_type_list  # noqa: F401
 from .models.pynet import Net as _PyNet
+from .utils import caffe_pb2_shim as _caffe_pb2
 from .utils import io  # noqa: F401
 from .utils.netspec import NetSpec, to_proto  # noqa: F401
 from .utils.netspec import L as layers  # noqa: F401
@@ -37,10 +45,17 @@ __all__ = [
     "Net", "Classifier", "Detector",
     "SGDSolver", "NesterovSolver", "AdaGradSolver", "RMSPropSolver",
     "AdaDeltaSolver", "AdamSolver", "Solver", "get_solver",
-    "NetSpec", "layers", "params", "to_proto", "io",
+    "NetSpec", "layers", "params", "to_proto", "io", "proto",
     "layer_type_list", "TRAIN", "TEST",
     "set_mode_cpu", "set_mode_gpu", "set_device", "set_random_seed",
 ]
+
+# `from <pkg>.caffe_compat.proto import caffe_pb2` must resolve like the
+# reference's caffe.proto package: register synthetic submodules
+proto = types.ModuleType(__name__ + ".proto")
+proto.caffe_pb2 = _caffe_pb2
+sys.modules[__name__ + ".proto"] = proto
+sys.modules[__name__ + ".proto.caffe_pb2"] = _caffe_pb2
 
 # _caffe.cpp exposes Phase as ints; pycaffe code only ever passes these
 # through to Net/Solver, so the value just needs to round-trip

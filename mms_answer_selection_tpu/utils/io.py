@@ -100,9 +100,39 @@ def blobprotovector_str_to_arraylist(s: bytes):
 # Datum (caffe.proto:30-41)
 # ---------------------------------------------------------------------------
 
-def array_to_datum(arr, label: int | None = 0) -> bytes:
-    """3-D (C, H, W) ndarray -> Datum wire bytes.  uint8 arrays go in
-    ``data`` (bytes), everything else in ``float_data`` (io.py:66-80)."""
+class DatumBytes(bytes):
+    """Datum wire bytes that ALSO quack like the protobuf message the
+    reference's ``caffe.io.array_to_datum`` returns: byte-consumers
+    (LMDB values, file writes) use it directly, ported scripts call
+    ``.SerializeToString()`` and read ``.label``/``.channels``/... —
+    both work on the same object."""
+
+    def SerializeToString(self) -> bytes:
+        return bytes(self)
+
+    def _msg(self):
+        from .caffe_pb2_shim import Datum
+
+        return Datum().ParseFromString(self)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._msg(), name)
+
+
+def _as_datum_bytes(datum) -> bytes:
+    """Wire bytes from either bytes-like or a caffe_pb2-style message."""
+    if isinstance(datum, (bytes, bytearray, memoryview)):
+        return bytes(datum)
+    return datum.SerializeToString()
+
+
+def array_to_datum(arr, label: int | None = 0) -> DatumBytes:
+    """3-D (C, H, W) ndarray -> Datum wire bytes (a :class:`DatumBytes`,
+    so ``.SerializeToString()`` works like the reference's message
+    return).  uint8 arrays go in ``data`` (bytes), everything else in
+    ``float_data`` (io.py:66-80)."""
     arr = np.asarray(arr)
     if arr.ndim != 3:
         raise ValueError("incorrect array shape: Datum holds (C, H, W)")
@@ -114,13 +144,14 @@ def array_to_datum(arr, label: int | None = 0) -> bytes:
         out += _field(6, 2, np.asarray(arr, "<f4").tobytes())
     if label is not None:
         out += _field(5, 0, int(label))
-    return bytes(out)
+    return DatumBytes(out)
 
 
-def datum_to_array(datum: bytes):
-    """Datum wire bytes -> (C, H, W) ndarray: uint8 from ``data``,
-    float32 from ``float_data`` (io.py:83-94).  Label is available via
-    :func:`datum_label`."""
+def datum_to_array(datum):
+    """Datum (wire bytes or a caffe_pb2-style message) -> (C, H, W)
+    ndarray: uint8 from ``data``, float32 from ``float_data``
+    (io.py:83-94).  Label is available via :func:`datum_label`."""
+    datum = _as_datum_bytes(datum)
     c = h = w = 0
     data = None
     fparts: list = []
@@ -146,8 +177,9 @@ def datum_to_array(datum: bytes):
     return src.reshape(c, h, w).copy()
 
 
-def datum_label(datum: bytes) -> int:
+def datum_label(datum) -> int:
     """The Datum's label field (0 if absent, the proto default)."""
+    datum = _as_datum_bytes(datum)
     for field, wt, val in _iter_fields(memoryview(datum)):
         if field == 5 and wt == 0:
             return int(val)

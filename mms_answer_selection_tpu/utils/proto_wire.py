@@ -224,6 +224,20 @@ _MRR = {1: ("fixed_axis", "i")}
 _MAP = {1: ("fixed_axis", "i")}
 _FM = {1: ("bias_term", "b")}
 
+# wire-level Datum / BlobProto (caffe.proto:30-62) — the caffe_pb2-shim
+# surface (utils/caffe_pb2_shim.py) and the io codecs share these
+_DATUM = {
+    1: ("channels", "i"), 2: ("height", "i"), 3: ("width", "i"),
+    4: ("data", "B"), 5: ("label", "i"), 6: ("float_data", "pf"),
+    7: ("encoded", "b"),
+}
+_BLOB_PROTO = {
+    7: ("shape", ("m", "BlobShape")), 5: ("data", "pf"),
+    6: ("diff", "pf"), 1: ("num", "i"), 2: ("channels", "i"),
+    3: ("height", "i"), 4: ("width", "i"),
+}
+_BLOB_PROTO_VECTOR = {1: ("blobs", ("m", "BlobProto"))}
+
 # V0LayerParameter (upgrade_proto.cpp:87-560 reads these flat fields)
 _V0_LAYER = {
     1: ("name", "s"), 2: ("type", "s"), 3: ("num_output", "i"),
@@ -386,7 +400,8 @@ _SCHEMAS = {
     "Parameter": _PARAMETER, "Recurrent": _RECURRENT, "AUC": _AUC,
     "BN": _BN, "SimCross": _SIM_CROSS, "PairRankLoss": _PAIR_RANK_LOSS,
     "PairImageData": _PAIR_IMAGE_DATA, "SimMatrix": _SIM_MATRIX,
-    "MRR": _MRR, "MAP": _MAP, "FM": _FM,
+    "MRR": _MRR, "MAP": _MAP, "FM": _FM, "Datum": _DATUM,
+    "BlobProto": _BLOB_PROTO, "BlobProtoVector": _BLOB_PROTO_VECTOR,
 }
 
 # name -> (number, kind) reverse tables, built once
@@ -472,6 +487,15 @@ def _decode(buf, msg: str) -> dict:
                 for d_ in dims:
                     _store(out, name, d_)
                 continue
+        elif kind == "pf":
+            # repeated float: one wt-5 field per element (the C++
+            # runtime's default) OR a packed wt-2 run
+            if wt == 5:
+                v = float(struct.unpack("<f", val)[0])
+            else:
+                for f_ in struct.unpack(f"<{len(val) // 4}f", val):
+                    _store(out, name, float(f_))
+                continue
         elif kind[0] == "e":
             v = kind[1].get(int(val), int(val))
         elif kind[0] == "m":
@@ -518,6 +542,8 @@ def _as_list(v):
 def _encode_value(num, kind, v) -> bytes:
     if kind == "i" or kind == "pi":
         return _key(num, 0) + _varint(int(v))
+    if kind == "pf":
+        return _key(num, 5) + struct.pack("<f", float(v))
     if kind == "b":
         return _key(num, 0) + _varint(1 if v else 0)
     if kind == "f":
