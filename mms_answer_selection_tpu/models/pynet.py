@@ -103,7 +103,8 @@ class Blob:
         return a.astype(dtype) if dtype is not None else a
 
     def __float__(self):
-        return float(self._a)
+        # honor a dirty .data buffer like __array__/__getitem__ do
+        return float(self._current())
 
     def __getitem__(self, idx):
         return self.data[idx]
@@ -393,10 +394,19 @@ class Net:
                                  start=start, end=end)
 
             self._range_jits[key] = fwd
+        rng = self._rng()
         blobs, new_state = self._range_jits[key](
-            self._params, self._state, seeded, self._rng())
+            self._params, self._state, seeded, rng)
         if train:
             self._state = new_state
+        # keep backward()'s replay consistent with THIS forward: the
+        # rng that drew this range's dropout masks, and any explicit
+        # inputs the range consumed (stale values would silently
+        # differentiate a different forward)
+        self._last_rng = rng
+        if self._last_inputs is None:
+            self._last_inputs = {}
+        self._last_inputs = {**self._last_inputs, **inputs}
         merged = OrderedDict(self.blobs)
         merged.update((k, self._refresh_blob(k, v))
                       for k, v in blobs.items())

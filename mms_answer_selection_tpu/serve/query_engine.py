@@ -130,22 +130,29 @@ class QueryEngine:
         table and packs/shards the pool.  The ids are retained on the
         HOST (small: C x W2 int32) so `query_rerank` can hand
         shortlisted candidates to the exact scorer."""
-        candidate_ids = jnp.asarray(candidate_ids)
-        self.cand_token_ids = np.asarray(candidate_ids)
+        candidate_ids = np.asarray(candidate_ids)
+        self.cand_token_ids = candidate_ids
         return self._build(
             candidate_ids,
-            lambda chunk: embed_lookup(self.params["embed"], chunk))
+            lambda chunk: embed_lookup(self.params["embed"],
+                                       jnp.asarray(chunk)))
 
     def build_index_from_tokens(self, candidate_tokens):
         """candidate_tokens: (C, T, D) PRECOMPUTED token embeddings -- e.g.
         image patch tokens from models.caption_image.encode_image, or any
         modality living in the metric's D-dim space.  Same sharding/
         chunking behavior as build_index."""
-        candidate_tokens = jnp.asarray(candidate_tokens)
+        candidate_tokens = np.asarray(candidate_tokens)
         self.cand_token_ids = None  # no ids -> no query_rerank
-        return self._build(candidate_tokens, lambda chunk: chunk)
+        return self._build(candidate_tokens,
+                           lambda chunk: jnp.asarray(chunk))
 
     def _build(self, candidates, to_tokens):
+        # candidates stay a HOST array: per-chunk packing device_puts one
+        # chunk-sized slice at a time, so a 1M-candidate f32 token pool
+        # (16 GB) never materializes wholesale on the chip — the memory
+        # bound the chunking exists for
+        candidates = np.asarray(candidates)
         c = candidates.shape[0]
         shards = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
@@ -166,9 +173,9 @@ class QueryEngine:
             mult = max(mult, shards * self.chunk_size)
         c_pad = (c + mult - 1) // mult * mult
         if c_pad != c:
-            pad_rows = jnp.zeros((c_pad - c,) + candidates.shape[1:],
-                                 candidates.dtype)
-            candidates = jnp.concatenate([candidates, pad_rows], 0)
+            pad_rows = np.zeros((c_pad - c,) + candidates.shape[1:],
+                                candidates.dtype)
+            candidates = np.concatenate([candidates, pad_rows], 0)
 
         def pack(chunk, mask_from: int | None):
             """tokenize + pack one chunk; mask_from masks candidates [i:]
@@ -314,13 +321,12 @@ class QueryEngine:
             else:
                 shard_i = jax.lax.axis_index(axes)
             idx = idx + shard_i * shard_sz
-            # gather the (small) per-shard winners everywhere and merge
+            # gather the (small) per-shard winners everywhere and merge;
+            # all_gather over a TUPLE of axis names still adds ONE
+            # leading axis of size prod(sizes) (verified on an 8-device
+            # 2-axis mesh), so no reshape is needed either way
             vals_all = jax.lax.all_gather(vals, axes)     # (S, Nq, k)
             idx_all = jax.lax.all_gather(idx, axes)
-            if isinstance(axes, tuple):
-                s = vals_all.shape[0] * vals_all.shape[1]
-                vals_all = vals_all.reshape((s,) + vals.shape)
-                idx_all = idx_all.reshape((s,) + idx.shape)
             return topk_merge(vals_all, idx_all, k)
 
         pool_spec = P(axes)
@@ -408,12 +414,10 @@ class QueryEngine:
             else:
                 shard_i = jax.lax.axis_index(axes)
             idx = idx + shard_i * per_shard
+            # single gathered axis even for tuple axes (see
+            # _build_query_fn's shard_fn note)
             vals_all = jax.lax.all_gather(vals, axes)     # (S, Nq, k)
             idx_all = jax.lax.all_gather(idx, axes)
-            if isinstance(axes, tuple):
-                s = vals_all.shape[0] * vals_all.shape[1]
-                vals_all = vals_all.reshape((s,) + vals.shape)
-                idx_all = idx_all.reshape((s,) + idx.shape)
             return topk_merge(vals_all, idx_all, k)
 
         chunk_spec = P(None, axes)

@@ -58,6 +58,17 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
+def _pbool(v, default=False):
+    """Protobuf text bools: ``true``/``false`` parse to Python bools,
+    but ``0``/``1`` are equally legal wire text (and common in
+    reference prototxts) and arrive as ints — both must read
+    correctly."""
+    v = _one(v, default)
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1")
+    return bool(v)
+
+
 def _one(v, default=None):
     if isinstance(v, list):
         return v[-1] if v else default
@@ -134,7 +145,7 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             raise KeyError(f"HDF5Data {name!r}: datasets {missing} not in "
                            f"{source} (tops read equally-named datasets)")
         bs = int(_one(p.get("batch_size"), 1))
-        shuffle = bool(_one(p.get("shuffle"), False))
+        shuffle = _pbool(p.get("shuffle"))
         ds = ArrayDataset({top: arrays[top] for top in tops})
         return _Feed(BatchIterator(ds, bs, seed=seed, shuffle=shuffle), tops)
     if t in ("ImageData", "PairImageData"):
@@ -168,7 +179,7 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             mean = load_mean_hwc(mf)
         kw = dict(
             root=root, seed=seed,
-            shuffle=str(_one(p.get("shuffle"), False)).lower() == "true",
+            shuffle=_pbool(p.get("shuffle")),
             rand_skip=int(_one(p.get("rand_skip"), 0)),
             new_height=int(_one(p.get("new_height"), 0)),
             new_width=int(_one(p.get("new_width"), 0)),
@@ -178,13 +189,11 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             mean=mean,
             crop_size=int(_one(tf.get("crop_size"),
                                _one(p.get("crop_size"), 0))),
-            mirror=str(_one(tf.get("mirror"),
-                            _one(p.get("mirror"), False))).lower() == "true",
+            mirror=_pbool(tf.get("mirror"), _pbool(p.get("mirror"))),
             train=phase == "train")
         bs = int(_one(p.get("batch_size"), 1))
         if t == "ImageData":
-            kw["is_color"] = str(_one(p.get("is_color"),
-                                      True)).lower() == "true"
+            kw["is_color"] = _pbool(p.get("is_color"), True)
             ds = ImageListDataset(source, bs, **kw)
 
             def gen(ds=ds, tops=tops):
@@ -237,11 +246,10 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             fg_fraction=float(_one(p.get("fg_fraction"), 0.25)),
             context_pad=int(_one(p.get("context_pad"), 0)),
             crop_mode=str(_one(p.get("crop_mode"), "warp")),
-            mirror=str(_one(tf.get("mirror"), False)).lower() == "true",
+            mirror=_pbool(tf.get("mirror")),
             mean=mean,
             scale=float(_one(p.get("scale"), 1.0)),
-            cache_images=str(_one(p.get("cache_images"),
-                                  False)).lower() == "true",
+            cache_images=_pbool(p.get("cache_images")),
             seed=seed)
 
         def gen(ds=ds, tops=tops):
@@ -291,9 +299,7 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
             mean=mean,
             crop_size=int(_one(tf.get("crop_size"),
                                _one(p.get("crop_size"), 0))),
-            mirror=str(_one(tf.get("mirror"),
-                            _one(p.get("mirror"), False))).lower()
-            == "true",
+            mirror=_pbool(tf.get("mirror"), _pbool(p.get("mirror"))),
             rand_skip=int(_one(p.get("rand_skip"), 0)),
             train=phase == "train", seed=seed)
 
@@ -359,6 +365,7 @@ class GraphSolver:
                 f"(solver.cpp:106-109); got {self.test_iters}")
 
         # -- feeds ---------------------------------------------------------
+        self._user_feeds = feeds  # retained: restore() rebuilds from 0
         self._feeds = self._phase_feeds(self.net, "train", feeds)
         self._test_feeds = [self._phase_feeds(n, "test", feeds, salt=i + 1)
                             for i, n in enumerate(self.test_nets)]
@@ -604,7 +611,7 @@ class GraphSolver:
         log.info("Iteration %d, loss = %g", self.iter_, self._smoothed)
         rec = {"iter": self.iter_, "loss": self._smoothed, "phase": tag}
         score = 0
-        for name in (net.output_blob_names() if outs is None else outs):
+        for name in outs:
             vec = np.ravel(np.asarray(outs[name]))
             w = weights.get(name, 0.0)
             for v in vec:
@@ -723,8 +730,27 @@ class GraphSolver:
             path = learned if os.path.isabs(learned) else os.path.join(
                 os.path.dirname(os.path.abspath(solverstate_path)), learned)
             self.copy_weights(path)
+        # rebuild EVERY feed from position 0 (restore may be called on a
+        # solver that has already stepped — skipping from the current
+        # position would double-advance), then fast-forward to the
+        # snapshot's exact stream positions: train feeds by consumed
+        # batches, test feeds by test passes already run (snapshots fire
+        # AFTER the iter increments, so the pass at iter_ itself has not
+        # run yet — it replays after restore, like the uninterrupted run)
+        self._feeds = self._phase_feeds(self.net, "train", self._user_feeds)
+        self._test_feeds = [
+            self._phase_feeds(n, "test", self._user_feeds, salt=i + 1)
+            for i, n in enumerate(self.test_nets)]
         for f in self._feeds:
             f.skip(self.iter_ * self.cfg.iter_size)
+        if self.test_interval and self.iter_ >= 1:
+            passes = (self.iter_ - 1) // self.test_interval \
+                + (1 if self.test_initialization else 0)
+            for tid, tfeeds in enumerate(self._test_feeds):
+                ti = self.test_iters[tid] if tid < len(self.test_iters) \
+                    else 0
+                for f in tfeeds:
+                    f.skip(passes * ti)
         return self.iter_
 
     def copy_weights(self, caffemodel_path: str):

@@ -846,3 +846,69 @@ class TestMultiWeights:
               f"{model},{model}"])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["iter"] == 60
+
+
+class TestRound4ReviewFixes:
+    """Regression pins from the round-4 self-review."""
+
+    def test_numeric_bool_literals(self):
+        """Protobuf text accepts 0/1 for bools; `shuffle: 1` etc. must
+        read as True (the str().lower()=='true' idiom read them False)."""
+        from mms_answer_selection_tpu.training.graph_solver import _pbool
+
+        assert _pbool(1) is True and _pbool(0) is False
+        assert _pbool(True) is True and _pbool(False) is False
+        assert _pbool("true") is True and _pbool("false") is False
+        assert _pbool("1") is True and _pbool("0") is False
+        assert _pbool(None, True) is True and _pbool(None) is False
+        assert _pbool([0, 1]) is True  # repeated: last wins
+
+    def test_hdf5_shuffle_numeric_literal(self, tmp_path):
+        """`shuffle: 1` in an HDF5Data layer actually shuffles."""
+        from mms_answer_selection_tpu.training.graph_solver import \
+            _build_feed
+
+        _make_data(tmp_path)
+        cfg = {"name": "d", "type": "HDF5Data",
+               "top": ["data", "label"],
+               "hdf5_data_param": {"source": str(tmp_path / "train.txt"),
+                                   "batch_size": 32, "shuffle": 1}}
+        f = _build_feed(cfg, "train", 3, ".", None)
+        first = next(f)["label"]
+        cfg0 = {**cfg, "hdf5_data_param": {**cfg["hdf5_data_param"],
+                                           "shuffle": 0}}
+        f0 = _build_feed(cfg0, "train", 3, ".", None)
+        unshuffled = next(f0)["label"]
+        assert not np.array_equal(np.asarray(first),
+                                  np.asarray(unshuffled))
+
+    def test_restore_mid_run_rewinds_feeds(self, tmp_path):
+        """restore() on a solver that ALREADY stepped must land the
+        feeds at the snapshot position, not double-advance them — and
+        test-net feeds must fast-forward too, so the post-restore
+        test-metric history matches the uninterrupted run's."""
+        sp = _setup(tmp_path, SOLVER.replace('snapshot_prefix: "snap"',
+                                             'snapshot: 20\n'
+                                             'snapshot_prefix: "snap"'))
+        a = GraphSolver(str(sp))
+        a.step(60)
+        a_hist = [r for r in a.history if r["phase"] == "Test#0"
+                  and r["iter"] >= 20]
+
+        b = GraphSolver(str(sp))
+        b.step(37)  # arbitrary mid-run position PAST the snapshot
+        assert b.restore(str(tmp_path / "snap_iter_20.solverstate.h5")) \
+            == 20
+        b.step(40)
+        assert b.iter_ == a.iter_ == 60
+        jax.tree.map(np.testing.assert_array_equal, a.params, b.params)
+        b_hist = [r for r in b.history if r["phase"] == "Test#0"
+                  and r["iter"] >= 20]
+        # same test batches replayed -> identical test metrics
+        a_tail = [r for r in a_hist if r["iter"] > 20]
+        b_tail = [r for r in b_hist if r["iter"] > 20]
+        assert len(a_tail) == len(b_tail) > 0
+        for ra, rb in zip(a_tail, b_tail):
+            assert ra["iter"] == rb["iter"]
+            np.testing.assert_allclose(ra["acc"], rb["acc"], rtol=0,
+                                       atol=0, err_msg=str(ra["iter"]))

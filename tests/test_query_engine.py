@@ -394,3 +394,47 @@ class TestQueryRerank:
         eng.build_index_from_tokens(toks)
         with pytest.raises(ValueError, match="candidate ids"):
             eng.query_rerank(state, rng.integers(0, 64, (1, 6)), k=2)
+
+
+class TestTwoAxisMesh:
+    """A 2-axis (dp, tp) mesh shards the pool over BOTH axes:
+    all_gather over a tuple of axis names adds ONE prod-sized leading
+    axis (round-4 self-review regression — the old tuple-branch reshape
+    trace-errored for Nq>1 and silently no-opped at Nq==1)."""
+
+    def _mesh2(self):
+        return Mesh(np.asarray(jax.devices()).reshape(2, 4),
+                    ("dp", "tp"))
+
+    def test_two_axis_matches_single_device(self):
+        mesh = self._mesh2()
+        eng_m, params, state, cand_ids = _engine(mesh=mesh, n_cand=64)
+        eng_s = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (3, 6))  # Nq > 1 is the regression
+        vm, im = eng_m.query(query_ids, k=7)
+        vs, is_ = eng_s.query(query_ids, k=7)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vs),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(im), np.asarray(is_))
+
+    def test_two_axis_chunked(self):
+        mesh = self._mesh2()
+        params, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=params["sim"]["w"].shape).astype(np.float32)
+            * 0.2)
+        # 2300 > 8 shards * 128 chunk -> per-shard chunking kicks in
+        cand_ids = rng.integers(0, 64, (2300, 6))
+        eng_c = QueryEngine(params, CFG, mesh=mesh,
+                            pool_dtype=jnp.float32, interpret=True,
+                            chunk_size=128).build_index(cand_ids)
+        assert eng_c.chunks is not None
+        eng_s = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True).build_index(cand_ids)
+        query_ids = rng.integers(0, 64, (3, 6))
+        vc, ic = eng_c.query(query_ids, k=5)
+        vs, is_ = eng_s.query(query_ids, k=5)
+        np.testing.assert_allclose(np.asarray(vc), np.asarray(vs),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ic), np.asarray(is_))
