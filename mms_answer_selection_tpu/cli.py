@@ -151,13 +151,17 @@ def cmd_train(args):
         # the training batch (a silently different batch changes gradient
         # noise and the epoch/early-stop clock)
         from .utils.prototxt import (
-            model_config_from_net_prototxt, parse_prototxt)
+            model_config_from_net_prototxt, parse_prototxt,
+            upgrade_net_prototxt)
         with open(args.net_prototxt) as f:
             net_text = f.read()
         model_cfg = model_config_from_net_prototxt(
             net_text, question_len=meta["q_len"],
             answer_len=meta["a_len"])
-        layers = parse_prototxt(net_text).get("layer", [])
+        # upgrade first: a V1-era file declares `layers:` blocks, and
+        # its batch_size must drive the trainer exactly like a modern one
+        layers = upgrade_net_prototxt(
+            parse_prototxt(net_text)).get("layer", [])
         for la in (layers if isinstance(layers, list) else [layers]):
             bs = la.get("hdf5_data_param", {}).get("batch_size")
             if bs:
@@ -337,8 +341,8 @@ def cmd_convert(args):
     role, modernized)."""
     from .training.checkpoint import load_checkpoint, save_checkpoint
     from .utils.caffemodel import (
-        load_caffemodel_binaryproto, load_caffemodel_h5,
-        save_caffemodel_binaryproto, save_caffemodel_h5)
+        load_caffemodel_auto, save_caffemodel_binaryproto,
+        save_caffemodel_h5)
 
     if args.caffemodel:  # import
         import jax
@@ -349,12 +353,10 @@ def cmd_convert(args):
         model_cfg, trainer_cfg = _experiment_configs(args, meta)
         params, state = mms_qa_init(jax.random.PRNGKey(trainer_cfg.seed),
                                     model_cfg)
-        # dispatch on the HDF5 magic, like Solver::Restore dispatches on
-        # the extension (solver.cpp:470-481) -- magic is safer than names
-        with open(args.caffemodel, "rb") as f:
-            is_h5 = f.read(4) == b"\x89HDF"
-        loader = load_caffemodel_h5 if is_h5 else load_caffemodel_binaryproto
-        params, state, report = loader(args.caffemodel, params, state)
+        # dispatch on the HDF5 magic (load_caffemodel_auto): files get
+        # renamed, so content beats names
+        params, state, report = load_caffemodel_auto(args.caffemodel,
+                                                     params, state)
         loaded = sum(1 for v in report.values() if v == "loaded")
         save_checkpoint(args.out, 0, {"params": params, "state": state},
                         prefix="imported",
@@ -756,9 +758,16 @@ def cmd_solve(args):
     # loop), SIGHUP -> snapshot and continue
     with SignalHandler() as h:
         loss = gs.solve(action_fn=h.get_requested_action)
-    tests = {k: (v.tolist() if hasattr(v, "tolist") else v)
-             for rec in gs.history if rec["phase"].startswith("Test")
-             for k, v in rec.items() if k not in ("iter", "phase")}
+    # last test record PER test net (Test#0, Test#1, ...) — flattening
+    # across nets would let the final net's outputs shadow the others'
+    last_by_net: dict = {}
+    for rec in gs.history:
+        if rec["phase"].startswith("Test"):
+            last_by_net[rec["phase"]] = {
+                k: (v.tolist() if hasattr(v, "tolist") else v)
+                for k, v in rec.items() if k not in ("iter", "phase")}
+    tests = (last_by_net.get("Test#0", {}) if len(last_by_net) <= 1
+             else last_by_net)
     print(json.dumps({"iter": gs.iter_, "loss": float(loss),
                       "last_test": tests}))
 
@@ -777,10 +786,14 @@ def cmd_nettest(args):
     with open(args.model) as f:
         net = GraphNet(f.read(), phase="test")
     base_dir = os.path.dirname(os.path.abspath(args.model))
-    feeds = [f for f in
-             (_build_feed(n.cfg, "test", 0, base_dir, None)
-              for n in net.layers if n.type in DATA_TYPES)
-             if f is not None]
+
+    def make_feeds():
+        return [f for f in
+                (_build_feed(n.cfg, "test", 0, base_dir, None)
+                 for n in net.layers if n.type in DATA_TYPES)
+                if f is not None]
+
+    feeds = make_feeds()
 
     def next_batch():
         batch = {}
@@ -790,16 +803,12 @@ def cmd_nettest(args):
 
     example = next_batch() if feeds else {}
     params, state = net.init(jax.random.PRNGKey(0), example)
+    feeds = make_feeds()  # init only peeked for shapes; score batch 0
     if args.weights:
-        from .utils.caffemodel import (load_caffemodel_binaryproto,
-                                       load_caffemodel_h5)
+        from .utils.caffemodel import load_caffemodel_auto
         specs = net.caffemodel_specs(params, state)
-        with open(args.weights, "rb") as f:
-            is_h5 = f.read(4) == b"\x89HDF"
-        loader = (load_caffemodel_h5 if is_h5
-                  else load_caffemodel_binaryproto)
-        params, state, report = loader(args.weights, params, state,
-                                       specs=specs)
+        params, state, report = load_caffemodel_auto(
+            args.weights, params, state, specs=specs)
         log.info("loaded weights: %s", report)
     outs_names = net.output_blob_names()
     weights_map = net.blob_loss_weights()
@@ -853,6 +862,11 @@ def cmd_plot(args):
         for i, (y, x) in enumerate(_PLOT_TYPES):
             print(f"{i}: {y}  vs. {x}")
         return
+    if not 0 <= args.chart_type < len(_PLOT_TYPES):
+        raise SystemExit(
+            f"chart_type {args.chart_type} out of range; supported:\n" +
+            "\n".join(f"  {i}: {y} vs {x}"
+                       for i, (y, x) in enumerate(_PLOT_TYPES)))
     y_desc, x_desc = _PLOT_TYPES[args.chart_type]
     split = y_desc.split()[0].lower()     # train / test rows
     x_col = "NumIters" if x_desc == "Iters" else "Seconds"
@@ -1007,16 +1021,11 @@ def cmd_extract_features(args):
     example = next_batch(feeds)
     params, state = net.init(jax.random.PRNGKey(args.seed), example)
     if args.weights:
-        from .utils.caffemodel import (load_caffemodel_binaryproto,
-                                       load_caffemodel_h5)
+        from .utils.caffemodel import load_caffemodel_auto
 
         specs = net.caffemodel_specs(params, state)
-        with open(args.weights, "rb") as f:
-            is_h5 = f.read(4) == b"\x89HDF"
-        loader = (load_caffemodel_h5 if is_h5
-                  else load_caffemodel_binaryproto)
-        params, state, _ = loader(args.weights, params, state,
-                                  specs=specs)
+        params, state, _ = load_caffemodel_auto(args.weights, params,
+                                                state, specs=specs)
     feeds = make_feeds()  # init only peeked for shapes; restart at batch 0
 
     @jax.jit

@@ -168,16 +168,21 @@ class Trainer:
         self._scan_steps_jit = None        # built lazily on first use
         donate = (0, 2) if self.donate else ()  # params/opt reused in place
         if self.mesh is not None:
-            dp = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec("dp"))
+            # iter_size > 1 batches carry a LEADING micro-batch axis:
+            # the SAMPLE axis is the one that shards over dp
+            bspec = jax.sharding.PartitionSpec("dp") if iter_size == 1 \
+                else jax.sharding.PartitionSpec(None, "dp")
+            dp = jax.sharding.NamedSharding(self.mesh, bspec)
             rep = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec())
             self._train_step = jax.jit(
                 train_step,
                 in_shardings=(rep, rep, rep, dp, None, None),
                 donate_argnums=donate)
-            self._eval_step = jax.jit(eval_step,
-                                      in_shardings=(rep, rep, dp))
+            self._eval_step = jax.jit(
+                eval_step,
+                in_shardings=(rep, rep, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("dp"))))
         else:
             self._train_step = jax.jit(train_step, donate_argnums=donate)
             self._eval_step = jax.jit(eval_step)
@@ -220,8 +225,12 @@ class Trainer:
 
             donate = (0, 2) if self.donate else ()
             if self.mesh is not None:
-                dp = jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec(None, "dp"))
+                # stacked batches are (K, [iter_size,] B, ...): the
+                # sample axis shards over dp, whichever position it's in
+                bspec = jax.sharding.PartitionSpec(None, "dp") \
+                    if self.cfg.solver.iter_size == 1 \
+                    else jax.sharding.PartitionSpec(None, None, "dp")
+                dp = jax.sharding.NamedSharding(self.mesh, bspec)
                 rep = jax.sharding.NamedSharding(
                     self.mesh, jax.sharding.PartitionSpec())
                 self._scan_steps_jit = jax.jit(
@@ -303,22 +312,16 @@ class Trainer:
 
     def _load_weights(self, params, state, weights: str):
         """The `caffe train -weights` finetune load: name+shape-checked
-        partial restore from our checkpoint format, or -- when the path
-        ends in .h5 -- from a reference-layout caffemodel HDF5 file
-        (Net::CopyTrainedLayersFromHDF5, net.cpp:797-844)."""
-        if weights.endswith(".h5"):
-            from ..utils.caffemodel import load_caffemodel_h5
-            params, state, report = load_caffemodel_h5(weights, params,
-                                                       state)
+        partial restore from our checkpoint format (a directory), or —
+        when the path is a FILE — from a reference caffemodel,
+        h5-vs-binaryproto dispatched by content magic
+        (Net::CopyTrainedLayersFrom, net.cpp:741-844)."""
+        if os.path.isfile(weights):  # .caffemodel[.h5], by content magic
+            from ..utils.caffemodel import load_caffemodel_auto
+            params, state, report = load_caffemodel_auto(weights, params,
+                                                         state)
             loaded = sum(1 for v in report.values() if v == "loaded")
             log.info("finetune: %d tensors from caffemodel %s", loaded,
-                     weights)
-        elif os.path.isfile(weights):  # NetParameter binaryproto
-            from ..utils.caffemodel import load_caffemodel_binaryproto
-            params, state, report = load_caffemodel_binaryproto(
-                weights, params, state)
-            loaded = sum(1 for v in report.values() if v == "loaded")
-            log.info("finetune: %d tensors from binaryproto %s", loaded,
                      weights)
         else:
             params, state, report = load_weights_into(
@@ -678,7 +681,9 @@ class Trainer:
         # go through jnp.asarray
         direct = hasattr(batches, "next_device")
 
-        def pull():
+        iter_size = cfg.solver.iter_size
+
+        def pull_one():
             if direct:
                 raw = batches.next_device()
                 b = {k: v for k, v in raw.items() if k != "group"}
@@ -689,6 +694,15 @@ class Trainer:
             if "label" in b and b["label"].ndim == 2:
                 b["label"] = b["label"][:, 0]
             return b
+
+        def pull():
+            if iter_size == 1:
+                return pull_one()
+            # gradient accumulation: iter_size consecutive stream
+            # batches stack on a leading micro-batch axis, exactly the
+            # shape fit()'s _epoch_batches yields (solver.cpp:221-223)
+            micro = [pull_one() for _ in range(iter_size)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
 
         intervals = [eval_interval] if eval_interval else []
         if cfg.snapshot_dir and cfg.snapshot_interval:

@@ -218,7 +218,7 @@ def load_caffemodel_h5(path, params, state, *, specs=None):
     params = jax.tree.map(lambda x: x, jax.device_get(params))
     state = jax.tree.map(lambda x: x, jax.device_get(state))
     trees = {"params": params, "state": state}
-    known = {name: rows for name, rows, _ in
+    known = {name: (rows, shared) for name, rows, shared in
              (specs if specs is not None else _layer_specs(params, state))}
     report: dict = {}
     with h5py.File(path, "r") as f:
@@ -228,9 +228,17 @@ def load_caffemodel_h5(path, params, state, *, specs=None):
                 report[layer] = "ignored (no such layer here)"
                 continue
             g = data[layer]
-            for idx, tree, keypath, _, from_caffe in known[layer]:
+            rows, shared = known[layer]
+            for idx, tree, keypath, _, from_caffe in rows:
                 if str(idx) not in g:
-                    # shared-owner layers legitimately omit datasets
+                    if not shared:
+                        # an OWNED param with no dataset is the
+                        # truncated-file case net.cpp:797-844 LOG(FATAL)s
+                        # on; only shared-param layers legitimately omit
+                        raise ValueError(
+                            f"layer {layer!r} owns param blob {idx} but "
+                            f"{path} has no dataset for it "
+                            f"(net.cpp:822 CHECKs the same)")
                     report[f"{layer}/{idx}"] = "absent (shared param)"
                     continue
                 src = from_caffe(np.asarray(g[str(idx)]))
@@ -244,6 +252,17 @@ def load_caffemodel_h5(path, params, state, *, specs=None):
                      jnp.asarray(src, jnp.asarray(dst).dtype))
                 report[f"{layer}/{idx}"] = "loaded"
     return params, state, report
+
+
+def load_caffemodel_auto(path, params, state, *, specs=None):
+    """Dispatch h5-vs-binaryproto by the 4-byte HDF5 magic — files get
+    renamed/copied, so content beats suffix (Net::CopyTrainedLayers'
+    own dispatch is by extension, but its h5 reader fails loudly;
+    feeding HDF5 bytes to a wire parser fails confusingly)."""
+    with open(path, "rb") as f:
+        is_h5 = f.read(4) == b"\x89HDF"
+    loader = load_caffemodel_h5 if is_h5 else load_caffemodel_binaryproto
+    return loader(path, params, state, specs=specs)
 
 
 # ---------------------------------------------------------------------------

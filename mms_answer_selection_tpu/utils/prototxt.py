@@ -146,6 +146,14 @@ _V0_TYPE_NAMES = {
 }
 
 
+def _one_last(v, default=None):
+    """Last value of a possibly-repeated scalar field (proto text:
+    later occurrences of an optional field overwrite earlier ones)."""
+    if isinstance(v, list):
+        return v[-1]
+    return default if v is None else v
+
+
 def _as_list(v):
     if v is None:
         return []
@@ -430,10 +438,7 @@ def model_config_from_net_prototxt(text: str, **overrides):
     ip_dims = []
     saw_sim = False
 
-    def one(v, default=None):
-        if isinstance(v, list):
-            return v[-1]
-        return default if v is None else v
+    one = _one_last  # module-level helper
 
     for layer in layers:
         t = layer.get("type", "")
@@ -799,10 +804,7 @@ def pair_image_config_from_net_prototxt(text: str, **overrides):
     if isinstance(layers, dict):
         layers = [layers]
 
-    def one(v, default=None):
-        if isinstance(v, list):
-            return v[-1]
-        return default if v is None else v
+    one = _one_last  # module-level helper
 
     fields: dict = {}
     blocks = []
@@ -944,10 +946,7 @@ def caption_image_config_from_net_prototxt(text: str, **overrides):
     if isinstance(layers, dict):
         layers = [layers]
 
-    def one(v, default=None):
-        if isinstance(v, list):
-            return v[-1]
-        return default if v is None else v
+    one = _one_last  # module-level helper
 
     fields: dict = {}
     blocks = []

@@ -578,3 +578,40 @@ class TestBlobCountCheck:
             f.write(_field(100, 2, bytes(body)))
         with pytest.raises(ValueError, match="blobs"):
             load_caffemodel_binaryproto(path, p, s)
+
+
+class TestRound4LoaderFixes:
+    def test_h5_missing_owned_dataset_fails(self, tmp_path):
+        """net.cpp:797-844 LOG(FATAL)s when an OWNED param has no
+        dataset; silently training on random init is the bug."""
+        import h5py
+
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_h5, save_caffemodel_h5)
+
+        p, s = _init(seed=3)
+        path = str(tmp_path / "w.caffemodel.h5")
+        save_caffemodel_h5(path, p, s)
+        with h5py.File(path, "a") as f:
+            del f["data"]["fc1"]["1"]  # drop fc1's bias dataset
+        with pytest.raises(ValueError, match="owns param"):
+            load_caffemodel_h5(path, *_init(seed=4))
+
+    def test_auto_loader_dispatches_by_magic(self, tmp_path):
+        """A renamed HDF5 caffemodel (no .h5 suffix) still loads — the
+        dispatch reads the 4-byte magic, not the name."""
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_auto, save_caffemodel_binaryproto,
+            save_caffemodel_h5)
+
+        p, s = _init(seed=3)
+        h5 = str(tmp_path / "renamed.caffemodel")  # LIES about format
+        save_caffemodel_h5(h5, p, s)
+        p2, s2, rep = load_caffemodel_auto(h5, *_init(seed=5))
+        np.testing.assert_array_equal(np.asarray(p2["fc1"]["w"]),
+                                      np.asarray(p["fc1"]["w"]))
+        bp = str(tmp_path / "b.caffemodel.h5")  # and the reverse lie
+        save_caffemodel_binaryproto(bp, p, s)
+        p3, s3, rep = load_caffemodel_auto(bp, *_init(seed=6))
+        np.testing.assert_array_equal(np.asarray(p3["fc1"]["w"]),
+                                      np.asarray(p["fc1"]["w"]))

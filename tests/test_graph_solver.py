@@ -912,3 +912,32 @@ class TestRound4ReviewFixes:
             assert ra["iter"] == rb["iter"]
             np.testing.assert_allclose(ra["acc"], rb["acc"], rtol=0,
                                        atol=0, err_msg=str(ra["iter"]))
+
+
+class TestNettestBatchZero:
+    def test_nettest_scores_from_batch_zero(self, tmp_path, capsys):
+        """`caffe test` scores batches 0..N-1; init's shape peek must
+        not consume batch 0 (round-4 review).  A passthrough net makes
+        the scored rows directly observable."""
+        import h5py
+
+        from mms_answer_selection_tpu.cli import main
+
+        labels = np.arange(40, dtype=np.float64)
+        with h5py.File(tmp_path / "t.h5", "w") as f:
+            f["data"] = np.zeros((40, 3), np.float32)
+            f["label"] = labels
+        (tmp_path / "t.txt").write_text(str(tmp_path / "t.h5") + "\n")
+        (tmp_path / "net.prototxt").write_text(f"""
+layer {{ name: "data" type: "HDF5Data" top: "data" top: "label"
+  hdf5_data_param {{ source: "{tmp_path / 't.txt'}" batch_size: 10 }} }}
+layer {{ name: "sil" type: "Silence" bottom: "data" }}
+layer {{ name: "out" type: "Power" bottom: "label" top: "out" }}
+""")
+        import json
+
+        main(["nettest", "--model", str(tmp_path / "net.prototxt"),
+              "--iterations", "1"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # batch 0 = labels 0..9 (NOT 10..19, the consumed-peek bug)
+        np.testing.assert_allclose(out["out"], labels[:10])

@@ -6,6 +6,7 @@ import os
 import shutil
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -230,3 +231,74 @@ class TestFusedOnMesh:
             steps_per_dispatch=6)
         assert np.isfinite(hist["train_loss"]).all()
         assert len(hist["dev_map"]) == 2  # evals at 0 and 6
+
+
+def test_fit_stream_iter_size(tmp_path):
+    """fit_stream with solver.iter_size > 1 stacks consecutive stream
+    batches on a leading micro-batch axis (round-4 review: the flat
+    batch used to trace-error against the accumulation scan)."""
+    import dataclasses
+
+    import jax
+
+    from mms_answer_selection_tpu.models.mms_qa import ConvBlock, MMSQAConfig
+    from mms_answer_selection_tpu.training import (SolverConfig, Trainer,
+                                                   TrainerConfig)
+
+    cfg = MMSQAConfig(
+        vocab_size=48, embed_dim=12, question_len=10, answer_len=10,
+        sim_measures=2, blocks=(ConvBlock(3, 3, 6, "ave", 2, 2),),
+        fc1_dim=6)
+    tcfg = TrainerConfig(
+        solver=SolverConfig(solver_type="sgd", base_lr=0.05, momentum=0.9,
+                            iter_size=2),
+        batch_size=8, test_interval=0, snapshot_interval=0, seed=3,
+        train_loss_record_interval=1)
+    trainer = Trainer(cfg, tcfg)
+    params, state, opt = trainer.init()
+    rng = np.random.default_rng(0)
+
+    def batch():
+        return {"question": rng.integers(0, 48, (8, 10)).astype(np.int32),
+                "answer": rng.integers(0, 48, (8, 10)).astype(np.int32),
+                "overlap_feat": rng.random((8, 2)).astype(np.float32),
+                "label": rng.integers(0, 2, (8,)).astype(np.int32)}
+
+    dev = batch()
+    dev["group"] = np.repeat(np.arange(4), 2).astype(np.int32)
+    stream = iter([batch() for _ in range(8)])  # 8 micro = 4 steps
+    hist = trainer.fit_stream(stream, dev, steps=4, eval_interval=0)
+    assert len(hist["train_loss"]) == 4
+    assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_fit_stream_iter_size_on_mesh():
+    """iter_size > 1 on the dp mesh shards the SAMPLE axis, not the
+    micro-batch axis."""
+    import jax
+
+    from mms_answer_selection_tpu.models.mms_qa import ConvBlock, MMSQAConfig
+    from mms_answer_selection_tpu.parallel import make_mesh
+    from mms_answer_selection_tpu.training import (SolverConfig, Trainer,
+                                                   TrainerConfig)
+
+    cfg = MMSQAConfig(
+        vocab_size=48, embed_dim=12, question_len=10, answer_len=10,
+        sim_measures=2, blocks=(ConvBlock(3, 3, 6, "ave", 2, 2),),
+        fc1_dim=6)
+    mesh = make_mesh(tp=1)
+    tcfg = TrainerConfig(
+        solver=SolverConfig(solver_type="sgd", base_lr=0.05, momentum=0.9,
+                            iter_size=2),
+        batch_size=8, test_interval=0, snapshot_interval=0, seed=3)
+    trainer = Trainer(cfg, tcfg, mesh=mesh)
+    params, state, opt = trainer.init()
+    rng = np.random.default_rng(1)
+    # (iter_size, batch, ...) stacked batch, like _epoch_batches yields
+    b = {"question": rng.integers(0, 48, (2, 8, 10)).astype(np.int32),
+         "answer": rng.integers(0, 48, (2, 8, 10)).astype(np.int32),
+         "overlap_feat": rng.random((2, 8, 2)).astype(np.float32),
+         "label": rng.integers(0, 2, (2, 8)).astype(np.int32)}
+    params, state, opt, loss = trainer._train_step(
+        params, state, opt, b, jnp.asarray(0), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
