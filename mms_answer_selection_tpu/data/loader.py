@@ -60,12 +60,23 @@ class BatchIterator:
         self.epoch = 0
         self._cursor = 0
         self._perm = self._make_perm()
+        if len(self._perm) == 0:
+            # an empty stripe would spin __next__ forever (reshuffling
+            # never makes it non-empty)
+            raise ValueError(
+                f"shard {self.shard_index}/{self.shard_count} of a "
+                f"{self.ds.size}-row dataset is empty")
 
     def _make_perm(self):
         idx = np.arange(self.ds.size)
         if self.shuffle:
-            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self.epoch)
-            idx = np.asarray(jax.random.permutation(key, self.ds.size))
+            # same threefry chain, forced onto the CPU backend: shuffling
+            # host indices must not pay a remote-TPU dispatch (and the
+            # first permutation of each dataset size a device compile)
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                         self.epoch)
+                idx = np.asarray(jax.random.permutation(key, self.ds.size))
         return idx[self.shard_index:: self.shard_count]
 
     def __iter__(self):

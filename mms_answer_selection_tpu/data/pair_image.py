@@ -24,12 +24,17 @@ import numpy as np
 
 
 def parse_pair_list(path_or_text: str):
-    """Returns list of (img1, img2, angle1, angle2, label)."""
+    """Returns list of (img1, img2, angle1, angle2, label).  Accepts a
+    file path or the list TEXT itself (which contains a newline or
+    whitespace-separated columns); a missing path raises instead of
+    silently parsing the path string as an empty list."""
     if os.path.exists(path_or_text):
         with open(path_or_text) as f:
             lines = f.read().splitlines()
-    else:
+    elif "\n" in path_or_text or len(path_or_text.split()) >= 5:
         lines = path_or_text.splitlines()
+    else:
+        raise FileNotFoundError(path_or_text)
     rows = []
     for line in lines:
         parts = line.split()
@@ -108,8 +113,17 @@ class PairImageDataset:
         self.order = np.arange(len(self.rows))
         if shuffle:
             self.rng.shuffle(self.order)
-        self.cursor = int(self.rng.integers(0, rand_skip + 1)) if rand_skip \
-            else 0
+        if rand_skip:
+            # caffe_rng_rand() % rand_skip -> [0, rand_skip-1], with
+            # CHECK_GT(lines_.size(), skip)
+            # (image_data_layer.cpp:60-66 / pair_image_data_layer.cpp)
+            if rand_skip >= len(self.rows):
+                raise ValueError(
+                    f"rand_skip {rand_skip} must be < list size "
+                    f"{len(self.rows)} (the layer CHECKs the same)")
+            self.cursor = int(self.rng.integers(0, rand_skip))
+        else:
+            self.cursor = 0
 
     def __iter__(self):
         return self
@@ -165,8 +179,17 @@ class ImageListDataset:
         self.order = np.arange(len(self.rows))
         if shuffle:
             self.rng.shuffle(self.order)
-        self.cursor = int(self.rng.integers(0, rand_skip + 1)) if rand_skip \
-            else 0
+        if rand_skip:
+            # caffe_rng_rand() % rand_skip -> [0, rand_skip-1], with
+            # CHECK_GT(lines_.size(), skip)
+            # (image_data_layer.cpp:60-66 / pair_image_data_layer.cpp)
+            if rand_skip >= len(self.rows):
+                raise ValueError(
+                    f"rand_skip {rand_skip} must be < list size "
+                    f"{len(self.rows)} (the layer CHECKs the same)")
+            self.cursor = int(self.rng.integers(0, rand_skip))
+        else:
+            self.cursor = 0
 
     def __iter__(self):
         return self

@@ -91,7 +91,7 @@ def auc(scores, labels, *, ignore_label: int | None = None) -> float:
     value = float(np.sum(high * (1 - ls)))
     p = int(ls.sum())
     n = ls.size - p
-    if p == 0:
+    if p == 0 or n == 0:  # degenerate split: match the jax twin's 0.0
         return 0.0
     return value / p / n
 
@@ -186,6 +186,10 @@ def auc_jax(scores, labels, *, valid=None):
 
 
 def rank_accuracy_jax(a, b, labels):
+    # ravel like the numpy twin: caffe-style (N, 1) score blobs must not
+    # broadcast against (N,) labels into an (N, N) pair matrix
+    a, b = jnp.ravel(a), jnp.ravel(b)
+    labels = jnp.ravel(labels)
     return jnp.mean(((labels * (a - b)) > 0).astype(jnp.float32))
 
 
@@ -256,7 +260,12 @@ def auc_jax_sorted(scores, labels):
     order = jnp.argsort(-scores.astype(jnp.float32), stable=True)
     ls = labels.astype(jnp.int32)[order]
     high = jnp.cumsum(ls)
-    value = jnp.sum(high * (1 - ls))
-    p = jnp.sum(ls)
+    # the pair count p*n (and the rank-sum) overflow int32 around 100k
+    # balanced samples — exactly this function's regime — and jax won't
+    # promote to int64 without x64; accumulate the SUM in f32 (counts
+    # stay exact up to 2^24, the sum's ~1e-7 relative rounding is far
+    # below metric noise)
+    value = jnp.sum(high.astype(jnp.float32) * (1 - ls).astype(jnp.float32))
+    p = jnp.sum(ls).astype(jnp.float32)
     n = ls.shape[0] - p
-    return jnp.where(p > 0, value / jnp.maximum(p * n, 1), 0.0)
+    return jnp.where(p > 0, value / jnp.maximum(p * n, 1.0), 0.0)

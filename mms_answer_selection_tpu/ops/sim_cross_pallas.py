@@ -287,13 +287,17 @@ def bilinear_maxsim_scores(qw, pool, *, c_block: int = C_BLOCK,
     nq, rows_per_q, dp = qw.shape
     c, w2p, dp2 = pool.shape
     assert dp == dp2
+    # the REQUESTED pair must be consistent (like the int8 path): only a
+    # pool-driven c_block shrink may then shrink c_sub with it via gcd
+    if c_block % min(c_sub, c_block):
+        raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
     c_block = _fit_c_block(c, c_block, min(c_sub, c))
     c_sub = min(c_sub, c_block)
     if c_block % c_sub:
-        # the kernel iterates range(c_block // c_sub) sub-chunks: a
-        # non-dividing c_sub would SILENTLY skip the remainder candidates
-        # (their output rows never written)
-        raise ValueError(f"c_sub {c_sub} must divide c_block {c_block}")
+        # a shrunken tile (e.g. a 96-candidate pool against the 128/64
+        # defaults) keeps working by shrinking the inner chunk too; any
+        # gcd is row-legal (chunk rows are c_sub * w2p, w2p 8-aligned)
+        c_sub = math.gcd(c_sub, c_block)
     # pad query count: to the 128-lane output tile on TPU (so the output
     # streams block-by-block), to q_sub under the interpreter (cheap tests).
     # Padded queries are all-zero rows INCLUDING the mask-activation lane,
@@ -628,6 +632,15 @@ def bilinear_maxsim_scores_int8(qw_i8, q_scales, pool_i8, aux, *,
         # defaults) keeps working by shrinking the inner chunk too; any
         # gcd is row-legal (chunk rows are c_sub * w2p, w2p 8-aligned)
         c_sub = math.gcd(c_sub, c_block)
+    if layout == "tokmaj" and (c_block % g or c_sub != g):
+        # token-major rows interleave candidates within g-sized groups
+        # at PACK time: a tile that is not a whole number of groups
+        # would reshape token/candidate indices into each other and
+        # silently scramble scores
+        raise ValueError(
+            f"tokmaj pools are packed in candidate groups of {g}; "
+            f"c_block {c_block} must be a multiple of the group "
+            f"(pass c_block >= {g}, or repack candmaj)")
     q_align = q_sub if interpret else (q_block or Q_BLOCK)
     nq_pad = _round_up(nq, q_align)
     q_sub = min(q_sub, nq_pad)
@@ -760,8 +773,20 @@ def bilinear_maxsim_scores_int4(qw_i4, q_scales, pool_i4, aux, *,
     to int4 here, inside the caller's trace, so Mosaic emits true int4
     contractions.  Under the interpreter (CPU backends) they stay int8 --
     XLA CPU cannot lower sub-byte dots -- which is value-identical."""
+    import jax.core
+
     if interpret is None:
         interpret = not _on_tpu()
+    if not interpret and not isinstance(qw_i4, jax.core.Tracer):
+        # called EAGERLY on a TPU backend: jit the whole cast+score so
+        # the int4 intermediates never cross a dispatch boundary (on
+        # remote-attached backends the transfer client cannot pack
+        # sub-byte arrays — see the storage note above)
+        fn = jax.jit(functools.partial(
+            bilinear_maxsim_scores_int4, c_block=c_block, c_sub=c_sub,
+            q_sub=q_sub, q_block=q_block, layout=layout,
+            interpret=interpret))
+        return fn(qw_i4, q_scales, pool_i4, aux)
     if not interpret:
         qw_i4 = qw_i4.astype(jnp.int4)
         pool_i4 = pool_i4.astype(jnp.int4)

@@ -136,3 +136,28 @@ class TestLoader:
         it = BatchIterator(self._ds(6), 3, seed=0, shuffle=False)
         np.testing.assert_array_equal(next(it)["x"], [0, 1, 2])
         np.testing.assert_array_equal(next(it)["x"], [3, 4, 5])
+
+
+class TestRound4LoaderFixes:
+    def test_empty_shard_raises(self):
+        from mms_answer_selection_tpu.data.loader import (ArrayDataset,
+                                                          BatchIterator)
+
+        ds = ArrayDataset({"x": np.arange(3)})
+        with pytest.raises(ValueError, match="empty"):
+            BatchIterator(ds, 2, shard=(3, 4))  # stripe 3 of 4 rows 3::4
+
+    def test_shuffle_chain_unchanged_on_cpu_device(self):
+        """The CPU-pinned permutation must produce the SAME threefry
+        chain (golden trajectories depend on it)."""
+        import jax
+
+        from mms_answer_selection_tpu.data.loader import (ArrayDataset,
+                                                          BatchIterator)
+
+        ds = ArrayDataset({"x": np.arange(64)})
+        it = BatchIterator(ds, 64, seed=5)
+        got = next(it)["x"]
+        key = jax.random.fold_in(jax.random.PRNGKey(5), 0)
+        want = np.arange(64)[np.asarray(jax.random.permutation(key, 64))]
+        np.testing.assert_array_equal(got, want)

@@ -1,5 +1,6 @@
 """int8 retrieval kernel tests: quantization, score accuracy, top-k recall."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -309,3 +310,46 @@ class TestTokmajLayout:
                                                     layout="tokmaj",
                                                     interpret=True))
         np.testing.assert_array_equal(s1, s2)
+
+
+class TestTokmajGuards:
+    def test_sub_group_c_block_rejected(self):
+        """A c_block smaller than the tokmaj pack group would reshape
+        token/candidate indices into each other — must raise, not
+        silently scramble."""
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            C_SUB_INT8, bilinear_maxsim_scores_int8,
+            pack_candidate_pool_int8, project_queries_int8)
+
+        rng = np.random.default_rng(0)
+        c = 2 * C_SUB_INT8
+        cand = jnp.asarray(rng.normal(size=(c, 8, 16)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+        pool, aux = pack_candidate_pool_int8(cand, layout="tokmaj")
+        qw, qs = project_queries_int8(q, w)
+        with pytest.raises(ValueError, match="group"):
+            bilinear_maxsim_scores_int8(qw, qs, pool, aux,
+                                        c_block=C_SUB_INT8 // 2,
+                                        layout="tokmaj", interpret=True)
+
+
+class TestBf16GcdFallback:
+    def test_off_block_pool_scores(self):
+        """A 96-candidate bf16 pool (c_block fit 96, default c_sub 64)
+        used to raise; it must shrink the inner chunk like int8 does and
+        agree with the reference scorer."""
+        from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+            bilinear_maxsim_scores, bilinear_maxsim_scores_reference,
+            pack_candidate_pool, project_queries)
+
+        rng = np.random.default_rng(1)
+        cand = jnp.asarray(rng.normal(size=(96, 8, 16)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(3, 8, 16)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+        qw = project_queries(q, w)
+        pool = pack_candidate_pool(cand)
+        got = bilinear_maxsim_scores(qw, pool, interpret=True)
+        want = bilinear_maxsim_scores_reference(q, cand, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

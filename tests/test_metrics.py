@@ -316,3 +316,45 @@ class TestBprefGmap:
         assert any(ln.startswith("P5 ") for ln in lines)
         for ln in lines:
             assert len(ln.split("\t")) == 3
+
+
+class TestRound4MetricFixes:
+    def test_auc_sorted_large_split_no_overflow(self):
+        """auc_jax_sorted's rank-sum overflowed int32 near 100k balanced
+        samples — the exact regime the sorted form exists for."""
+        from mms_answer_selection_tpu.metrics.ir_metrics import (auc,
+                                                                 auc_jax_sorted)
+
+        rng = np.random.default_rng(0)
+        n = 150_000
+        labels = rng.integers(0, 2, n).astype(np.int32)
+        scores = (labels * 0.3 + rng.normal(0, 1, n)).astype(np.float32)
+        want = auc(scores, labels)  # numpy path is int64-exact
+        got = float(auc_jax_sorted(jnp.asarray(scores),
+                                   jnp.asarray(labels)))
+        assert 0.5 < want < 0.8  # sanity: separable but noisy
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_auc_no_negatives_is_zero_both(self):
+        from mms_answer_selection_tpu.metrics.ir_metrics import (
+            auc, auc_jax, auc_jax_sorted)
+
+        scores = np.asarray([0.3, 0.9, 0.1], np.float32)
+        ones = np.ones(3, np.int32)
+        assert auc(scores, ones) == 0.0
+        assert float(auc_jax(jnp.asarray(scores), jnp.asarray(ones))) == 0.0
+        assert float(auc_jax_sorted(jnp.asarray(scores),
+                                    jnp.asarray(ones))) == 0.0
+
+    def test_rank_accuracy_jax_ravels_blob_shapes(self):
+        from mms_answer_selection_tpu.metrics.ir_metrics import (
+            rank_accuracy, rank_accuracy_jax)
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(16, 1)).astype(np.float32)  # caffe (N,1) blob
+        b = rng.normal(size=(16, 1)).astype(np.float32)
+        labels = rng.choice([-1.0, 1.0], 16).astype(np.float32)
+        want = rank_accuracy(a, b, labels)
+        got = float(rank_accuracy_jax(jnp.asarray(a), jnp.asarray(b),
+                                      jnp.asarray(labels)))
+        np.testing.assert_allclose(got, want)

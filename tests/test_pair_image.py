@@ -111,3 +111,36 @@ def test_compute_image_mean(tmp_path):
     assert mean.shape == (8, 8, 1)
     # mean of N(0,1) samples over 12 images: near zero, bounded
     assert abs(mean.mean()) < 0.5
+
+
+class TestRound4PairImageFixes:
+    def test_rand_skip_range_and_check(self, tmp_path):
+        """caffe_rng_rand() % rand_skip -> [0, rand_skip-1], and the
+        layer CHECKs rand_skip < list size."""
+        from mms_answer_selection_tpu.data.pair_image import \
+            PairImageDataset
+
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            np.save(tmp_path / f"i{i}.npy",
+                    rng.random((4, 4, 3)).astype(np.float32) * 255)
+        rows = "\n".join(f"i{i}.npy i{(i+1) % 4}.npy 0 0 1"
+                         for i in range(4))
+        (tmp_path / "list.txt").write_text(rows + "\n")
+        with pytest.raises(ValueError, match="rand_skip"):
+            PairImageDataset(str(tmp_path / "list.txt"), 2,
+                             root=str(tmp_path), rand_skip=4)
+        seen = {PairImageDataset(str(tmp_path / "list.txt"), 2,
+                                 root=str(tmp_path), rand_skip=3,
+                                 seed=s).cursor for s in range(40)}
+        assert seen <= {0, 1, 2} and 2 in seen  # never == rand_skip
+
+    def test_missing_list_path_raises(self):
+        from mms_answer_selection_tpu.data.pair_image import \
+            parse_pair_list
+
+        with pytest.raises(FileNotFoundError):
+            parse_pair_list("/nonexistent/paris.txt")
+        # inline text still parses
+        rows = parse_pair_list("a.png b.png 0.5 1.0 1\n")
+        assert rows == [("a.png", "b.png", 0.5, 1.0, 1)]
