@@ -47,14 +47,23 @@ __all__ = ["Solver", "SGDSolver", "NesterovSolver", "AdaGradSolver",
 class _NetView:
     """pycaffe ``Net`` surface over the owning solver's live trees."""
 
-    def __init__(self, owner: "Solver", net, feeds, *, test_id=None):
+    def __init__(self, owner: "Solver", net, *, test_id=None):
         self._owner = owner
         self._net = net
-        self._feeds = feeds
         self._test_id = test_id
         self._fwd = None
         self._calls = 0
         self.blobs: OrderedDict = OrderedDict()
+
+    @property
+    def _feeds(self):
+        # read LIVE off the solver: restore() rebuilds and rebinds the
+        # feed lists, and a captured-by-value list would keep serving
+        # batches from the stale pre-restore stream position
+        gs = self._owner._gs
+        if self._test_id is None:
+            return gs._feeds
+        return gs._test_feeds[self._test_id]
 
     # -- live trees --------------------------------------------------------
     def _trees(self):
@@ -158,9 +167,9 @@ class Solver:
             gs.solver = make_solver(gs.cfg, gs.net.param_spec(gs.params))
             gs.opt_state = gs.solver.init(gs.params)
             gs._step_fn = None
-        self.net = _NetView(self, gs.net, gs._feeds)
+        self.net = _NetView(self, gs.net)
         self.test_nets = [
-            _NetView(self, tnet, gs._test_feeds[i], test_id=i)
+            _NetView(self, tnet, test_id=i)
             for i, tnet in enumerate(gs.test_nets)]
 
     @property

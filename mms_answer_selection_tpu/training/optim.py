@@ -81,6 +81,10 @@ def learning_rate(cfg: SolverConfig, step):
     if p == "fixed":
         return jnp.asarray(cfg.base_lr, jnp.float32)
     if p == "step":
+        if cfg.stepsize <= 0:
+            # the reference crashes on iter_ / stepsize; silently
+            # returning lr=0 (gamma**inf) would freeze training
+            raise ValueError("lr_policy 'step' needs stepsize > 0")
         return cfg.base_lr * cfg.gamma ** jnp.floor(step / cfg.stepsize)
     if p == "exp":
         return cfg.base_lr * cfg.gamma ** step
@@ -139,7 +143,10 @@ class Solver:
         lr_mult, decay_mult = self._mults(params)
 
         # 2. global L2 clip on raw gradients
-        if cfg.clip_gradients > 0:
+        # the reference clips for ANY value >= 0 (sgd_solver.cpp:83
+        # returns only when clip_gradients < 0): 0 legitimately freezes
+        # training by scaling every gradient to zero
+        if cfg.clip_gradients >= 0:
             gnorm = jnp.sqrt(_tree_sq_norm(grads))
             scale = jnp.where(gnorm > cfg.clip_gradients,
                               cfg.clip_gradients / gnorm, 1.0)

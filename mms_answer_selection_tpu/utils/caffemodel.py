@@ -229,6 +229,13 @@ def load_caffemodel_h5(path, params, state, *, specs=None):
                 continue
             g = data[layer]
             rows, shared = known[layer]
+            if len(g) > len(rows):
+                # net.cpp:819-821 CHECK_LE: a source layer with MORE
+                # blobs than ours is a different architecture
+                raise ValueError(
+                    f"layer {layer}: file has {len(g)} datasets, model "
+                    f"expects {len(rows)} (net.cpp:819 CHECK_LEs the "
+                    f"same)")
             for idx, tree, keypath, _, from_caffe in rows:
                 if str(idx) not in g:
                     if not shared:
@@ -249,7 +256,7 @@ def load_caffemodel_h5(path, params, state, *, specs=None):
                         f"{src.shape} vs model {np.shape(dst)} "
                         "(net.cpp would CHECK-fail here too)")
                 _set(trees, tree, keypath,
-                     jnp.asarray(src, jnp.asarray(dst).dtype))
+                     jnp.asarray(src, np.asarray(dst).dtype))
                 report[f"{layer}/{idx}"] = "loaded"
     return params, state, report
 
@@ -354,10 +361,15 @@ def _parse_blob(buf):
 
 
 def _parse_layers(buf):
-    """NetParameter bytes -> [(layer_name, [blob arrays...]), ...]."""
+    """NetParameter bytes -> [(layer_name, [blob arrays...]), ...].
+    Reads modern ``layer`` (field 100: name=1, blobs=7) AND legacy V1
+    ``layers`` (field 2: name=4, blobs=6, nested V0 layer=1 with
+    name=1/blobs=50) — ReadNetParamsFromBinaryFileOrDie upgrades
+    transparently before CopyTrainedLayersFrom, so a pre-upgrade
+    .caffemodel must load its weights here too, not silently no-op."""
     layers = []
     for field, wt, val in _iter_fields(buf):
-        if field == 100 and wt == 2:  # LayerParameter
+        if field == 100 and wt == 2:  # modern LayerParameter
             name = ""
             blobs = []
             for f2, w2, v2 in _iter_fields(val):
@@ -365,6 +377,21 @@ def _parse_layers(buf):
                     name = bytes(v2).decode("utf-8", "replace")
                 elif f2 == 7 and w2 == 2:
                     blobs.append(_parse_blob(v2))
+            layers.append((name, blobs))
+        elif field == 2 and wt == 2:  # V1LayerParameter
+            name = ""
+            blobs = []
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 4 and w2 == 2:
+                    name = bytes(v2).decode("utf-8", "replace")
+                elif f2 == 6 and w2 == 2:
+                    blobs.append(_parse_blob(v2))
+                elif f2 == 1 and w2 == 2:  # nested V0LayerParameter
+                    for f3, w3, v3 in _iter_fields(v2):
+                        if f3 == 1 and w3 == 2:
+                            name = bytes(v3).decode("utf-8", "replace")
+                        elif f3 == 50 and w3 == 2:
+                            blobs.append(_parse_blob(v3))
             layers.append((name, blobs))
     return layers
 
@@ -495,7 +522,7 @@ def load_caffemodel_binaryproto(path, params, state, *, specs=None):
                     f"shape mismatch for {layer} blob {idx}: file "
                     f"{src.shape} vs model {np.shape(dst)}")
             _set(trees, tree, keypath,
-                 jnp.asarray(src, jnp.asarray(dst).dtype))
+                 jnp.asarray(src, np.asarray(dst).dtype))
             report[f"{layer}/{idx}"] = "loaded"
     return params, state, report
 
@@ -666,6 +693,6 @@ def load_solverstate(path, params, state, opt_state, *, specs=None):
                 raise ValueError(f"shape mismatch for history {name}: "
                                  f"{src.shape} vs {np.shape(dst)}")
             _set({"params": opt_state[acc]}, "params", keypath,
-                 jnp.asarray(src, jnp.asarray(dst).dtype))
+                 jnp.asarray(src, np.asarray(dst).dtype))
             report[name] = "loaded"
     return opt_state, int(it), int(cur), learned, report

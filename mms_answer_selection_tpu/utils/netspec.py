@@ -201,10 +201,17 @@ class Function:
     # -- kwargs -> layer dict ---------------------------------------------
     def _route_params(self, layer: dict) -> None:
         msg = _PARAM_MSG.get(self.type_name)
+        # explicit <type>_param dicts first (COPIED: routing direct
+        # kwargs into them must neither be order-dependent nor mutate a
+        # dict the caller may reuse across layers), then direct kwargs
+        # merge in — pycaffe's assign_proto merges either order too
         for k, v in self.params.items():
             if k.endswith("param") or k in _TOP_LEVEL:
-                layer[k] = v
-            elif msg is not None:
+                layer[k] = dict(v) if isinstance(v, dict) else v
+        for k, v in self.params.items():
+            if k.endswith("param") or k in _TOP_LEVEL:
+                continue
+            if msg is not None:
                 layer.setdefault(msg, {})[k] = v
             else:
                 raise ValueError(

@@ -615,3 +615,19 @@ class TestRound4LoaderFixes:
         p3, s3, rep = load_caffemodel_auto(bp, *_init(seed=6))
         np.testing.assert_array_equal(np.asarray(p3["fc1"]["w"]),
                                       np.asarray(p["fc1"]["w"]))
+
+    def test_h5_extra_dataset_fails(self, tmp_path):
+        """net.cpp:819-821 CHECK_LE: a source layer with MORE blobs than
+        ours is a different architecture, not a partial load."""
+        import h5py
+
+        from mms_answer_selection_tpu.utils.caffemodel import (
+            load_caffemodel_h5, save_caffemodel_h5)
+
+        p, s = _init(seed=3)
+        path = str(tmp_path / "w.caffemodel.h5")
+        save_caffemodel_h5(path, p, s)
+        with h5py.File(path, "a") as f:
+            f["data"]["fc1"]["9"] = np.zeros((2, 2), np.float32)
+        with pytest.raises(ValueError, match="datasets"):
+            load_caffemodel_h5(path, *_init(seed=4))

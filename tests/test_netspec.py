@@ -172,3 +172,27 @@ class TestExecutesThroughGraphNet:
     def test_enum_is_str_subclass(self):
         assert isinstance(P.Eltwise.SUM, str)
         assert isinstance(P.Eltwise.SUM, Enum)
+
+
+class TestParamRoutingMerge:
+    def test_kwargs_merge_into_explicit_param_either_order(self):
+        """Direct kwargs and an explicit <type>_param dict MERGE (like
+        pycaffe's assign_proto) regardless of kwarg order, without
+        mutating the caller's dict."""
+        from mms_answer_selection_tpu.utils.netspec import L, NetSpec
+        from mms_answer_selection_tpu.utils.prototxt import parse_prototxt
+
+        shared = dict(num_output=5)
+        n = NetSpec()
+        n.x = L.Input()
+        n.c1 = L.Convolution(n.x, kernel_size=3,
+                             convolution_param=shared)
+        n.c2 = L.Convolution(n.x, convolution_param=shared,
+                             kernel_size=7)
+        d = parse_prototxt(str(n.to_proto()))
+        by_name = {la["name"]: la for la in d["layer"]}
+        assert by_name["c1"]["convolution_param"] == {
+            "num_output": 5, "kernel_size": 3}
+        assert by_name["c2"]["convolution_param"] == {
+            "num_output": 5, "kernel_size": 7}
+        assert shared == {"num_output": 5}  # caller's dict untouched

@@ -201,3 +201,34 @@ class TestLearningRatePolicies:
         assert float(learning_rate(ms, 25)) == pytest.approx(0.25)
         sg = SolverConfig(lr_policy="sigmoid", **base)
         assert float(learning_rate(sg, 10)) == pytest.approx(0.5)
+
+
+class TestRound4OptimFixes:
+    def test_clip_gradients_zero_freezes(self):
+        """sgd_solver.cpp:83 clips for ANY >= 0: clip 0 scales every
+        gradient to zero (frozen training), it does not disable."""
+        from mms_answer_selection_tpu.training.optim import (SolverConfig,
+                                                             make_solver)
+
+        params = {"w": jnp.asarray([1.0, -2.0])}
+        grads = {"w": jnp.asarray([0.5, 0.25])}
+        s0 = make_solver(SolverConfig(solver_type="sgd", base_lr=0.1,
+                                      momentum=0.0, weight_decay=0.0,
+                                      clip_gradients=0.0))
+        p2, _ = s0.apply(params, grads, s0.init(params), 0)
+        np.testing.assert_array_equal(np.asarray(p2["w"]),
+                                      np.asarray(params["w"]))
+        sneg = make_solver(SolverConfig(solver_type="sgd", base_lr=0.1,
+                                        momentum=0.0, weight_decay=0.0,
+                                        clip_gradients=-1.0))
+        p3, _ = sneg.apply(params, grads, sneg.init(params), 0)
+        assert not np.array_equal(np.asarray(p3["w"]),
+                                  np.asarray(params["w"]))
+
+    def test_step_policy_requires_stepsize(self):
+        from mms_answer_selection_tpu.training.optim import (SolverConfig,
+                                                             learning_rate)
+
+        with pytest.raises(ValueError, match="stepsize"):
+            learning_rate(SolverConfig(solver_type="sgd", base_lr=0.1,
+                                       lr_policy="step", stepsize=0), 5)

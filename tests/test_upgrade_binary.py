@@ -279,3 +279,35 @@ class TestCodecReviewFixes:
         assert inner["det_context_pad"] == 16
         assert inner["det_crop_mode"] == "square"
         assert inner["new_height"] == 24 and inner["new_width"] == 32
+
+
+class TestLegacyBinaryWeightLoad:
+    @pytest.mark.parametrize("era", ["v0", "v1"])
+    def test_loader_reads_legacy_layer_fields(self, tmp_path, era):
+        """load_caffemodel_binaryproto must read V0/V1 `layers` blobs
+        directly (ReadNetParamsFromBinaryFileOrDie upgrades before
+        loading — silently loading nothing is the bug)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mms_answer_selection_tpu.models.graph_net import GraphNet
+        from mms_answer_selection_tpu.utils.caffemodel import \
+            load_caffemodel_binaryproto
+
+        raw = _v0_net_bytes() if era == "v0" else _v1_net_bytes()
+        (tmp_path / "legacy.caffemodel").write_bytes(raw)
+        txt = """
+        layer { name: "in" type: "Input" top: "data" }
+        layer { name: "ip1" type: "InnerProduct" bottom: "data" top: "y"
+          inner_product_param { num_output: 3 } }
+        """
+        net = GraphNet(txt)
+        ins = {"data": jnp.ones((2, 6))}
+        p, s = net.init(jax.random.PRNGKey(3), ins)
+        p, s, report = load_caffemodel_binaryproto(
+            str(tmp_path / "legacy.caffemodel"), p, s,
+            specs=net.caffemodel_specs(p, s))
+        np.testing.assert_allclose(np.asarray(p["ip1"]["w"]), W.T,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p["ip1"]["b"]), B,
+                                   rtol=1e-6)
