@@ -122,7 +122,9 @@ def pool2d_padded(x, kh: int, kw: int, *, stride_h: int, stride_w: int,
 
     def sizes(size, k, s, p):
         pooled = int(math.ceil((size + 2 * p - k) / s)) + 1
-        if p and (pooled - 1) * s >= size + p:
+        # pooling_layer.cpp guards the clip on pad_h || pad_w JOINTLY:
+        # any padding triggers the last-window check on BOTH dims
+        if (pad_h or pad_w) and (pooled - 1) * s >= size + p:
             pooled -= 1
         return pooled
 

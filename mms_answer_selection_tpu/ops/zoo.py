@@ -193,6 +193,11 @@ def eltwise(inputs, *, operation: str = "sum", coeffs=None):
             out = out * x
         return out
     if operation == "sum":
+        if coeffs and len(coeffs) != len(inputs):
+            # eltwise_layer.cpp CHECKs coeff count == bottom count (or 0);
+            # zip would silently DROP the uncovered inputs
+            raise ValueError(f"Eltwise SUM got {len(coeffs)} coeffs for "
+                             f"{len(inputs)} bottoms")
         coeffs = coeffs or [1.0] * len(inputs)
         out = coeffs[0] * inputs[0]
         for c, x in zip(coeffs[1:], inputs[1:]):
@@ -207,10 +212,17 @@ def eltwise(inputs, *, operation: str = "sum", coeffs=None):
 
 
 def reduction(x, *, operation: str = "sum", axis: int = 0,
-              coeff: float = 1.0):
+              coeff: float = 1.0, axes=None):
     """ReductionLayer: SUM/ASUM/SUMSQ/MEAN over trailing axes starting at
-    ``axis`` (reduction_layer.cpp)."""
-    axes = tuple(range(axis, x.ndim)) if x.ndim > axis else ()
+    ``axis`` (reduction_layer.cpp; negative axes canonicalize like
+    CanonicalAxisIndex).  ``axes`` overrides with an explicit axis set
+    (the caller owns layout mapping, e.g. NCHW trailing sets on NHWC
+    blobs)."""
+    if axes is None:
+        a = axis % x.ndim if x.ndim else 0
+        axes = tuple(range(a, x.ndim)) if x.ndim > a else ()
+    else:
+        axes = tuple(axes)
     if operation == "sum":
         r = jnp.sum(x, axis=axes)
     elif operation == "asum":
@@ -224,13 +236,26 @@ def reduction(x, *, operation: str = "sum", axis: int = 0,
     return coeff * r
 
 
-def argmax(x, *, top_k: int = 1, out_max_val: bool = False, axis: int = -1):
-    """ArgMaxLayer (argmax_layer.cpp): top-k indices (and optionally
-    values) along an axis."""
-    vals, idx = jax.lax.top_k(jnp.moveaxis(x, axis, -1), top_k)
+def argmax(x, *, top_k: int = 1, out_max_val: bool = False,
+           axis: int | None = None):
+    """ArgMaxLayer (argmax_layer.cpp) semantics:
+
+    * ``axis`` set: top-k along that axis, the k dim REPLACING it; with
+      ``out_max_val`` the output is the max VALUES, else the indices.
+    * no ``axis``: flatten per row (the reference argmaxes over
+      C*H*W), output (N, 1, k) indices — or (N, 2, k) with
+      ``out_max_val``: indices row then values row.
+    """
+    if axis is not None:
+        vals, idx = jax.lax.top_k(jnp.moveaxis(x, axis, -1), top_k)
+        out = vals if out_max_val else idx.astype(jnp.float32)
+        return jnp.moveaxis(out, -1, axis % x.ndim)
+    flat = x.reshape(x.shape[0], -1)
+    vals, idx = jax.lax.top_k(flat, top_k)
+    idxf = idx.astype(jnp.float32)[:, None, :]
     if out_max_val:
-        return idx, vals
-    return idx
+        return jnp.concatenate([idxf, vals[:, None, :]], axis=1)
+    return idxf
 
 
 def accuracy(scores, labels, *, top_k: int = 1,

@@ -923,3 +923,112 @@ class TestLSTMUnit:
         blobs, _ = net.apply(p, s, ins)
         np.testing.assert_allclose(np.asarray(blobs["h"]),
                                    np.asarray(out), rtol=1e-5)
+
+
+class TestZooParityRound4:
+    """Parity fixes from the round-4 graph_net/zoo review."""
+
+    def _run(self, txt, ins):
+        net = GraphNet(txt)
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        blobs, _ = net.apply(params, state, ins)
+        return blobs
+
+    def test_argmax_flatten_nchw_and_out_max_val(self):
+        txt = """
+        layer { name: "x" type: "Input" top: "x" }
+        layer { name: "am" type: "ArgMax" bottom: "x" top: "am"
+          argmax_param { top_k: 2 out_max_val: true } }
+        """
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)  # NHWC
+        blobs = self._run(txt, {"x": jnp.asarray(x)})
+        out = np.asarray(blobs["am"])
+        assert out.shape == (2, 2, 2)  # (N, [idx, val], k)
+        nchw = np.transpose(x, (0, 3, 1, 2)).reshape(2, -1)
+        for i in range(2):
+            order = np.argsort(-nchw[i])[:2]
+            np.testing.assert_array_equal(out[i, 0], order)
+            np.testing.assert_allclose(out[i, 1], nchw[i][order],
+                                       rtol=1e-6)
+
+    def test_argmax_axis_out_max_val_returns_values(self):
+        txt = """
+        layer { name: "x" type: "Input" top: "x" }
+        layer { name: "am" type: "ArgMax" bottom: "x" top: "am"
+          argmax_param { top_k: 1 out_max_val: true axis: 1 } }
+        """
+        x = np.asarray([[1.0, 5.0, 3.0], [7.0, 2.0, 4.0]], np.float32)
+        blobs = self._run(txt, {"x": jnp.asarray(x)})
+        np.testing.assert_allclose(np.asarray(blobs["am"]).ravel(),
+                                   [5.0, 7.0])
+
+    def test_reduction_trailing_nchw_axes(self):
+        txt = """
+        layer { name: "x" type: "Input" top: "x" }
+        layer { name: "r" type: "Reduction" bottom: "x" top: "r"
+          reduction_param { axis: 2 } }
+        """
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)  # NHWC
+        blobs = self._run(txt, {"x": jnp.asarray(x)})
+        # caffe axis 2 on NCHW = reduce {H, W} -> (N, C)
+        want = np.transpose(x, (0, 3, 1, 2)).sum(axis=(2, 3))
+        assert blobs["r"].shape == (2, 5)
+        np.testing.assert_allclose(np.asarray(blobs["r"]), want,
+                                   rtol=1e-5)
+
+    def test_reduction_negative_axis(self):
+        from mms_answer_selection_tpu.ops import zoo
+
+        x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+        np.testing.assert_allclose(
+            np.asarray(zoo.reduction(x, axis=-1)),
+            np.arange(12, dtype=np.float32).reshape(3, 4).sum(1))
+
+    def test_eltwise_coeff_count_checked(self):
+        txt = """
+        layer { name: "a" type: "Input" top: "a" }
+        layer { name: "b" type: "Input" top: "b" }
+        layer { name: "e" type: "Eltwise" bottom: "a" bottom: "b"
+          top: "e" eltwise_param { operation: SUM coeff: 2.0 } }
+        """
+        with pytest.raises(ValueError, match="coeff"):
+            self._run(txt, {"a": jnp.ones((2, 3)),
+                            "b": jnp.ones((2, 3))})
+
+    def test_dummy_data_single_shape_broadcasts(self):
+        txt = """
+        layer { name: "dd" type: "DummyData" top: "a" top: "b"
+          dummy_data_param { shape { dim: 2 dim: 3 }
+            data_filler { type: "constant" value: 1 } } }
+        layer { name: "s" type: "Eltwise" bottom: "a" bottom: "b"
+          top: "s" eltwise_param { operation: SUM } }
+        """
+        blobs = self._run(txt, {})
+        np.testing.assert_allclose(np.asarray(blobs["s"]),
+                                   np.full((2, 3), 2.0))
+
+    def test_two_bottom_scale_axis0(self):
+        """Scale with bottom[1] = (N,) at axis 0: per-sample scaling
+        (scale_layer.cpp's axis/num_axes broadcast)."""
+        txt = """
+        layer { name: "x" type: "Input" top: "x" }
+        layer { name: "s" type: "Input" top: "s" }
+        layer { name: "sc" type: "Scale" bottom: "x" bottom: "s"
+          top: "y" scale_param { axis: 0 } }
+        """
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(3, 2, 2, 4)).astype(np.float32)
+        sv = np.asarray([2.0, -1.0, 0.5], np.float32)
+        blobs = self._run(txt, {"x": jnp.asarray(x), "s": jnp.asarray(sv)})
+        np.testing.assert_allclose(np.asarray(blobs["y"]),
+                                   x * sv[:, None, None, None], rtol=1e-6)
+
+    def test_stage_rule_rejected(self):
+        txt = """
+        layer { name: "x" type: "Input" top: "x"
+          include { stage: "multi-gpu" } }
+        """
+        with pytest.raises(ValueError, match="stage"):
+            GraphNet(txt)

@@ -103,8 +103,9 @@ class TestReductions:
 
     def test_argmax_and_accuracy(self):
         scores = jnp.asarray([[0.1, 0.7, 0.2], [0.5, 0.2, 0.3]])
-        idx = zoo.argmax(scores)
-        np.testing.assert_array_equal(np.asarray(idx)[:, 0], [1, 0])
+        idx = zoo.argmax(scores)  # caffe shape: (N, 1, k) indices
+        assert idx.shape == (2, 1, 1)
+        np.testing.assert_array_equal(np.asarray(idx).reshape(2), [1, 0])
         labels = jnp.asarray([1, 2])
         assert float(zoo.accuracy(scores, labels)) == pytest.approx(0.5)
         assert float(zoo.accuracy(scores, labels, top_k=2)) == pytest.approx(
