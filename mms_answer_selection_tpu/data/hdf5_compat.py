@@ -51,8 +51,12 @@ def load_hdf5_list(list_file: str) -> dict:
 
 def save_hdf5_chunks(directory: str, phase: str, split: dict,
                      *, chunk_rows: int = 1_000_000) -> str:
-    """Write a split in the reference's chunked HDF5 layout (data<i>.h5 +
-    <phase>.txt list file) so artifacts flow back to the reference too."""
+    """Write a split in the reference's chunked HDF5 layout
+    (<phase>_data<i>.h5 + <phase>.txt list file) so artifacts flow back
+    to the reference too.  Chunk files carry the phase so two phases can
+    share one directory without clobbering each other (the reference
+    sidesteps this with per-phase dirs, do_trec_qa_clean.py:237; readers
+    follow the LIST file, so the name is free to be collision-proof)."""
     try:
         import h5py
     except ImportError as e:  # pragma: no cover
@@ -63,7 +67,8 @@ def save_hdf5_chunks(directory: str, phase: str, split: dict,
     list_path = os.path.join(directory, f"{phase}.txt")
     with open(list_path, "w") as lf:
         for i in range(0, max(n, 1), chunk_rows):
-            path = os.path.join(directory, f"data{i // chunk_rows}.h5")
+            path = os.path.join(directory,
+                                f"{phase}_data{i // chunk_rows}.h5")
             with h5py.File(path, "w") as h5:
                 for key, arr in split.items():
                     h5[key] = np.asarray(arr)[i: i + chunk_rows].astype(

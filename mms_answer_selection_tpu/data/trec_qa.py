@@ -61,7 +61,13 @@ def parse_trec_xml(path_or_text: str):
         if lm:
             answer = line.lower().split("\t")
             if len(answer) > MAX_ANSWER_TOKENS:
-                prev = line
+                # BUG-FOR-BUG with the reference: its `continue` skips
+                # the `prev = line` update (do_trec_qa_clean.py:139-147),
+                # so the NEXT line (the closing </positive>/</negative>
+                # tag) matches the stale prev and lands as a spurious
+                # 1-token answer with the same label.  Row counts,
+                # vocab, and IDF must match reference-produced
+                # artifacts, quirks included.
                 continue
             labels.append(1 if lm.group(1) == "positive" else 0)
             answers.append(answer)
@@ -92,7 +98,10 @@ def compute_overlap_features(questions, answers, *, word2df=None,
         a_set = {w for w in a if w not in stoplist}
         overlap = q_set & a_set
         df_overlap = sum(word2df.get(w, 11.0) for w in overlap)
-        denom = len(q_set) + len(a_set)
+        # the reference divides unguarded (do_trec_qa_clean.py:177) and
+        # would crash on a fully-stoplisted pair; that input never occurs
+        # in its data, so guarding to 0 here cannot affect parity
+        denom = len(q_set) + len(a_set) or 1
         feats[i] = (len(overlap) / denom, df_overlap / denom)
     return feats
 

@@ -128,7 +128,12 @@ def trec_eval(truth_path=None, result_path=None, *, scores=None, labels=None,
         num_ret += len(docs)
         num_rel += n_rel
         # trec_eval ranking: sim descending, ties by docno descending
-        ranked = sorted(docs, key=lambda d: (-d[1], _doc_key(d[0])))
+        # trec_eval-8.0 sorts sim descending with ties broken by docno
+        # STRING comparison descending (strcmp in its sort; '9' beats
+        # '10'): two stable passes — docno desc, then sim desc — give
+        # exactly that, for arbitrary (mixed numeric/alpha) docnos
+        ranked = sorted(docs, key=lambda d: d[0], reverse=True)
+        ranked = sorted(ranked, key=lambda d: -d[1])
         rels = [1 if judged.get(doc, 0) > 0 else 0 for doc, _ in ranked]
         # only judged docs participate in bpref (unjudged are invisible)
         judged_flags = [judged.get(doc) is not None for doc, _ in ranked]
@@ -175,7 +180,16 @@ def trec_eval(truth_path=None, result_path=None, *, scores=None, labels=None,
             sum_iprec[r] += best
 
     if num_q == 0:
-        return {"num_q": 0}
+        # every group degenerate: the full measure set, zeroed, so
+        # callers indexing ev["map"] report 0 instead of KeyError
+        out = {"num_q": 0, "num_ret": num_ret, "num_rel": num_rel,
+               "num_rel_ret": num_rel_ret, "map": 0.0, "gm_ap": 0.0,
+               "R-prec": 0.0, "bpref": 0.0, "recip_rank": 0.0}
+        for k in P_AT_K:
+            out[f"P_{k}"] = 0.0
+        for r in RECALL_POINTS:
+            out[f"ircl_prn.{r:.2f}"] = 0.0
+        return out
     out = {
         "num_q": num_q,
         "num_ret": num_ret,
@@ -213,9 +227,3 @@ def format_trec_table(results: dict) -> str:
     return "\n".join(lines)
 
 
-def _doc_key(doc: str):
-    """Descending docno order; numeric when possible (our docnos are ints)."""
-    try:
-        return -int(doc)
-    except ValueError:
-        return tuple(-ord(c) for c in doc)

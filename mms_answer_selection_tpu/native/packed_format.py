@@ -109,7 +109,16 @@ def write_mmsp(path: str, arrays: dict[str, np.ndarray]):
     header_size = 20 + len(items) * 56
     offset = (header_size + _ALIGN - 1) // _ALIGN * _ALIGN
     metas = []
+    seen_names = set()
     for name, arr in items:
+        nb31 = name.encode()[:31]
+        if len(name.encode()) > 31 or nb31 in seen_names:
+            # the C header stores 31 name bytes + NUL: silent truncation
+            # can collapse two fields into one reader key
+            raise ValueError(f"field name {name!r} exceeds the 31-byte "
+                             f"header limit (or collides after "
+                             f"truncation)")
+        seen_names.add(nb31)
         metas.append((name, _DTYPES[arr.dtype], arr.shape[1], offset))
         offset += arr.nbytes
         offset = (offset + _ALIGN - 1) // _ALIGN * _ALIGN
@@ -169,6 +178,10 @@ class PackedStore:
 
 
 def native_shuffle(n: int, seed: int) -> np.ndarray:
+    if n <= 0:
+        # the C Fisher-Yates computes splitmix64 % (i+1) with i
+        # wrapping to (uint64)-1 for n == 0: SIGFPE from the worker
+        raise ValueError(f"native_shuffle needs n > 0, got {n}")
     lib = _get_lib()
     out = np.empty(n, np.int64)
     lib.mmsp_shuffle(n, seed, out.ctypes.data_as(ctypes.c_void_p))
@@ -189,6 +202,13 @@ class NativePrefetcher:
                           np.uint32)
         self.shapes = [(batch_size, store.fields[f][2], store.fields[f][1])
                        for f in self.field_names]
+        per_shard = len(range(shard[0], store.n_rows, shard[1]))
+        if store.n_rows <= 0 or per_shard <= 0:
+            # an empty store (or empty host stripe) would SIGFPE in the
+            # native reshuffle / read an empty perm out of bounds
+            raise ValueError(
+                f"shard {shard[0]}/{shard[1]} of a {store.n_rows}-row "
+                f"store is empty")
         self.handle = self.lib.mmsp_prefetcher_create(
             store.handle, fids.ctypes.data_as(ctypes.c_void_p), len(fids),
             batch_size, seed, int(shuffle), depth, gather_threads,

@@ -32,10 +32,16 @@ def save_checkpoint(directory: str, step: int, bundle, *, prefix: str = "qa",
     path = os.path.join(directory, f"{prefix}_iter_{step}")
     os.makedirs(path, exist_ok=True)
     host = jax.tree.map(np.asarray, jax.device_get(bundle))
-    with open(os.path.join(path, "ckpt.msgpack"), "wb") as f:
+    # temp-then-rename: a crash mid-write must not leave a truncated
+    # ckpt.msgpack that latest_checkpoint would pick for resume
+    tmp = os.path.join(path, ".ckpt.msgpack.tmp")
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(host))
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    os.replace(tmp, os.path.join(path, "ckpt.msgpack"))
+    tmp_meta = os.path.join(path, ".meta.json.tmp")
+    with open(tmp_meta, "w") as f:
         json.dump({"step": step, **(meta or {})}, f)
+    os.replace(tmp_meta, os.path.join(path, "meta.json"))
     return path
 
 

@@ -45,12 +45,17 @@ paris\tis\tin\tfrance
 class TestParse:
     def test_parse_rules(self):
         qids, qs, ans, labels = parse_trec_xml(XML)
-        # the 61-token negative is skipped (answers > 60 tokens)
-        assert labels == [1, 0, 1]
-        assert qids == ["32.1", "32.1", "32.2"]
+        # the 61-token negative is skipped (answers > 60 tokens) — but
+        # BUG-FOR-BUG with the reference, its `continue` leaves prev on
+        # the label tag, so the CLOSING tag lands as a spurious 1-token
+        # answer with the same label (do_trec_qa_clean.py:139-147;
+        # reference artifacts contain these rows, so must ours)
+        assert labels == [1, 0, 0, 1]
+        assert qids == ["32.1", "32.1", "32.1", "32.2"]
         assert qs[0] == ["who", "shot", "kennedy"]
         assert ans[0] == ["oswald", "shot", "kennedy"]
         assert ans[1] == ["the", "weather", "is", "nice"]
+        assert ans[2] == ["</negative>"]  # the reference's quirk row
 
     def test_idf(self):
         docs = [["a", "b"], ["b", "c"], ["c", "c"]]
@@ -161,3 +166,19 @@ class TestRound4LoaderFixes:
         key = jax.random.fold_in(jax.random.PRNGKey(5), 0)
         want = np.arange(64)[np.asarray(jax.random.permutation(key, 64))]
         np.testing.assert_array_equal(got, want)
+
+
+def test_hdf5_two_phases_share_directory(tmp_path):
+    """Phase-scoped chunk names: train + test splits in ONE directory
+    must not clobber each other (the list file is the read contract)."""
+    from mms_answer_selection_tpu.data.hdf5_compat import (load_hdf5_list,
+                                                           save_hdf5_chunks)
+
+    tr = {"data": np.ones((4, 3), np.float32), "label": np.zeros(4)}
+    te = {"data": np.full((2, 3), 9.0, np.float32), "label": np.ones(2)}
+    ltr = save_hdf5_chunks(str(tmp_path), "train", tr)
+    lte = save_hdf5_chunks(str(tmp_path), "test", te)
+    back_tr = load_hdf5_list(ltr)
+    back_te = load_hdf5_list(lte)
+    np.testing.assert_array_equal(back_tr["data"], tr["data"])
+    np.testing.assert_array_equal(back_te["data"], te["data"])

@@ -358,3 +358,33 @@ class TestRound4MetricFixes:
         got = float(rank_accuracy_jax(jnp.asarray(a), jnp.asarray(b),
                                       jnp.asarray(labels)))
         np.testing.assert_allclose(got, want)
+
+
+class TestTrecEvalRound4:
+    def test_tie_break_is_string_descending(self):
+        """trec_eval-8.0 breaks sim ties by docno STRING comparison
+        descending: '9' outranks '10'."""
+        from mms_answer_selection_tpu.metrics.trec_eval import trec_eval
+
+        scores = np.asarray([0.5, 0.5, 0.5], np.float64)
+        labels = np.asarray([0, 0, 1], np.int32)
+        groups = np.asarray([0, 0, 0], np.int32)
+        # docnos are per-group insertion indices "0","1","2"... build a
+        # group with 11 docs so "9" and "10" coexist; relevant doc = "9"
+        scores = np.full(11, 0.5)
+        labels = np.zeros(11, np.int32)
+        labels[9] = 1
+        groups = np.zeros(11, np.int32)
+        ev = trec_eval(scores=scores, labels=labels, groups=groups)
+        # string-descending tie order: 9,8,7,6,5,4,3,2,10,1,0 -> doc "9"
+        # ranks FIRST
+        assert ev["recip_rank"] == 1.0
+
+    def test_all_degenerate_returns_full_zeroed(self):
+        from mms_answer_selection_tpu.metrics.trec_eval import trec_eval
+
+        ev = trec_eval(scores=np.asarray([0.1, 0.2]),
+                       labels=np.asarray([0, 0]),
+                       groups=np.asarray([0, 0]))
+        assert ev["num_q"] == 0 and ev["map"] == 0.0
+        assert "recip_rank" in ev and "P_5" in ev and "bpref" in ev

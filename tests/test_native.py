@@ -167,3 +167,30 @@ class TestZeroCopy:
             # device batch is safe to use after the slot was recycled
             assert jnp.sum(dev["overlap_feat"]).dtype == jnp.float32
         p1.close(); p2.close(); s1.close(); s2.close()
+
+
+class TestRound4NativeGuards:
+    def test_native_shuffle_zero_raises(self):
+        from mms_answer_selection_tpu.native.packed_format import \
+            native_shuffle
+
+        with pytest.raises(ValueError, match="n > 0"):
+            native_shuffle(0, 1)
+
+    def test_empty_shard_prefetcher_raises(self, tmp_path):
+        from mms_answer_selection_tpu.native.packed_format import (
+            NativePrefetcher, PackedStore, write_mmsp)
+
+        path = str(tmp_path / "t.mmsp")
+        write_mmsp(path, {"x": np.arange(6, dtype=np.int32).reshape(3, 2)})
+        store = PackedStore(path)
+        with pytest.raises(ValueError, match="empty"):
+            NativePrefetcher(store, ["x"], 2, shard=(3, 4))
+
+    def test_long_field_name_rejected(self, tmp_path):
+        from mms_answer_selection_tpu.native.packed_format import \
+            write_mmsp
+
+        with pytest.raises(ValueError, match="31"):
+            write_mmsp(str(tmp_path / "t.mmsp"),
+                       {"f" * 40: np.zeros((2, 2), np.int32)})
