@@ -91,6 +91,14 @@ def parse_window_file(source: str, *, root: str = "",
     return image_db, fg, bg
 
 
+def _cround(x: float) -> int:
+    """C's round(): half away from zero (Python's round() is banker's
+    half-to-even — window_data_layer.cpp's crop math must match C)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 class WindowListDataset:
     """Batch iterator with the reference's fg/bg sampling + crop/warp.
 
@@ -115,6 +123,7 @@ class WindowListDataset:
         if not self.fg or not self.bg:
             raise ValueError("need at least one foreground and one "
                              "background window (:326-327)")
+        self.channels = self.image_db[0][1][0]  # declared in the file
         self.bs = batch_size
         self.crop_size = crop_size
         self.context_pad = context_pad
@@ -162,10 +171,10 @@ class WindowListDataset:
             cy = y1 + half_h
             if self.use_square:
                 half_h = half_w = max(half_h, half_w)
-            x1 = int(round(cx - half_w * context_scale))
-            x2 = int(round(cx + half_w * context_scale))
-            y1 = int(round(cy - half_h * context_scale))
-            y2 = int(round(cy + half_h * context_scale))
+            x1 = _cround(cx - half_w * context_scale)
+            x2 = _cround(cx + half_w * context_scale)
+            y1 = _cround(cy - half_h * context_scale)
+            y2 = _cround(cy + half_h * context_scale)
 
             unclipped_h = y2 - y1 + 1
             unclipped_w = x2 - x1 + 1
@@ -180,11 +189,11 @@ class WindowListDataset:
 
             scale_x = cs / unclipped_w
             scale_y = cs / unclipped_h
-            out_w = int(round((x2 - x1 + 1) * scale_x))
-            out_h = int(round((y2 - y1 + 1) * scale_y))
-            pad_x1 = int(round(pad_x1 * scale_x))
-            pad_x2 = int(round(pad_x2 * scale_x))
-            pad_y1 = int(round(pad_y1 * scale_y))
+            out_w = _cround((x2 - x1 + 1) * scale_x)
+            out_h = _cround((y2 - y1 + 1) * scale_y)
+            pad_x1 = _cround(pad_x1 * scale_x)
+            pad_x2 = _cround(pad_x2 * scale_x)
+            pad_y1 = _cround(pad_y1 * scale_y)
             pad_h = pad_y1
             # mirrored padding mirrors too (:376-381)
             pad_w = pad_x2 if do_mirror else pad_x1
@@ -219,7 +228,11 @@ class WindowListDataset:
 
     def __next__(self):
         cs = self.crop_size
-        c = self._image(0).shape[2]
+        # channel count from the window file's DECLARED channels (the
+        # parsed image_db), not a force-decode of image 0 — which may be
+        # unreferenced, missing, or a different depth than the sampled
+        # windows' images
+        c = self.channels
         data = np.zeros((self.bs, cs, cs, c), np.float32)
         labels = np.zeros((self.bs,), np.float32)
         item = 0

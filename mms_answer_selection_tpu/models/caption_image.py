@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..ops import bn_apply, bn_init, conv2d, conv_init, embed_init, \
     embed_lookup, pair_rank_loss
-from ..ops.pooling import max_pool2d
+from ..metrics.ir_metrics import rank_accuracy_jax
+from ..ops.pooling import _out_size, max_pool2d
 from ..ops.similarity import sim_cross_bilinear
 from ..utils import fillers
 from .mms_qa import ConvBlock
@@ -55,8 +56,8 @@ class CaptionImageConfig:
         h, w = self.height, self.width
         for b in self.blocks:
             h, w = h - b.kh + 1, w - b.kw + 1
-            h = int(math.ceil((h - b.pool_k) / b.pool_stride)) + 1
-            w = int(math.ceil((w - b.pool_k) / b.pool_stride)) + 1
+            h = _out_size(h, b.pool_k, b.pool_stride)
+            w = _out_size(w, b.pool_k, b.pool_stride)
         return h, w
 
 
@@ -135,6 +136,7 @@ def caption_image_apply(params, state, batch, cfg: CaptionImageConfig, *,
         "score_pos": s_pos,
         "score_neg": s_neg,
         "loss": pair_rank_loss(s_pos, s_neg, label, margin=cfg.margin),
-        "rank_accuracy": jnp.mean((s_pos > s_neg).astype(jnp.float32)),
+        "rank_accuracy": rank_accuracy_jax(
+            s_pos, s_neg, jnp.ones_like(s_pos)),
     }
     return out, new_state

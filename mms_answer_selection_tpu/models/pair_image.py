@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..metrics import rank_accuracy_jax
 from ..ops import bn_apply, bn_init, conv2d, conv_init, pair_rank_loss
-from ..ops.pooling import max_pool2d
+from ..ops.pooling import _out_size, max_pool2d
 from ..utils import fillers
 from .mms_qa import ConvBlock
 
@@ -44,8 +44,8 @@ def _spatial(cfg: PairImageConfig):
     h, w, c = cfg.height, cfg.width, cfg.channels
     for b in cfg.blocks:
         h, w = h - b.kh + 1, w - b.kw + 1
-        h = int(math.ceil((h - b.pool_k) / b.pool_stride)) + 1
-        w = int(math.ceil((w - b.pool_k) / b.pool_stride)) + 1
+        h = _out_size(h, b.pool_k, b.pool_stride)
+        w = _out_size(w, b.pool_k, b.pool_stride)
         c = b.out_channels
     return h, w, c
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def softmax_cross_entropy(logits, labels, *, ignore_label: int | None = None):
@@ -21,6 +22,10 @@ def softmax_cross_entropy(logits, labels, *, ignore_label: int | None = None):
     FLT_MIN probability clamp.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
+    # -log(max(prob, FLT_MIN)) — softmax_loss_layer.cpp:107 caps the
+    # per-sample loss at ~87.34 when the correct class underflows
+    logp = jnp.maximum(
+        logp, jnp.log(jnp.float32(np.finfo(np.float32).tiny)))
     per = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
                                axis=-1)[:, 0]
     if ignore_label is not None:

@@ -343,11 +343,8 @@ def _parse_blob(buf):
                 elif f2 == 1 and w2 == 0:  # unpacked varint dim
                     dims.append(v2)
             shape = tuple(dims)
-        elif field == 5:  # float data
-            if wt == 2:  # packed
-                data.append(np.frombuffer(bytes(val), "<f4"))
-            else:  # unpacked fixed32
-                data.append(np.frombuffer(bytes(val), "<f4"))
+        elif field == 5 and wt in (2, 5):  # float data, packed or not
+            data.append(np.frombuffer(bytes(val), "<f4"))
         elif field == 8 and wt == 2:  # double data
             data.append(np.frombuffer(bytes(val), "<f8").astype(np.float32))
         elif field in (1, 2, 3, 4) and wt == 0:  # legacy 4D dims
@@ -398,6 +395,9 @@ def _parse_layers(buf):
 
 def _varint(n):
     out = bytearray()
+    # negative int32/int64 fields encode as 10-byte sign-extended
+    # varints; without the mask the shift loop never terminates
+    n = int(n) & ((1 << 64) - 1)
     while True:
         b = n & 0x7F
         n >>= 7

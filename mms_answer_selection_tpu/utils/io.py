@@ -69,10 +69,12 @@ def blobproto_to_array(blob: bytes, return_diff: bool = False):
             shape = tuple(dims)
         elif field in (1, 2, 3, 4) and wt == 0:
             legacy[field - 1] = val
-        elif field == 5 and wt == 2:
-            data = np.frombuffer(val, "<f4")
-        elif field == 6 and wt == 2:
-            diff = np.frombuffer(val, "<f4")
+        elif field == 5 and wt in (2, 5):  # packed or per-element
+            part = np.frombuffer(bytes(val), "<f4")
+            data = part if data is None else np.concatenate([data, part])
+        elif field == 6 and wt in (2, 5):
+            part = np.frombuffer(bytes(val), "<f4")
+            diff = part if diff is None else np.concatenate([diff, part])
     if shape is None:
         shape = tuple(legacy)
     arr = diff if return_diff else data
@@ -178,11 +180,13 @@ def datum_to_array(datum):
 
 
 def datum_label(datum) -> int:
-    """The Datum's label field (0 if absent, the proto default)."""
+    """The Datum's label field (0 if absent, the proto default);
+    negative labels decode from their sign-extended varint form."""
     datum = _as_datum_bytes(datum)
     for field, wt, val in _iter_fields(memoryview(datum)):
         if field == 5 and wt == 0:
-            return int(val)
+            v = int(val)
+            return v - (1 << 64) if v >= 1 << 63 else v
     return 0
 
 
@@ -322,13 +326,22 @@ def load_image(filename: str, color: bool = True):
         from PIL import Image  # gated: only needed for real image files
 
         with Image.open(filename) as im:
+            if im.mode == "P":
+                # palette images decode to slot INDICES; skimage's
+                # imread returns true RGB — convert first
+                im = im.convert("RGB")
+            mode = im.mode
             raw = np.asarray(im)
         # img_as_float semantics: integer dtypes scale by their type's
         # max (uint8 -> /255) regardless of the pixel VALUES; float
         # images pass through.  Keying on values would brighten binary
         # masks / near-black uint8 images 255x.
         img = np.asarray(raw, np.float32)
-        if np.issubdtype(raw.dtype, np.integer):
+        if mode.startswith("I"):
+            # PIL parks 16-bit images in a 32-bit container: the data
+            # range is uint16, not int32
+            img = img / 65535.0
+        elif np.issubdtype(raw.dtype, np.integer):
             img = img / float(np.iinfo(raw.dtype).max)
         if img.ndim == 2:
             img = img[:, :, np.newaxis]

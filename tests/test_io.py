@@ -376,3 +376,60 @@ class TestLoadImageDtype:
         out = cio.load_image(str(tmp_path / "c.png"))
         np.testing.assert_allclose(out, img.astype(np.float32) / 255.0,
                                    atol=1e-7)
+
+
+class TestRound4IoFixes:
+    def test_negative_datum_label_roundtrip(self):
+        from mms_answer_selection_tpu.utils.io import (array_to_datum,
+                                                       datum_label)
+
+        d = array_to_datum(np.zeros((1, 2, 2), np.uint8), label=-1)
+        assert datum_label(d) == -1  # used to hang in _varint
+
+    def test_blobproto_unpacked_floats(self):
+        """A writer emitting repeated floats UNPACKED (one wt-5 field
+        per element) is legal wire; the parser must accept it."""
+        import struct
+
+        from mms_answer_selection_tpu.utils.io import blobproto_to_array
+
+        def vi(n):
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        blob = vi(1 << 3) + vi(1) + vi(2 << 3) + vi(1) \
+            + vi(3 << 3) + vi(1) + vi(4 << 3) + vi(2)
+        for v in (1.5, -2.0):
+            blob += vi((5 << 3) | 5) + struct.pack("<f", v)
+        np.testing.assert_allclose(
+            blobproto_to_array(blob).ravel(), [1.5, -2.0])
+
+    def test_palette_png_decodes_rgb(self, tmp_path):
+        from PIL import Image
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[0, 0] = [255, 0, 0]
+        pal = Image.fromarray(img, "RGB").convert(
+            "P", palette=Image.ADAPTIVE)
+        pal.save(tmp_path / "p.png")
+        out = cio.load_image(str(tmp_path / "p.png"))
+        # true colors, not palette indices: red pixel ~1.0 in channel 0
+        assert out[0, 0, 0] > 0.9 and out[0, 0, 1] < 0.1
+        assert out[1, 1].max() < 0.1
+
+    def test_16bit_png_scale(self, tmp_path):
+        from PIL import Image
+
+        arr = np.asarray([[0, 65535], [32768, 0]], np.uint16)
+        Image.fromarray(arr, mode="I;16").save(tmp_path / "d.png")
+        out = cio.load_image(str(tmp_path / "d.png"), color=False)
+        np.testing.assert_allclose(
+            out[:, :, 0], np.asarray(arr, np.float32) / 65535.0,
+            atol=1e-4)

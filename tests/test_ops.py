@@ -177,3 +177,15 @@ class TestLosses:
         expect = float(np.log1p(np.exp(-0.5)))
         assert float(sigmoid_cross_entropy(logits, t)) == pytest.approx(
             expect, rel=1e-4)
+
+
+def test_softmax_loss_flt_min_clamp():
+    """softmax_loss_layer.cpp:107 clamps prob at FLT_MIN: a huge logit
+    margin caps the per-sample loss at -log(FLT_MIN) ~ 87.34."""
+    from mms_answer_selection_tpu.ops.losses import softmax_cross_entropy
+
+    logits = jnp.asarray([[200.0, 0.0]])
+    labels = jnp.asarray([1])
+    loss = float(softmax_cross_entropy(logits, labels))
+    np.testing.assert_allclose(loss, -np.log(np.finfo(np.float32).tiny),
+                               rtol=1e-4)
