@@ -34,12 +34,16 @@ def _tokenize(text: str) -> list[str]:
 
 
 def parse_wikiqa_tsv(path_or_text: str):
-    """Returns (qids, questions, answers, labels); skips the header row."""
+    """Returns (qids, questions, answers, labels); skips the header row.
+    Accepts a file path or the TSV TEXT itself; a missing path raises
+    instead of silently parsing the path string as an empty corpus."""
     if os.path.exists(path_or_text):
         with open(path_or_text, encoding="utf-8", errors="replace") as f:
             lines = f.read().splitlines()
-    else:
+    elif "\n" in path_or_text or "\t" in path_or_text:
         lines = path_or_text.splitlines()
+    else:
+        raise FileNotFoundError(path_or_text)
     qids, questions, answers, labels = [], [], [], []
     for i, line in enumerate(lines):
         parts = line.split("\t")

@@ -54,6 +54,7 @@ class Detector(Net):
         """[(image filename, window list)] -> [{filename, window,
         prediction}] (detector.py:56-100).  Windows are (ymin, xmin,
         ymax, xmax)."""
+        images_windows = list(images_windows)  # consumed TWICE
         window_inputs = []
         for image_fname, windows in images_windows:
             image = caffe_io.load_image(image_fname).astype(np.float32)

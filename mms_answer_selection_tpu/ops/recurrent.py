@@ -65,18 +65,27 @@ def lstm_apply(params, x, *, cont=None, h0=None, c0=None):
 
 
 def rnn_init(key, input_dim: int, hidden_dim: int, *, dtype=jnp.float32):
-    k1, k2 = jax.random.split(key)
+    """{'wx': (D, H), 'b': (H,), 'wh': (H, H), 'wo': (H, H),
+    'bo': (H,)} — the reference RNN's FIVE blobs: W_xh, b_h, W_hh,
+    W_ho, b_o (rnn_layer.cpp:98-226)."""
+    k1, k2, k3 = jax.random.split(key, 3)
     return {
         "wx": fillers.xavier(k1, (input_dim, hidden_dim), fan_in=input_dim,
                              dtype=dtype),
         "wh": fillers.xavier(k2, (hidden_dim, hidden_dim),
                              fan_in=hidden_dim, dtype=dtype),
         "b": jnp.zeros((hidden_dim,), dtype),
+        "wo": fillers.xavier(k3, (hidden_dim, hidden_dim),
+                             fan_in=hidden_dim, dtype=dtype),
+        "bo": jnp.zeros((hidden_dim,), dtype),
     }
 
 
 def rnn_apply(params, x, *, cont=None, h0=None):
-    """Vanilla tanh RNN: x (T, N, D) -> (outputs (T, N, H), h_T)."""
+    """Vanilla tanh RNN (rnn_layer.cpp:98-226):
+    h_t = tanh(W_xh x_t + b_h + W_hh (cont_t * h_{t-1})),
+    o_t = tanh(W_ho h_t + b_o)  — the TOP is the projected o_t, not the
+    raw hidden state.  x (T, N, D) -> (outputs (T, N, H), h_T)."""
     t_len, n, _ = x.shape
     h_dim = params["wh"].shape[0]
     h = jnp.zeros((n, h_dim), x.dtype) if h0 is None else h0
@@ -87,7 +96,8 @@ def rnn_apply(params, x, *, cont=None, h0=None):
         x_t, cont_t = inputs
         h = h * cont_t[:, None]
         h_new = jnp.tanh(x_t @ params["wx"] + h @ params["wh"] + params["b"])
-        return h_new, h_new
+        o_t = jnp.tanh(h_new @ params["wo"] + params["bo"])
+        return h_new, o_t
 
     h, outputs = jax.lax.scan(step, h, (x, cont))
     return outputs, h

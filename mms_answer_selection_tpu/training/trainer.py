@@ -388,7 +388,9 @@ class Trainer:
         dev_batch = self._full_batch(dev_data)
         test_batch = self._full_batch(test_data) if test_data else None
 
-        history = {"train_loss": [], "dev_map": [], "dev_mrr": [],
+        history = {"train_loss_record_interval":
+                   cfg.train_loss_record_interval,
+                   "train_loss": [], "dev_map": [], "dev_mrr": [],
                    "dev_auc": [], "test_map": [], "test_mrr": [],
                    "test_auc": [], "steps": []}
         best = {"dev_map": -1.0, "step": 0, "params": None, "state": None}
@@ -628,7 +630,9 @@ class Trainer:
         dev_batch = self._full_batch(dev_data)
         test_batch = self._full_batch(test_data) if test_data else None
         root_key = jax.random.PRNGKey(cfg.seed)
-        history = {"train_loss": [], "dev_map": [], "dev_mrr": [],
+        history = {"train_loss_record_interval":
+                   cfg.train_loss_record_interval,
+                   "train_loss": [], "dev_map": [], "dev_mrr": [],
                    "dev_auc": [], "test_map": [], "test_mrr": [],
                    "test_auc": [], "steps": []}
         best = {"dev_map": -1.0, "step": 0, "params": None, "state": None}

@@ -52,6 +52,10 @@ def experiment_to_json(model: MMSQAConfig, trainer: TrainerConfig) -> str:
 def experiment_from_json(text: str) -> tuple[MMSQAConfig, TrainerConfig]:
     raw = json.loads(text)
     version = raw.get("config_version", 0)
+    if version > CONFIG_VERSION:
+        raise ValueError(
+            f"config_version {version} is newer than this code's "
+            f"{CONFIG_VERSION}; upgrade the framework to read it")
     while version < CONFIG_VERSION:
         if version not in _MIGRATIONS:
             raise ValueError(f"no migration from config_version {version}")

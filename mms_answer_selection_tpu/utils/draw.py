@@ -78,7 +78,12 @@ def _layer_label(layer: dict) -> str:
     elif t == "LRN":
         p = _one(layer.get("lrn_param"), {}) or {}
         bits.append(f"local {_one(p.get('local_size'), 5)}")
-    return "{" + "|".join(str(b).replace("{", r"\{").replace("}", r"\}")
+    def esc(t):
+        for ch in "{}|<>":
+            t = t.replace(ch, "\\" + ch)
+        return t
+
+    return "{" + "|".join(esc(str(b))
                           for b in bits) + "}"
 
 

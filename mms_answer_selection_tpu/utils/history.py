@@ -22,9 +22,7 @@ def history_to_csv(history: dict) -> tuple[str, str]:
     """Returns (train_csv, eval_csv)."""
     train = io.StringIO()
     train.write("NumIters,TrainingLoss\n")
-    from ..training.trainer import TrainerConfig
-    interval = history.get("train_loss_record_interval",
-                           TrainerConfig.train_loss_record_interval)
+    interval = history.get("train_loss_record_interval", 20)
     for i, loss in enumerate(history.get("train_loss", [])):
         train.write(f"{i * interval},{loss}\n")
     ev = io.StringIO()
