@@ -456,11 +456,24 @@ def _store(d, key, value):
         d[key] = value
 
 
+# wire types each kind can legitimately arrive as; a known field number
+# carrying any OTHER wire type is treated as an unknown field (proto2's
+# own semantics: wire-type mismatch goes to the unknown-field set, it is
+# not a parse error) — keeps corrupted inputs from crashing the decoder
+_KIND_WIRETYPES = {"i": (0, 1), "b": (0,), "f": (5,), "s": (2,),
+                   "B": (2,), "pi": (0, 2), "pf": (5, 2),
+                   "e": (0,), "m": (2,)}
+
+
 def _decode(buf, msg: str) -> dict:
     tbl = _SCHEMAS[msg]
     out: dict = {}
     for num, wt, val in _iter_fields(buf):
         spec = tbl.get(num)
+        if spec is not None:
+            kind_tag = spec[1] if isinstance(spec[1], str) else spec[1][0]
+            if wt not in _KIND_WIRETYPES[kind_tag]:
+                spec = None
         if spec is None:
             out.setdefault("_unknown", []).append((num, wt, val))
             continue
