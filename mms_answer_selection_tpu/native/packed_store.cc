@@ -127,7 +127,7 @@ struct Prefetcher {
     uint64_t n = store->n_rows;
     perm.resize(n);
     for (uint64_t i = 0; i < n; ++i) perm[i] = (int64_t)i;
-    if (shuffle) {
+    if (shuffle && n > 1) {  // n==0 would underflow the loop index
       uint64_t s = seed * 0x9E3779B97F4A7C15ull + epoch + 1;
       for (uint64_t i = n - 1; i > 0; --i) {
         uint64_t j = splitmix64(s) % (i + 1);
@@ -145,12 +145,16 @@ struct Prefetcher {
     cursor = 0;
   }
 
-  void fill(Batch* b) {
+  // Returns false when the shard is empty (n_rows < shard_count can
+  // leave this shard with zero rows) -- the caller stops the ring
+  // instead of spinning in the epoch loop forever.
+  bool fill(Batch* b) {
     std::vector<int64_t> idx(batch_size);
     for (uint64_t i = 0; i < batch_size; ++i) {
       if (cursor >= perm.size()) {
         ++epoch;
         reshuffle();
+        if (perm.empty()) return false;
       }
       idx[i] = perm[cursor++];
     }
@@ -162,6 +166,7 @@ struct Prefetcher {
                   batch_size, b->buffers[f].data(), gather_threads);
     }
     b->step = step++;
+    return true;
   }
 
   void run() {
@@ -175,7 +180,15 @@ struct Prefetcher {
         b = free_q.front();
         free_q.pop();
       }
-      fill(b);
+      if (!fill(b)) {
+        // empty shard: return the slot, signal end-of-stream via stop
+        // so consumers blocked in next/acquire wake up with -1
+        std::lock_guard<std::mutex> lk(mu);
+        free_q.push(b);
+        stop.store(true);
+        cv_full.notify_all();
+        return;
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
         full_q.push(b);
@@ -206,23 +219,39 @@ void* mmsp_open(const char* path) {
   s->fd = fd;
   s->base = static_cast<const uint8_t*>(base);
   s->size = st.st_size;
+  auto fail = [&]() {
+    delete s;
+    ::munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  };
+  // every header read is bounds-checked against the mapping: a
+  // truncated or corrupted file must fail open, not fault in a later
+  // gather (the reference's datum reader had protobuf doing this job)
+  if (s->size < 20) return fail();
   const uint8_t* p = s->base;
   uint32_t magic, version, n_fields;
   std::memcpy(&magic, p, 4);
   std::memcpy(&version, p + 4, 4);
   std::memcpy(&n_fields, p + 8, 4);
-  if (magic != kMagic || version != 1) {
-    delete s;
-    ::munmap(base, st.st_size);
-    ::close(fd);
-    return nullptr;
-  }
+  if (magic != kMagic || version != 1) return fail();
   std::memcpy(&s->n_rows, p + 12, 8);
+  if (s->size < 20 + (uint64_t)n_fields * sizeof(Field)) return fail();
   p += 20;
   s->fields.resize(n_fields);
   for (uint32_t i = 0; i < n_fields; ++i) {
     std::memcpy(&s->fields[i], p, sizeof(Field));
     p += sizeof(Field);
+    const Field& f = s->fields[i];
+    size_t esize = dtype_size(f.dtype);
+    if (esize == 0) return fail();  // unknown dtype
+    // extent check without overflow: rows*cols*esize must fit below
+    // size - offset
+    if (f.byte_offset > s->size) return fail();
+    uint64_t avail = s->size - f.byte_offset;
+    if (f.n_cols != 0 && s->n_rows != 0) {
+      if (f.n_cols > avail / esize / s->n_rows) return fail();
+    }
   }
   return s;
 }
@@ -265,6 +294,7 @@ int mmsp_gather(void* h, uint32_t field, const int64_t* idx, uint64_t n,
 
 void mmsp_shuffle(uint64_t n, uint64_t seed, int64_t* out) {
   for (uint64_t i = 0; i < n; ++i) out[i] = (int64_t)i;
+  if (n < 2) return;  // n==0 would underflow the loop index
   uint64_t s = seed * 0x9E3779B97F4A7C15ull + 1;
   for (uint64_t i = n - 1; i > 0; --i) {
     uint64_t j = splitmix64(s) % (i + 1);
@@ -357,7 +387,13 @@ void mmsp_prefetcher_release(void* h) {
 
 void mmsp_prefetcher_destroy(void* h) {
   auto* p = static_cast<Prefetcher*>(h);
-  p->stop.store(true);
+  {
+    // store under the mutex: a waiter that evaluated its predicate but
+    // has not yet blocked would otherwise miss the notify (the classic
+    // missed-wakeup race) and deadlock the join below
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop.store(true);
+  }
   p->cv_free.notify_all();
   p->cv_full.notify_all();
   if (p->worker.joinable()) p->worker.join();

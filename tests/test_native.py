@@ -194,3 +194,56 @@ class TestRound4NativeGuards:
         with pytest.raises(ValueError, match="31"):
             write_mmsp(str(tmp_path / "t.mmsp"),
                        {"f" * 40: np.zeros((2, 2), np.int32)})
+
+
+class TestCorruptFiles:
+    """mmsp_open must bounds-check the header: a truncated or corrupted
+    file fails to open instead of faulting inside a later gather."""
+
+    def _valid_bytes(self, tmp_path):
+        path = str(tmp_path / "v.mmsp")
+        write_mmsp(path, {"x": np.arange(12, dtype=np.int32).reshape(3, 4),
+                          "y": np.ones((3, 2), np.float32)})
+        with open(path, "rb") as f:
+            return path, bytearray(f.read())
+
+    def _expect_open_fail(self, tmp_path, blob, name):
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(blob)
+        with pytest.raises(IOError):
+            PackedStore(p)
+
+    def test_truncated_header(self, tmp_path):
+        _, raw = self._valid_bytes(tmp_path)
+        self._expect_open_fail(tmp_path, raw[:10], "trunc_hdr.mmsp")
+
+    def test_truncated_field_table(self, tmp_path):
+        _, raw = self._valid_bytes(tmp_path)
+        self._expect_open_fail(tmp_path, raw[:20 + 30], "trunc_tbl.mmsp")
+
+    def test_field_count_lies(self, tmp_path):
+        import struct as _struct
+        _, raw = self._valid_bytes(tmp_path)
+        raw[8:12] = _struct.pack("<I", 10_000)  # n_fields way past EOF
+        self._expect_open_fail(tmp_path, raw, "lie_count.mmsp")
+
+    def test_data_extent_past_eof(self, tmp_path):
+        _, raw = self._valid_bytes(tmp_path)
+        self._expect_open_fail(tmp_path, raw[:len(raw) // 2],
+                               "trunc_data.mmsp")
+
+    def test_bad_dtype(self, tmp_path):
+        import struct as _struct
+        _, raw = self._valid_bytes(tmp_path)
+        raw[20 + 32:20 + 36] = _struct.pack("<I", 77)  # unknown dtype tag
+        self._expect_open_fail(tmp_path, raw, "bad_dtype.mmsp")
+
+    def test_valid_still_opens(self, tmp_path):
+        path, _ = self._valid_bytes(tmp_path)
+        s = PackedStore(path)
+        assert s.n_rows == 3 and set(s.fields) == {"x", "y"}
+        np.testing.assert_array_equal(
+            s.gather("x", [2, 0]),
+            np.arange(12, dtype=np.int32).reshape(3, 4)[[2, 0]])
+        s.close()
