@@ -344,6 +344,26 @@ def run_train_bench(batch: int, iters: int, fused_k: int = 0):
     return 1.0 / dt, detail
 
 
+def _await_backend(timeout_s: float) -> bool:
+    """True once the JAX backend answers; False on timeout.
+
+    An axon-tunnel outage can make ``jax.devices()`` block forever
+    (observed 2026-08-18) rather than raise UNAVAILABLE like it did in
+    round 3 — probe it from a daemon thread so the bench can emit its
+    outage JSON and exit instead of hanging the driver."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    return done.wait(timeout_s)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pool", type=int, default=262144)
@@ -367,6 +387,24 @@ def main():
     from mms_answer_selection_tpu.utils.compile_cache import (
         enable_compilation_cache)
     enable_compilation_cache()
+
+    import os
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+    if not _await_backend(init_timeout):
+        print(json.dumps({
+            "metric": "learned_metric_pairs_scored_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": f"backend init timed out after {init_timeout:.0f}s",
+            "note": ("TPU tunnel unavailable at bench time; last measured "
+                     "official value 195.8M pairs/s (int8 tokmaj, "
+                     "docs/PERF.md)"),
+        }))
+        # os._exit: the stuck jax.devices() daemon thread holds the GIL
+        # inside a C call at times; don't risk interpreter-exit hangs
+        sys.stdout.flush()
+        os._exit(1)
 
     try:
         pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
