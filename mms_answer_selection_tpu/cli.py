@@ -313,6 +313,24 @@ def cmd_serve(args):
     engine = QueryEngine(bundle["params"], model_cfg,
                          pool_dtype=jnp.bfloat16 if pd == "bf16" else pd)
     engine.build_index(split["answer"])
+    if getattr(args, "listen", None) is not None:
+        # persistent HTTP retrieval service (serve/server.py) over the
+        # built index; raw-text queries tokenize with the prepped vocab
+        from .serve import QAServer
+        srv = QAServer(engine, state=bundle.get("state"),
+                       vocab_words=vocab["words"],
+                       host=args.host, port=args.listen,
+                       default_k=args.k)
+        print(json.dumps({"listening": f"http://{srv.host}:{srv.port}",
+                          "pool": engine.pool_size}), flush=True)
+        # embedding/shutdown hook (tests stop the server through it; a
+        # wrapping process can too instead of signalling)
+        globals()["_LAST_SERVER"] = srv
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.close()
+        return
     n = min(args.n_queries, len(split["question"]))
     if getattr(args, "rerank", 0):
         # two-phase: quantized shortlist -> exact model rescoring
@@ -1302,6 +1320,12 @@ def main(argv=None):
                         "candidates, rescore them with the exact "
                         "interaction model, return top-k by P(correct)")
     p.add_argument("--max-iter", type=int, default=40001)
+    p.add_argument("--listen", type=int, default=None, metavar="PORT",
+                   help="run as a persistent HTTP retrieval service on "
+                        "this port (0 = ephemeral; prints the bound "
+                        "port) instead of the one-shot split scoring")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --listen (default loopback)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert",

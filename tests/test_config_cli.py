@@ -133,6 +133,44 @@ class TestCLI:
         rr = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
         assert len(rr["topk"]) == 3
         assert all(0.0 <= v <= 1.0 for _, v in rr["topk"])
+
+        # persistent service: qa serve --listen 0 binds an ephemeral
+        # port, answers text + token queries over HTTP, and stops via
+        # the module shutdown hook (serve/server.py)
+        import threading
+        import time as _time
+        import urllib.request
+
+        import mms_answer_selection_tpu.cli as cli_mod
+
+        cli_mod._LAST_SERVER = None
+        th = threading.Thread(
+            target=main,
+            args=(["serve", "--data", str(out), "--exp", str(exp),
+                   "--config", str(cfg_path), "--k", "3",
+                   "--listen", "0"],),
+            daemon=True)
+        th.start()
+        for _ in range(600):
+            if getattr(cli_mod, "_LAST_SERVER", None) is not None:
+                break
+            _time.sleep(0.1)
+        srv = cli_mod._LAST_SERVER
+        assert srv is not None, "serve --listen never came up"
+        base = f"http://{srv.host}:{srv.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["pool"] > 0 and h["text_queries"]
+        req = urllib.request.Request(
+            base + "/query",
+            data=json.dumps({"text": "what is a cat"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            q = json.loads(r.read())
+        assert len(q["results"]) == 1 and len(q["results"][0]["topk"]) == 3
+        srv.httpd.shutdown()
+        th.join(timeout=30)
+        assert not th.is_alive()
         vs = [v for _, v in rr["topk"]]
         assert vs == sorted(vs, reverse=True)
 

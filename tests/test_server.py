@@ -1,0 +1,180 @@
+"""HTTP retrieval service tests (serve/server.py).
+
+The reference has no serving daemon — its closest path is ``caffe test``
+batch scoring (tools/caffe.cpp:229-296).  These tests pin the rebuild's
+persistent service: route behavior, tokens/text query parity with direct
+``QueryEngine.query`` calls, the two-phase rerank path, error handling,
+and the stats counters."""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.data.trec_qa import build_vocab
+from mms_answer_selection_tpu.models.mms_qa import (ConvBlock, MMSQAConfig,
+                                                    mms_qa_init)
+from mms_answer_selection_tpu.serve import QAServer, QueryEngine
+
+CFG = MMSQAConfig(
+    vocab_size=34, embed_dim=16, question_len=6, answer_len=6,
+    sim_measures=2,
+    blocks=(ConvBlock(3, 3, 4, "ave", 2, 2), ConvBlock(2, 2, 4, "ave", 1, 1)),
+    fc1_dim=4)
+
+rng = np.random.default_rng(5)
+WORDS = [f"w{i}" for i in range(32)]  # vocab_size = 32 + unknown + pad
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def served():
+    params, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+    params["sim"]["w"] = jnp.asarray(
+        rng.normal(size=params["sim"]["w"].shape).astype(np.float32) * 0.2)
+    cand_ids = rng.integers(0, CFG.vocab_size, (24, CFG.answer_len))
+    eng = QueryEngine(params, CFG, pool_dtype=jnp.float32, interpret=True)
+    eng.build_index(cand_ids)
+    srv = QAServer(eng, state=state, vocab_words=np.asarray(WORDS),
+                   port=0).start()
+    yield srv, eng, state
+    srv.close()
+
+
+class TestRoutes:
+    def test_healthz(self, served):
+        srv, eng, _ = served
+        code, h = _get(f"http://{srv.host}:{srv.port}/healthz")
+        assert code == 200 and h["ok"] and h["pool"] == eng.pool_size
+        assert h["text_queries"] is True
+
+    def test_unknown_route_404(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"http://{srv.host}:{srv.port}/nope")
+        assert ei.value.code == 404
+
+    def test_stats_counters_advance(self, served):
+        srv, _, _ = served
+        _post(f"http://{srv.host}:{srv.port}/query",
+              {"tokens": [list(range(CFG.question_len))], "k": 3})
+        code, s = _get(f"http://{srv.host}:{srv.port}/stats")
+        assert code == 200 and s["queries_served"] >= 1
+        assert s["p50_ms"] > 0
+
+
+class TestQueries:
+    def test_tokens_match_direct_engine_call(self, served):
+        srv, eng, _ = served
+        q = rng.integers(0, CFG.vocab_size,
+                         (3, CFG.question_len)).astype(int)
+        code, out = _post(f"http://{srv.host}:{srv.port}/query",
+                          {"tokens": q.tolist(), "k": 5})
+        assert code == 200 and len(out["results"]) == 3
+        vals, idx = eng.query(q.astype(np.int32), k=5)
+        for r, ri, rv in zip(out["results"], np.asarray(idx),
+                             np.asarray(vals)):
+            got = np.asarray(r["topk"])
+            np.testing.assert_array_equal(got[:, 0].astype(int), ri)
+            np.testing.assert_allclose(got[:, 1], rv, rtol=1e-5, atol=1e-6)
+
+    def test_single_row_autobatch_and_short_row_padding(self, served):
+        srv, eng, _ = served
+        # a 2-token row center-pads with pad_idx (build_vocab tail), the
+        # same transform the data pipeline applies (encode_tokens)
+        code, out = _post(f"http://{srv.host}:{srv.port}/query",
+                          {"tokens": [1, 2], "k": 4})
+        assert code == 200 and len(out["results"]) == 1
+        padded = np.full((1, CFG.question_len), 33, np.int32)
+        pad_b = (CFG.question_len - 2) // 2
+        padded[0, pad_b: pad_b + 2] = [1, 2]
+        vals, idx = eng.query(padded, k=4)
+        got = np.asarray(out["results"][0]["topk"])
+        np.testing.assert_array_equal(got[:, 0].astype(int),
+                                      np.asarray(idx)[0])
+
+    def test_text_query_matches_manual_encoding(self, served):
+        srv, eng, _ = served
+        # "w3 w7 zzz" -> [3, 7, unknown_idx], center-padded; parity with
+        # build_vocab's (n, n+1) unknown/pad layout (data/trec_qa.py)
+        vocab, unk, pad, _, _ = build_vocab(WORDS, {w: [0.0] for w in WORDS})
+        assert (unk, pad) == (32, 33)
+        code, out = _post(f"http://{srv.host}:{srv.port}/query",
+                          {"text": "W3 w7 zzz", "k": 4})
+        assert code == 200
+        row = np.full((1, CFG.question_len), pad, np.int32)
+        pad_b = (CFG.question_len - 3) // 2
+        row[0, pad_b: pad_b + 3] = [3, 7, unk]
+        vals, idx = eng.query(row, k=4)
+        got = np.asarray(out["results"][0]["topk"])
+        np.testing.assert_array_equal(got[:, 0].astype(int),
+                                      np.asarray(idx)[0])
+        np.testing.assert_allclose(got[:, 1], np.asarray(vals)[0],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_rerank_matches_engine_rerank(self, served):
+        srv, eng, state = served
+        q = rng.integers(0, CFG.vocab_size,
+                         (2, CFG.question_len)).astype(np.int32)
+        code, out = _post(f"http://{srv.host}:{srv.port}/query",
+                          {"tokens": q.tolist(), "k": 3, "rerank": 8})
+        assert code == 200
+        vals, idx = eng.query_rerank(state, q, k=3, shortlist=8)
+        for r, ri in zip(out["results"], np.asarray(idx)):
+            got = np.asarray(r["topk"])
+            np.testing.assert_array_equal(got[:, 0].astype(int), ri)
+
+
+class TestErrors:
+    def test_missing_body_fields_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{srv.host}:{srv.port}/query", {"k": 3})
+        assert ei.value.code == 400
+
+    def test_out_of_range_token_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{srv.host}:{srv.port}/query",
+                  {"tokens": [[0, 1, 99]]})
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "token ids" in body["error"]
+
+    def test_bad_k_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{srv.host}:{srv.port}/query",
+                  {"tokens": [[0, 1]], "k": 0})
+        assert ei.value.code == 400
+
+    def test_errors_counted_and_server_survives(self, served):
+        srv, _, _ = served
+        try:
+            _post(f"http://{srv.host}:{srv.port}/query", {"k": 0})
+        except urllib.error.HTTPError:
+            pass
+        code, h = _get(f"http://{srv.host}:{srv.port}/healthz")
+        assert code == 200 and h["errors"] >= 1
+
+    def test_unbuilt_engine_rejected(self):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, interpret=True)
+        with pytest.raises(ValueError):
+            QAServer(eng, port=0)
