@@ -120,6 +120,37 @@ class TestTiming:
             assert row["forward_ms"] > 0, name
             assert row["backward_ms"] >= 0, name
 
+    def test_stage_times_forward_only(self):
+        """Inference-mode per-stage table (`caffe time` over a deploy net —
+        forward only, BN in eval mode)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mms_answer_selection_tpu.models.mms_qa import (ConvBlock,
+                                                            MMSQAConfig,
+                                                            mms_qa_init)
+        from mms_answer_selection_tpu.utils.timer import stage_times
+
+        cfg = MMSQAConfig(
+            vocab_size=64, embed_dim=16, question_len=12, answer_len=12,
+            sim_measures=2,
+            blocks=(ConvBlock(3, 3, 8, "ave", 2, 2),
+                    ConvBlock(3, 3, 8, "max", 3, 1)),
+            fc1_dim=8)
+        params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "question": jnp.asarray(rng.integers(0, 64, (8, 12)), jnp.int32),
+            "answer": jnp.asarray(rng.integers(0, 64, (8, 12)), jnp.int32),
+            "overlap_feat": jnp.asarray(
+                rng.random((8, 2)).astype(np.float32)),
+        }
+        table = stage_times(params, state, batch, cfg, iters=2)
+        assert set(table) == {"embed", "sim_cross", "conv_block0",
+                              "conv_block1", "head"}
+        for name, row in table.items():
+            assert row["p50_s"] > 0 and row["iters"] == 2, name
+
     def test_cmd_time_cli(self, tmp_path, capsys, monkeypatch):
         import json as _json
 
