@@ -154,3 +154,77 @@ class TestCompatNamespace:
         rt = Message("Convolution").ParseFromString(
             conv.SerializeToString())
         assert rt.kernel_size == [3, 5] and rt.num_output == 8
+
+
+class TestMessageSurfaceEdges:
+    """The remaining message-API corners ported scripts hit."""
+
+    def test_repeated_scalar_indexing_and_repr(self):
+        d = Datum()
+        d.float_data.extend([1.0, 2.0, 3.0])
+        assert d.float_data[1] == 2.0
+        d.float_data[1] = 9.0
+        assert list(d.float_data) == [1.0, 9.0, 3.0]
+        assert repr(d.float_data) == "[1.0, 9.0, 3.0]"
+        assert "Datum" in repr(d)
+
+    def test_repeated_scalar_direct_assignment(self):
+        # net.input_dim = [1, 2, 3, 4] — whole-list assignment
+        n = NetParameter()
+        n.input_dim = [1, 2, 3, 4]
+        assert list(n.input_dim) == [1, 2, 3, 4]
+
+    def test_repeated_message_assignment_raises(self):
+        n = NetParameter()
+        with pytest.raises(AttributeError, match="add"):
+            n.layer = [LayerParameter(name="x")]
+
+    def test_repeated_message_iter_empty_and_filled(self):
+        n = NetParameter()
+        assert list(n.layer) == [] and len(n.layer) == 0
+        n.layer.add(name="a")
+        n.layer.add(name="b")
+        assert [la.name for la in n.layer] == ["a", "b"]
+        assert n.layer[1].name == "b"
+
+    def test_submessage_direct_assignment(self):
+        # la.convolution_param = other_msg (and a raw dict)
+        src = LayerParameter(name="c", type="Convolution")
+        src.convolution_param.num_output = 12
+        dst = LayerParameter(name="c2", type="Convolution")
+        dst.convolution_param = src.convolution_param
+        assert dst.convolution_param.num_output == 12
+        # deep enough: mutating dst must not change src
+        dst.convolution_param.num_output = 13
+        assert src.convolution_param.num_output == 12
+
+    def test_copy_from(self):
+        d = Datum(channels=2, height=1, width=1, label=5)
+        d.float_data.extend([1.0, 2.0])
+        e = Datum()
+        e.CopyFrom(d)
+        assert e == d
+        e.float_data[0] = -1.0  # deep copy: d untouched
+        assert d.float_data[0] == 1.0
+
+    def test_enum_default_is_first_value(self):
+        from mms_answer_selection_tpu.utils.caffe_pb2_shim import \
+            message_for
+
+        # Pooling.pool enum: MAX = 0 is the proto default
+        pool = message_for("Pooling")()
+        assert pool.pool == 0
+
+    def test_decoded_over_occurrence_takes_last(self):
+        # proto2 last-wins for duplicated optional fields on the wire
+        d1 = Datum(label=1).SerializeToString()
+        d2 = Datum(label=2).SerializeToString()
+        merged = Datum().ParseFromString(d1 + d2)
+        assert merged.label == 2
+
+    def test_message_for_unknown_schema(self):
+        from mms_answer_selection_tpu.utils.caffe_pb2_shim import \
+            message_for
+
+        with pytest.raises(KeyError, match="unknown"):
+            message_for("NoSuchMessage")

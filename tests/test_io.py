@@ -273,6 +273,63 @@ class TestDetector:
         assert np.any(crop == 0.0)
 
 
+    def test_conv_head_output_squeezed(self, tmp_path):
+        """A fully-convolutional head emits (N, 1, 1, C); detect_windows
+        squeezes the singleton spatial dims like the reference's
+        squeeze(axis=(2, 3)) (python/caffe/detector.py:85)."""
+        from mms_answer_selection_tpu.models import Detector
+
+        deploy = """
+name: "tinyconv"
+input: "data"
+input_shape { dim: 1 dim: 3 dim: 8 dim: 8 }
+layer { name: "conv" type: "Convolution" bottom: "data" top: "conv"
+  convolution_param { num_output: 4 kernel_size: 8
+    weight_filler { type: "gaussian" std: 0.1 } } }
+"""
+        (tmp_path / "deploy.prototxt").write_text(deploy)
+        im = np.random.default_rng(3).random((16, 16, 3)).astype(
+            np.float32)
+        np.save(tmp_path / "im.npy", im)
+        det = Detector(str(tmp_path / "deploy.prototxt"))
+        dets = det.detect_windows(
+            [(str(tmp_path / "im.npy"), [np.array([0, 0, 12, 12])])])
+        assert dets[0]["prediction"].shape == (4,)
+
+    def test_full_preproc_crop_mean(self, tmp_path):
+        """context_pad with mean + channel_swap + raw_scale + input_scale:
+        the crop mean must be mapped back to unprocessed input space
+        (python/caffe/detector.py:195-214)."""
+        from mms_answer_selection_tpu.models import Detector
+
+        (tmp_path / "deploy.prototxt").write_text(DEPLOY)
+        det = Detector(str(tmp_path / "deploy.prototxt"),
+                       mean=np.array([25.5, 51.0, 76.5]),
+                       input_scale=0.5, raw_scale=255.0,
+                       channel_swap=(1, 2, 0), context_pad=2)
+        # the mean is given in TRANSFORMED (post-swap) channel order; the
+        # crop lives in unprocessed space, so it is unswapped (index(i))
+        # and divided by raw_scale: swap (1,2,0) has inverse (2,0,1).
+        np.testing.assert_allclose(det.crop_mean[0, 0], [0.3, 0.1, 0.2])
+        im = np.random.default_rng(4).random((12, 12, 3)).astype(
+            np.float32)
+        # corner window: the out-of-bounds context (top-left) is filled
+        # with the unprocessed-space mean
+        crop = det.crop(im, np.array([0, 0, 5, 5]))
+        assert crop.shape == tuple(det.crop_dims)
+        np.testing.assert_allclose(crop[0, 0], [0.3, 0.1, 0.2])
+
+    def test_requires_4d_declared_shape(self, tmp_path):
+        from mms_answer_selection_tpu.models import Detector
+
+        (tmp_path / "d.prototxt").write_text(
+            'input: "data"\n'
+            'input_shape { dim: 2 dim: 6 }\n'
+            'layer { name: "r" type: "ReLU" bottom: "data" top: "y" }\n')
+        with pytest.raises(ValueError, match="4-D"):
+            Detector(str(tmp_path / "d.prototxt"))
+
+
 class TestClassifyDetectCLI:
     def test_qa_classify_npy_stack(self, tmp_path, capsys):
         """`qa classify` ≙ python/classify.py on a .npy image stack."""

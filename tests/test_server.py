@@ -178,3 +178,104 @@ class TestErrors:
         eng = QueryEngine(params, CFG, interpret=True)
         with pytest.raises(ValueError):
             QAServer(eng, port=0)
+
+
+class TestErrorBranches:
+    """The remaining 4xx/5xx branches and the no-vocab server mode."""
+
+    def _url(self, srv):
+        return f"http://{srv.host}:{srv.port}"
+
+    def test_post_unknown_route_404(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/nope", {"tokens": [[1, 2]]})
+        assert ei.value.code == 404
+
+    def test_non_object_body_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", [1, 2, 3])
+        assert ei.value.code == 400
+        assert "JSON object" in json.loads(ei.value.read())["error"]
+
+    def test_bad_text_type_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", {"text": [1, 2]})
+        assert ei.value.code == 400
+
+    def test_empty_tokens_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", {"tokens": []})
+        assert ei.value.code == 400
+
+    def test_max_batch_400(self, served):
+        srv, _, _ = served
+        old = srv.max_batch
+        srv.max_batch = 2
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(self._url(srv) + "/query",
+                      {"tokens": [[1], [2], [3]]})
+            assert ei.value.code == 400
+            assert "max_batch" in json.loads(ei.value.read())["error"]
+        finally:
+            srv.max_batch = old
+
+    def test_unexpected_error_500_and_survives(self, served, monkeypatch):
+        srv, _, _ = served
+        monkeypatch.setattr(
+            srv, "handle_query",
+            lambda req: (_ for _ in ()).throw(RuntimeError("boom")))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", {"tokens": [[1]]})
+        assert ei.value.code == 500
+        assert "boom" in json.loads(ei.value.read())["error"]
+        monkeypatch.undo()
+        code, _ = _post(self._url(srv) + "/query",
+                        {"tokens": [[1, 2, 3]], "k": 2})
+        assert code == 200
+
+
+class TestNoVocabNoState:
+    @pytest.fixture(scope="class")
+    def bare(self):
+        params, _state = mms_qa_init(jax.random.PRNGKey(1), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=params["sim"]["w"].shape).astype(
+                np.float32) * 0.2)
+        cand_ids = rng.integers(0, CFG.vocab_size, (12, CFG.answer_len))
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        eng.build_index(cand_ids)
+        srv = QAServer(eng, port=0).start()  # no vocab, no state
+        yield srv
+        srv.close()
+
+    def test_vocab_tail_indices_inferred(self, bare):
+        # build_vocab layout: unknown = V-2, pad = V-1
+        assert bare.unknown_idx == CFG.vocab_size - 2
+        assert bare.pad_idx == CFG.vocab_size - 1
+        code, h = _get(f"http://{bare.host}:{bare.port}/healthz")
+        assert code == 200 and h["text_queries"] is False
+
+    def test_text_query_400_without_vocab(self, bare):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{bare.host}:{bare.port}/query",
+                  {"text": "hello world"})
+        assert ei.value.code == 400
+        assert "vocabulary" in json.loads(ei.value.read())["error"]
+
+    def test_rerank_400_without_state(self, bare):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{bare.host}:{bare.port}/query",
+                  {"tokens": [[1, 2, 3]], "rerank": 8})
+        assert ei.value.code == 400
+        assert "state" in json.loads(ei.value.read())["error"]
+
+    def test_tokens_still_served(self, bare):
+        code, out = _post(f"http://{bare.host}:{bare.port}/query",
+                          {"tokens": [[1, 2, 3, 4]], "k": 3})
+        assert code == 200 and len(out["results"][0]["topk"]) == 3
