@@ -153,6 +153,30 @@ class TestFinetune:
         np.testing.assert_array_equal(merged["b"]["w"], 0.0)
         np.testing.assert_array_equal(merged["c"], 0.0)
 
+    def test_copy_matching_sequence_nodes(self):
+        """Tuple/list pytree nodes merge element-wise, including the
+        msgpack convention of lists restored as {str(i): v} dicts."""
+        tpl = {"stack": (np.zeros(2), np.zeros(3)),
+               "hist": [np.zeros(1), np.zeros(1)]}
+        src = {"stack": {"0": np.ones(2), "1": np.ones(9)},  # msgpack dict
+               "hist": [np.full(1, 5.0)]}                    # short list
+        merged, report = copy_matching(tpl, src)
+        assert isinstance(merged["stack"], tuple)
+        assert report["stack/0"] == "loaded"
+        assert report["stack/1"] == "shape_mismatch"
+        assert report["hist/0"] == "loaded"
+        assert report["hist/1"] == "missing"
+        np.testing.assert_array_equal(merged["stack"][0], 1.0)
+        np.testing.assert_array_equal(merged["stack"][1], 0.0)
+        np.testing.assert_array_equal(merged["hist"][0], 5.0)
+        np.testing.assert_array_equal(merged["hist"][1], 0.0)
+
+    def test_latest_checkpoint_missing_dir(self, tmp_path):
+        from mms_answer_selection_tpu.training.checkpoint import \
+            latest_checkpoint
+
+        assert latest_checkpoint(str(tmp_path / "nope")) is None
+
     def test_load_weights_into_cross_config(self, corpus, tmp_path):
         """Finetune a wider-fc model from a trained narrow one: shared
         layers (embed/sim/conv) load, the mismatched fc is kept at init."""

@@ -393,3 +393,34 @@ I0817 14:00:04.200000 1 solver.cpp:397]     Test net output #1: loss = 0.7 (* 1 
         with pytest.raises(SystemExit, match="no .*points"):
             main(["plot", "0", str(tmp_path / "x.png"),
                   str(tmp_path / "empty.log")])
+
+
+class TestDrawLabels:
+    """Per-type headline-hyperparameter labels (python/caffe/draw.py
+    get_layer_label, generalized to the fork's layer types)."""
+
+    NET = """
+name: "labels"
+layer { name: "in" type: "Input" top: "d"
+  input_param { shape { dim: 2 dim: 6 } } }
+layer { name: "emb" type: "Embed" bottom: "d" top: "e"
+  embed_param { input_dim: 50 num_output: 8 } }
+layer { name: "sim" type: "SimCross" bottom: "e" bottom: "e" top: "s"
+  sim_cross_param { dist_mode: 3 mesure_count: 2 } }
+layer { name: "drop" type: "Dropout" bottom: "s" top: "s"
+  dropout_param { dropout_ratio: 0.25 } }
+layer { name: "lrn" type: "LRN" bottom: "s" top: "l"
+  lrn_param { local_size: 3 } }
+layer { name: "gp" type: "Pooling" bottom: "l" top: "g"
+  pooling_param { pool: AVE global_pooling: true } }
+"""
+
+    def test_headline_params_in_dot(self):
+        dot = net_to_dot(self.NET)
+        assert r"50 -\> 8" in dot               # Embed in->out (DOT-escaped)
+        assert "mode 3 M 2" in dot              # SimCross
+        assert "ratio 0.25" in dot              # Dropout
+        assert "local 3" in dot                 # LRN
+        assert "AVE global" in dot              # global pooling
+        # blob nodes and edges present
+        assert "octagon" in dot and "->" in dot

@@ -160,3 +160,72 @@ class TestGraphSolverFeed:
         gs = GraphSolver(str(tmp_path / "solver.prototxt"))
         smoothed = gs.step(6)
         assert np.isfinite(smoothed)
+
+
+class TestParseErrors:
+    def test_empty_file(self, tmp_path):
+        (tmp_path / "w.txt").write_text("")
+        with pytest.raises(ValueError, match="empty"):
+            parse_window_file(str(tmp_path / "w.txt"))
+
+    def test_missing_hash_separator(self, tmp_path):
+        (tmp_path / "w.txt").write_text("0\nx.npy\n3 8 8\n0\n")
+        with pytest.raises(ValueError, match="separator"):
+            parse_window_file(str(tmp_path / "w.txt"))
+
+
+class TestInitValidation:
+    def test_crop_size_required(self, tmp_path):
+        src = _write_corpus(tmp_path)
+        with pytest.raises(ValueError, match="crop_size"):
+            WindowListDataset(str(src), 4, crop_size=0)
+
+    def test_unknown_crop_mode(self, tmp_path):
+        src = _write_corpus(tmp_path)
+        with pytest.raises(ValueError, match="crop_mode"):
+            WindowListDataset(str(src), 4, crop_size=8,
+                              crop_mode="jitter")
+
+
+class TestMeanImage:
+    def test_full_mean_image_center_crop_offset(self, tmp_path):
+        """A full mean IMAGE (H, W, C) subtracts the center-cropped
+        region aligned with the canvas placement
+        (window_data_layer.cpp:404-415)."""
+        src = _write_corpus(tmp_path, n_images=1)
+        mean = np.full((12, 12, 3), 10.0, np.float32)
+        mean[4:8, 4:8] = 50.0  # distinctive center region
+        ds = WindowListDataset(str(src), 2, crop_size=8, mean=mean,
+                               fg_threshold=0.6, bg_threshold=0.3, seed=3)
+        batch = next(ds)
+        x = batch["data"]
+        assert x.shape == (2, 8, 8, 3)
+        # plain warp, no padding: subtracted mean is mean[2:10, 2:10]
+        img = np.load(tmp_path / "im0.npy")
+        from mms_answer_selection_tpu.utils.io import resize_image
+
+        found_match = False
+        for row_i in range(2):
+            lbl = batch["label"][row_i]
+            for w in (ds.fg + ds.bg):
+                if w[1] != lbl:
+                    continue
+                x1, y1, x2, y2 = w[3], w[4], w[5], w[6]
+                patch = resize_image(img[y1:y2 + 1, x1:x2 + 1], (8, 8))
+                want = patch - mean[2:10, 2:10]
+                if np.allclose(x[row_i], want, atol=1e-4):
+                    found_match = True
+        assert found_match
+
+    def test_lru_eviction(self, tmp_path):
+        src = _write_corpus(tmp_path, n_images=3)
+        ds = WindowListDataset(str(src), 2, crop_size=8,
+                               fg_threshold=0.6, bg_threshold=0.3)
+        old_cap = WindowListDataset._LRU_CAP
+        WindowListDataset._LRU_CAP = 1
+        try:
+            for i in range(3):
+                ds._image(i)
+            assert len(ds._cache) == 1  # evicted down to cap
+        finally:
+            WindowListDataset._LRU_CAP = old_cap
