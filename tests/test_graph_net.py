@@ -1032,3 +1032,99 @@ class TestZooParityRound4:
         """
         with pytest.raises(ValueError, match="stage"):
             GraphNet(txt)
+
+
+class TestCaffemodelSpecsZoo:
+    """caffemodel_specs rows for the blob-bearing layer types the QA
+    family doesn't use: Deconvolution, Scale (learned and two-bottom),
+    Bias, Parameter, SimMatrix, BatchNorm (net.cpp:847-913 ToProto
+    conventions per layer)."""
+
+    NET = """
+name: "interopzoo"
+layer { name: "in" type: "Input" top: "x"
+  input_param { shape { dim: 2 dim: 3 dim: 4 dim: 4 } } }
+layer { name: "inq" type: "Input" top: "q"
+  input_param { shape { dim: 2 dim: 5 } } }
+layer { name: "inr" type: "Input" top: "r"
+  input_param { shape { dim: 2 dim: 5 } } }
+layer { name: "pvec" type: "Parameter" top: "pv"
+  parameter_param { shape { dim: 2 } } }
+layer { name: "dc" type: "Deconvolution" bottom: "x" top: "dx"
+  convolution_param { num_output: 2 kernel_size: 2 stride: 2
+    weight_filler { type: "gaussian" std: 0.5 } } }
+layer { name: "bnm" type: "BatchNorm" bottom: "dx" top: "bx" }
+layer { name: "sc" type: "Scale" bottom: "bx" top: "sx"
+  scale_param { bias_term: true
+    filler { type: "gaussian" std: 1.0 }
+    bias_filler { type: "gaussian" std: 1.0 } } }
+layer { name: "sc2" type: "Scale" bottom: "sx" bottom: "pv" top: "s2"
+  scale_param { bias_term: true
+    bias_filler { type: "gaussian" std: 1.0 } } }
+layer { name: "bi" type: "Bias" bottom: "s2" top: "bz"
+  bias_param { filler { type: "gaussian" std: 1.0 } } }
+layer { name: "sm" type: "SimMatrix" bottom: "q" bottom: "r" top: "s"
+  sim_matrix_param { weight_filler { type: "gaussian" std: 1.0 } } }
+"""
+
+    def _randomize(self, tree, rng):
+        if isinstance(tree, dict):
+            return {k: self._randomize(v, rng) for k, v in tree.items()}
+        arr = np.asarray(tree)
+        return jnp.asarray(rng.normal(size=arr.shape).astype(arr.dtype)
+                           if np.issubdtype(arr.dtype, np.floating)
+                           else arr)
+
+    @pytest.mark.parametrize("fmt", ["h5", "binaryproto"])
+    def test_roundtrip(self, tmp_path, fmt):
+        from mms_answer_selection_tpu.utils import caffemodel as cm
+
+        rng = np.random.default_rng(7)
+        ins = {"x": jnp.asarray(rng.normal(size=(2, 4, 4, 3)),
+                                jnp.float32),
+               "q": jnp.asarray(rng.normal(size=(2, 5)), jnp.float32),
+               "r": jnp.asarray(rng.normal(size=(2, 5)), jnp.float32)}
+        net = GraphNet(self.NET, phase="train")
+        params, state = net.init(jax.random.PRNGKey(0), ins)
+        # make every leaf distinctive so the round-trip is a real check
+        params = self._randomize(params, rng)
+        state = self._randomize(state, rng)
+
+        # spec sanity: two-bottom Scale stores ONLY its bias, at index 0
+        by_name = {n: rows for n, rows, _ in
+                   net.caffemodel_specs(params, state)}
+        assert [r[0] for r in by_name["sc2"]] == [0]
+        assert by_name["sc2"][0][2][1] == "bias"
+        assert [r[0] for r in by_name["sc"]] == [0, 1]
+        assert [r[0] for r in by_name["bnm"]] == [0, 1, 2]  # mean/var/factor
+        assert [r[0] for r in by_name["bi"]] == [0]
+        assert [r[0] for r in by_name["pvec"]] == [0]
+        assert [r[0] for r in by_name["sm"]] == [0]
+
+        save = (cm.save_caffemodel_h5 if fmt == "h5"
+                else cm.save_caffemodel_binaryproto)
+        load = (cm.load_caffemodel_h5 if fmt == "h5"
+                else cm.load_caffemodel_binaryproto)
+        path = str(tmp_path / f"zoo.{fmt}")
+        save(path, params, state, specs=net.caffemodel_specs(params, state))
+
+        p2, s2 = net.init(jax.random.PRNGKey(99), ins)
+        p3, s3, report = load(path, p2, s2,
+                              specs=net.caffemodel_specs(p2, s2))
+        for layer in params:
+            for k in params[layer]:
+                np.testing.assert_allclose(
+                    p3[layer][k], params[layer][k], atol=0,
+                    err_msg=f"params {layer}/{k}")
+        for layer in state:
+            for k in state[layer]:
+                np.testing.assert_allclose(
+                    s3[layer][k], state[layer][k], atol=0,
+                    err_msg=f"state {layer}/{k}")
+        # restored net computes the identical forward
+        a, _ = net.apply(params, state, ins)
+        b, _ = net.apply(p3, s3, ins)
+        for top in a:
+            np.testing.assert_allclose(np.asarray(b[top]),
+                                       np.asarray(a[top]), atol=0,
+                                       err_msg=top)
