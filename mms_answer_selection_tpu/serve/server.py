@@ -56,6 +56,10 @@ class _Stats:
             self.queries += 1
             self.rows += rows
 
+    def record_error(self):
+        with self.lock:
+            self.errors += 1
+
     def snapshot(self) -> dict:
         with self.lock:
             lat = sorted(self.latencies_ms)
@@ -131,14 +135,17 @@ class QAServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n) or b"{}")
+                    try:
+                        req = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as e:
+                        raise _BadRequest(f"invalid JSON: {e}") from e
                     payload = server.handle_query(req)
                     self._send(200, payload)
                 except _BadRequest as e:
-                    server.stats.errors += 1
+                    server.stats.record_error()
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001 -- keep serving
-                    server.stats.errors += 1
+                    server.stats.record_error()
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
@@ -184,7 +191,11 @@ class QAServer:
     def _pad_tokens(self, rows) -> np.ndarray:
         out = np.full((len(rows), self.q_len), self.pad_idx, np.int32)
         for i, r in enumerate(rows):
-            ids = np.asarray(r, np.int32).ravel()[: self.q_len]
+            try:
+                ids = np.asarray(r, np.int32).ravel()[: self.q_len]
+            except (TypeError, ValueError) as e:
+                raise _BadRequest(f"row {i} of 'tokens' is not an id "
+                                  f"list: {e}") from e
             if (ids < 0).any() or (ids >= self.engine.cfg.vocab_size).any():
                 raise _BadRequest(
                     f"token ids of row {i} outside [0, "
@@ -196,10 +207,15 @@ class QAServer:
     def handle_query(self, req: dict) -> dict:
         if not isinstance(req, dict):
             raise _BadRequest("body must be a JSON object")
-        k = int(req.get("k", self.default_k))
-        rerank = int(req.get("rerank", 0))
+        try:
+            k = int(req.get("k", self.default_k))
+            rerank = int(req.get("rerank", 0))
+        except (TypeError, ValueError) as e:
+            raise _BadRequest(f"'k'/'rerank' must be integers: {e}") from e
         if k < 1:
             raise _BadRequest(f"k must be >= 1, got {k}")
+        if rerank < 0:
+            raise _BadRequest(f"rerank must be >= 0, got {rerank}")
         if "text" in req:
             texts = req["text"]
             if isinstance(texts, str):
@@ -209,6 +225,9 @@ class QAServer:
             q = self.encode_texts(texts)
         elif "tokens" in req:
             rows = req["tokens"]
+            if not isinstance(rows, list):
+                raise _BadRequest("'tokens' must be a list of ids or a "
+                                  "list of id lists")
             if rows and isinstance(rows[0], (int, float)):
                 rows = [rows]
             if not rows:

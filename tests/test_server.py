@@ -224,6 +224,44 @@ class TestErrorBranches:
         finally:
             srv.max_batch = old
 
+    def test_invalid_json_400(self, served):
+        srv, _, _ = served
+        req = urllib.request.Request(
+            self._url(srv) + "/query", data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "invalid JSON" in json.loads(ei.value.read())["error"]
+
+    def test_tokens_not_a_list_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", {"tokens": {"a": 1}})
+        assert ei.value.code == 400
+
+    def test_tokens_row_not_ids_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", {"tokens": [["x", "y"]]})
+        assert ei.value.code == 400
+        assert "row 0" in json.loads(ei.value.read())["error"]
+
+    def test_negative_rerank_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query",
+                  {"tokens": [[1, 2]], "rerank": -3})
+        assert ei.value.code == 400
+
+    def test_non_integer_k_400(self, served):
+        srv, _, _ = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query",
+                  {"tokens": [[1, 2]], "k": "many"})
+        assert ei.value.code == 400
+        assert "integers" in json.loads(ei.value.read())["error"]
+
     def test_unexpected_error_500_and_survives(self, served, monkeypatch):
         srv, _, _ = served
         monkeypatch.setattr(
