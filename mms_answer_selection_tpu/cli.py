@@ -320,7 +320,8 @@ def cmd_serve(args):
         srv = QAServer(engine, state=bundle.get("state"),
                        vocab_words=vocab["words"],
                        host=args.host, port=args.listen,
-                       default_k=args.k)
+                       default_k=args.k,
+                       batch_window_ms=args.batch_window_ms)
         print(json.dumps({"listening": f"http://{srv.host}:{srv.port}",
                           "pool": engine.pool_size}), flush=True)
         # embedding/shutdown hook (tests stop the server through it; a
@@ -1326,6 +1327,10 @@ def main(argv=None):
                         "port) instead of the one-shot split scoring")
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address for --listen (default loopback)")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="coalesce concurrent requests that share "
+                        "(k, rerank) into one device dispatch, waiting "
+                        "up to this long for peers (0 = off)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert",

@@ -29,6 +29,16 @@ Device work is serialized with a lock: the engine dispatches to ONE
 device stream, and interleaved dispatch from request threads would only
 queue behind it anyway (and through a remote tunnel can deadlock a
 second process -- CLAUDE.md tunnel rules; same one-owner discipline).
+
+Two serving-throughput features (both rebuild-only; the reference's
+batch scorer has no daemon to need them):
+
+* **Micro-batching** (``batch_window_ms > 0``): concurrent requests
+  sharing (k, rerank) coalesce into one device dispatch
+  (`_MicroBatcher`), amortizing the fixed per-dispatch cost.
+* **Bucket padding** (``pad_buckets``, default on): dispatch rows pad
+  up to the next power of two so the jitted query program compiles
+  once per bucket, not once per distinct client batch size.
 """
 
 from __future__ import annotations
@@ -49,6 +59,8 @@ class _Stats:
         self.queries = 0
         self.rows = 0
         self.errors = 0
+        self.dispatches = 0
+        self.dispatch_rows = 0
 
     def record(self, ms: float, rows: int):
         with self.lock:
@@ -60,17 +72,112 @@ class _Stats:
         with self.lock:
             self.errors += 1
 
+    def record_dispatch(self, rows: int):
+        with self.lock:
+            self.dispatches += 1
+            self.dispatch_rows += rows
+
     def snapshot(self) -> dict:
         with self.lock:
             lat = sorted(self.latencies_ms)
             out = {"queries_served": self.queries,
                    "query_rows": self.rows,
-                   "errors": self.errors}
+                   "errors": self.errors,
+                   "device_dispatches": self.dispatches,
+                   "device_dispatch_rows": self.dispatch_rows}
             if lat:
                 out["p50_ms"] = lat[len(lat) // 2]
                 out["p90_ms"] = lat[min(len(lat) - 1,
                                         int(len(lat) * 0.9))]
             return out
+
+
+class _Item:
+    __slots__ = ("key", "q", "done", "result", "err")
+
+    def __init__(self, key, q):
+        self.key = key
+        self.q = q
+        self.done = threading.Event()
+        self.result = None
+        self.err = None
+
+
+class _MicroBatcher:
+    """Coalesce concurrent queries that share a dispatch key (k, rerank)
+    into ONE device call.
+
+    Through a remote device tunnel each dispatch costs ~25-30 ms of
+    fixed overhead and the retrieval kernel's throughput grows with
+    batch size, so under concurrent load one (Nq_a + Nq_b)-row dispatch
+    strictly beats two serialized ones.  The reference has no serving
+    daemon at all (its batch path is ``caffe test``,
+    tools/caffe.cpp:229-296) -- this is rebuild-only capability.
+
+    Requests enqueue and a single collector thread drains the queue
+    every ``window_ms``; rows from items with the same key are
+    concatenated, dispatched once, and the results sliced back per
+    item.  Items with distinct keys still ride the same drain cycle but
+    dispatch separately (top-k width / rerank shortlist shape the
+    compiled program)."""
+
+    def __init__(self, run_group, window_ms: float):
+        self.run_group = run_group
+        self.window_s = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._pending: list[_Item] = []
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, key, q):
+        item = _Item(key, q)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self._pending.append(item)
+            self._cv.notify()
+        item.done.wait()
+        if item.err is not None:
+            raise item.err
+        return item.result
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+            if self.window_s > 0:
+                time.sleep(self.window_s)  # let concurrent peers arrive
+            with self._cv:
+                batch, self._pending = self._pending, []
+            groups: dict = {}
+            for it in batch:
+                groups.setdefault(it.key, []).append(it)
+            for key, items in groups.items():
+                try:
+                    qc = np.concatenate([it.q for it in items])
+                    vals, idx = self.run_group(key, qc)
+                    off = 0
+                    for it in items:
+                        n = len(it.q)
+                        it.result = (vals[off: off + n],
+                                     idx[off: off + n])
+                        off += n
+                except Exception as e:  # noqa: BLE001 -- deliver per item
+                    for it in items:
+                        it.err = e
+                finally:
+                    for it in items:
+                        it.done.set()
 
 
 class QAServer:
@@ -86,7 +193,8 @@ class QAServer:
     def __init__(self, engine, *, state=None, vocab_words=None,
                  q_len: int | None = None, host: str = "127.0.0.1",
                  port: int = 0, default_k: int = 10,
-                 max_batch: int = 1024):
+                 max_batch: int = 1024, batch_window_ms: float = 0.0,
+                 pad_buckets: bool = True):
         if engine.pool_size == 0:
             raise ValueError("engine has no index; call build_index first")
         self.engine = engine
@@ -94,8 +202,13 @@ class QAServer:
         self.q_len = q_len or engine.cfg.question_len
         self.default_k = default_k
         self.max_batch = max_batch
+        self.pad_buckets = pad_buckets
         self.stats = _Stats()
         self._device_lock = threading.Lock()
+        self.batch_window_ms = float(batch_window_ms)
+        self._batcher = (_MicroBatcher(self._dispatch_group,
+                                       self.batch_window_ms)
+                         if self.batch_window_ms > 0 else None)
         if vocab_words is not None:
             words = [str(w) for w in np.asarray(vocab_words).tolist()]
             self.vocab = {w: i for i, w in enumerate(words)}
@@ -152,6 +265,7 @@ class QAServer:
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
         self._thread = None
+        self._started = False
 
     # ------------------------------------------------------------- public
     def health(self) -> dict:
@@ -159,21 +273,29 @@ class QAServer:
         return {"ok": True, "pool": int(eng.pool_size),
                 "pool_dtype": eng.quant or str(np.dtype(eng.pool_dtype)),
                 "q_len": self.q_len, "text_queries": self.vocab is not None,
+                "batch_window_ms": self.batch_window_ms,
                 **self.stats.snapshot()}
 
     def start(self):
         """Serve in a background thread (returns immediately)."""
+        self._started = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
         return self
 
     def serve_forever(self):
+        self._started = True
         self.httpd.serve_forever()
 
     def close(self):
-        self.httpd.shutdown()
+        # httpd.shutdown() waits on an event that only serve_forever
+        # sets; calling it on a never-started server blocks forever
+        if self._started:
+            self.httpd.shutdown()
         self.httpd.server_close()
+        if self._batcher is not None:
+            self._batcher.close()
         if self._thread is not None:
             self._thread.join(timeout=5)
 
@@ -238,18 +360,14 @@ class QAServer:
         if len(q) > self.max_batch:
             raise _BadRequest(f"batch {len(q)} exceeds max_batch "
                               f"{self.max_batch}")
+        if rerank and self.state is None:
+            raise _BadRequest("rerank needs model state; server "
+                              "started without it")
         t0 = time.perf_counter()
-        with self._device_lock:
-            if rerank:
-                if self.state is None:
-                    raise _BadRequest("rerank needs model state; server "
-                                      "started without it")
-                vals, idx = self.engine.query_rerank(
-                    self.state, q, k=k, shortlist=rerank)
-            else:
-                vals, idx = self.engine.query(q, k=k)
-            vals = np.asarray(vals)  # host fetch fences the device work
-            idx = np.asarray(idx)
+        if self._batcher is not None:
+            vals, idx = self._batcher.submit((k, rerank), q)
+        else:
+            vals, idx = self._dispatch_group((k, rerank), q)
         ms = (time.perf_counter() - t0) * 1e3
         self.stats.record(ms, len(q))
         return {
@@ -259,6 +377,36 @@ class QAServer:
             "latency_ms": round(ms, 3),
             "k": k,
         }
+
+    def _dispatch_group(self, key, q) -> tuple:
+        """One device dispatch for ``q`` under dispatch key ``(k,
+        rerank)``.  Rows are padded up to the next power-of-two bucket
+        (all-pad_idx queries, sliced off afterwards) so the jitted
+        query program compiles once per bucket instead of once per
+        distinct concurrent batch size -- through the tunnel a fresh
+        compile costs 30-60 s, dwarfing the wasted pad-row FLOPs."""
+        k, rerank = key
+        n = len(q)
+        n_pad = n
+        if self.pad_buckets and n < self.max_batch:
+            n_pad = 1
+            while n_pad < n:
+                n_pad *= 2
+            n_pad = min(n_pad, self.max_batch)
+        if n_pad > n:
+            filler = np.full((n_pad - n, q.shape[1]), self.pad_idx,
+                             q.dtype)
+            q = np.concatenate([q, filler])
+        with self._device_lock:
+            if rerank:
+                vals, idx = self.engine.query_rerank(
+                    self.state, q, k=k, shortlist=rerank)
+            else:
+                vals, idx = self.engine.query(q, k=k)
+            vals = np.asarray(vals)  # host fetch fences the device work
+            idx = np.asarray(idx)
+        self.stats.record_dispatch(n_pad)
+        return vals[:n], idx[:n]
 
 
 class _BadRequest(ValueError):

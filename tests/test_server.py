@@ -277,6 +277,128 @@ class TestErrorBranches:
         assert code == 200
 
 
+class TestMicroBatching:
+    """Concurrent-request coalescing (serve/server.py _MicroBatcher)
+    and power-of-two bucket padding -- rebuild-only serving features;
+    results must be bit-identical to unbatched dispatch."""
+
+    @pytest.fixture(scope="class")
+    def batched(self):
+        params, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=params["sim"]["w"].shape).astype(np.float32)
+            * 0.2)
+        cand_ids = rng.integers(0, CFG.vocab_size, (24, CFG.answer_len))
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        eng.build_index(cand_ids)
+        srv = QAServer(eng, state=state, vocab_words=np.asarray(WORDS),
+                       port=0, batch_window_ms=60.0).start()
+        yield srv, eng
+        srv.close()
+
+    def _url(self, srv):
+        return f"http://{srv.host}:{srv.port}"
+
+    def test_concurrent_requests_coalesce_and_match_sequential(
+            self, batched):
+        import threading
+        srv, eng = batched
+        queries = [[(i * 3 + j) % CFG.vocab_size for j in range(4)]
+                   for i in range(6)]
+        # ground truth: each row queried alone, directly on the engine
+        direct = [tuple(np.asarray(a)[0].tolist()
+                        for a in eng.query(srv._pad_tokens([qr]), k=3))
+                  for qr in queries]
+
+        before = srv.stats.snapshot()
+        results = [None] * len(queries)
+
+        def fire(i):
+            _, out = _post(self._url(srv) + "/query",
+                           {"tokens": queries[i], "k": 3})
+            results[i] = out["results"][0]["topk"]
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        after = srv.stats.snapshot()
+        for i, (dv, di) in enumerate(direct):
+            got_i = [p[0] for p in results[i]]
+            got_v = [p[1] for p in results[i]]
+            assert got_i == list(di), f"row {i} indices"
+            np.testing.assert_allclose(got_v, dv, rtol=1e-6)
+        made = after["device_dispatches"] - before["device_dispatches"]
+        served = after["queries_served"] - before["queries_served"]
+        assert served == len(queries)
+        assert made < served, "no coalescing happened"
+
+    def test_mixed_keys_dispatch_separately_but_correctly(self, batched):
+        import threading
+        srv, eng = batched
+        row = list(range(5))
+        want = {}
+        for k in (2, 4):
+            v, i = eng.query(srv._pad_tokens([row]), k=k)
+            want[k] = (np.asarray(v)[0], np.asarray(i)[0])
+        outs = {}
+
+        def fire(k):
+            _, out = _post(self._url(srv) + "/query",
+                           {"tokens": row, "k": k})
+            outs[k] = out["results"][0]["topk"]
+
+        threads = [threading.Thread(target=fire, args=(k,))
+                   for k in (2, 4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for k in (2, 4):
+            assert [p[0] for p in outs[k]] == want[k][1].tolist()
+            np.testing.assert_allclose([p[1] for p in outs[k]],
+                                       want[k][0], rtol=1e-6)
+
+    def test_bucket_padding_rows_counted(self, batched):
+        srv, _ = batched
+        before = srv.stats.snapshot()
+        code, out = _post(self._url(srv) + "/query",
+                          {"tokens": [[1, 2], [3, 4], [5, 6]], "k": 2})
+        assert code == 200 and len(out["results"]) == 3
+        after = srv.stats.snapshot()
+        # 3 request rows pad up to the 4-row bucket
+        assert (after["device_dispatch_rows"]
+                - before["device_dispatch_rows"]) == 4
+
+    def test_batcher_delivers_engine_errors_and_survives(
+            self, batched, monkeypatch):
+        srv, eng = batched
+        monkeypatch.setattr(
+            eng, "query",
+            lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("kaboom")))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query", {"tokens": [1, 2]})
+        assert ei.value.code == 500
+        assert "kaboom" in json.loads(ei.value.read())["error"]
+        monkeypatch.undo()
+        code, _ = _post(self._url(srv) + "/query", {"tokens": [1, 2]})
+        assert code == 200
+
+    def test_submit_after_close_rejected(self):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        eng.build_index(rng.integers(0, CFG.vocab_size,
+                                     (8, CFG.answer_len)))
+        srv = QAServer(eng, port=0, batch_window_ms=10.0)
+        srv.close()
+        with pytest.raises(RuntimeError, match="shutting down"):
+            srv._batcher.submit((2, 0), srv._pad_tokens([[1, 2]]))
+
+
 class TestNoVocabNoState:
     @pytest.fixture(scope="class")
     def bare(self):
