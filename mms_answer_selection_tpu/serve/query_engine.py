@@ -123,6 +123,7 @@ class QueryEngine:
         self._padded_size = 0
         self._query_jit = None
         self.cand_token_ids = None  # set by build_index (rerank path)
+        self.ivf = None  # set by build_ivf (approximate serve path)
 
     # ------------------------------------------------------------------ build
     def build_index(self, candidate_ids):
@@ -269,6 +270,7 @@ class QueryEngine:
             self.aux = aux
         self.pool_size, self._padded_size = c, c_pad
         self._query_jit = None
+        self.ivf = None  # a rebuilt pool invalidates any IVF over it
         return self
 
     # ------------------------------------------------------------------ query
@@ -462,6 +464,27 @@ class QueryEngine:
         vals, idx = self._query_jit[1](jnp.asarray(query_ids), self.pool,
                                        self.aux)
         return vals, idx
+
+    # ------------------------------------------------- approximate retrieval
+    def build_ivf(self, n_clusters: int = 256, *, bucket: int | None = None,
+                  kmeans_iters: int = 10, seed: int = 0):
+        """Build a two-level IVF index over the packed pool (serve/ivf.py):
+        k-means buckets over the candidates' coarse token-mean vectors;
+        `query_ivf` probes only the top clusters with the exact kernel.
+        For latency-sensitive single queries on large pools — brute-force
+        `query` stays the throughput path for query batches."""
+        from .ivf import IVFIndex
+        self.ivf = IVFIndex(self, n_clusters=n_clusters, bucket=bucket,
+                            kmeans_iters=kmeans_iters, seed=seed)
+        return self.ivf
+
+    def query_ivf(self, query_ids, k: int = 10, *, nprobe: int = 8):
+        """Approximate top-k via the IVF index (build_ivf first): exact
+        kernel scores over the ``nprobe`` best clusters only.  With
+        nprobe == n_clusters this equals `query` exactly."""
+        if self.ivf is None:
+            raise RuntimeError("build_ivf first")
+        return self.ivf.query(query_ids, k=k, nprobe=nprobe)
 
     # ------------------------------------------------------- exact rescoring
     def query_rerank(self, state, query_ids, k: int = 10, *,

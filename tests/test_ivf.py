@@ -1,0 +1,217 @@
+"""IVF approximate retrieval (serve/ivf.py).
+
+The exactness contract: with nprobe == n_clusters every candidate is
+scored by the same exact kernel, so the top-k must carry the same
+SCORES as brute-force `QueryEngine.query` (candidate order inside score
+ties may differ through the gather).  Smaller nprobe is approximate and
+gauged by `ivf_recall`.  The reference has no approximate path at all —
+its retrieval is whole-split brute force (do_trec_qa_clean.py:617-652).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mms_answer_selection_tpu.models.mms_qa import (ConvBlock, MMSQAConfig,
+                                                    mms_qa_init)
+from mms_answer_selection_tpu.serve import IVFIndex, QueryEngine, ivf_recall
+from mms_answer_selection_tpu.serve.ivf import _kmeans
+
+CFG = MMSQAConfig(
+    vocab_size=50, embed_dim=16, question_len=6, answer_len=6,
+    sim_measures=2,
+    blocks=(ConvBlock(3, 3, 4, "ave", 2, 2), ConvBlock(2, 2, 4, "ave", 1, 1)),
+    fc1_dim=4)
+
+rng = np.random.default_rng(11)
+
+
+def _engine(pool=96, **kw):
+    params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+    params["sim"]["w"] = jnp.asarray(
+        rng.normal(size=np.shape(params["sim"]["w"])).astype(np.float32)
+        * 0.3)
+    eng = QueryEngine(params, CFG, pool_dtype=jnp.float32, interpret=True,
+                      **kw)
+    eng.build_index(rng.integers(0, CFG.vocab_size,
+                                 (pool, CFG.answer_len)))
+    return eng
+
+
+QUERIES = rng.integers(0, CFG.vocab_size, (5, CFG.question_len))
+
+
+class TestKMeans:
+    def test_separated_blobs_recovered(self):
+        centers = np.array([[0.0, 10.0], [10.0, 0.0], [-10.0, -10.0]])
+        pts = np.concatenate([c + rng.normal(size=(40, 2)) * 0.1
+                              for c in centers])
+        cent, assign = _kmeans(pts, 3, iters=8, seed=1)
+        assign = np.asarray(assign)
+        # each blob lands in exactly one cluster
+        for b in range(3):
+            blob = assign[b * 40: (b + 1) * 40]
+            assert len(set(blob.tolist())) == 1
+        # and the clusters are distinct
+        assert len({assign[0], assign[40], assign[80]}) == 3
+        got = sorted(np.asarray(cent).round(0).tolist())
+        assert got == sorted(centers.tolist())
+
+    def test_k_clamped_to_n(self):
+        cent, assign = _kmeans(np.eye(3, dtype=np.float32), 8, iters=2)
+        assert cent.shape[0] == 3
+
+
+class TestExactnessContract:
+    def test_probe_all_matches_brute_force_scores(self):
+        eng = _engine()
+        eng.build_ivf(n_clusters=6, seed=3)
+        bv, bi = eng.query(QUERIES, k=7)
+        iv, ii = eng.query_ivf(QUERIES, k=7, nprobe=6)
+        np.testing.assert_allclose(np.asarray(iv), np.asarray(bv),
+                                   rtol=1e-5)
+        # identical candidates wherever scores are untied
+        bv = np.asarray(bv)
+        for r, (bi_r, ii_r) in enumerate(zip(np.asarray(bi),
+                                             np.asarray(ii))):
+            if len(set(bv[r].tolist())) == len(bv[r]):
+                assert bi_r.tolist() == ii_r.tolist()
+
+    def test_scan_chunk_storage_gathers_correctly(self):
+        # chunk_size < pool forces the stacked (n_chunks, chunk, ...)
+        # storage; the IVF flat-gather must reassemble global indices
+        # (chunk_size rounds up to C_BLOCK=128, so 256 gives 2 chunks)
+        eng = _engine(pool=256, chunk_size=128)
+        assert eng.chunks is not None
+        eng.build_ivf(n_clusters=4, seed=0)
+        bv, _ = eng.query(QUERIES, k=5)
+        iv, _ = eng.query_ivf(QUERIES, k=5, nprobe=4)
+        np.testing.assert_allclose(np.asarray(iv), np.asarray(bv),
+                                   rtol=1e-5)
+
+    def test_partial_probe_scores_are_true_kernel_scores(self):
+        eng = _engine()
+        eng.build_ivf(n_clusters=8, seed=5)
+        iv, ii = eng.query_ivf(QUERIES, k=3, nprobe=2)
+        # every returned (query, candidate) score must equal the
+        # brute-force score of that same candidate
+        bv_all, bi_all = eng.query(QUERIES, k=eng.pool_size)
+        full = {}
+        for q, (vs, isx) in enumerate(zip(np.asarray(bv_all),
+                                          np.asarray(bi_all))):
+            full.update({(q, int(i)): v for i, v in zip(isx, vs)})
+        for q, (vs, isx) in enumerate(zip(np.asarray(iv),
+                                          np.asarray(ii))):
+            for i, v in zip(isx, vs):
+                if i >= 0:
+                    np.testing.assert_allclose(
+                        v, full[(q, int(i))], rtol=1e-5)
+
+
+class TestRecallAndShapes:
+    def test_recall_improves_with_nprobe_and_hits_1_at_full(self):
+        eng = _engine(pool=200)
+        eng.build_ivf(n_clusters=10, seed=2)
+        r_small = ivf_recall(eng, QUERIES, k=10, nprobe=1)
+        r_full = ivf_recall(eng, QUERIES, k=10, nprobe=10)
+        assert r_full == 1.0
+        assert 0.0 <= r_small <= 1.0
+        r_mid = ivf_recall(eng, QUERIES, k=10, nprobe=5)
+        assert r_mid >= r_small
+
+    def test_k_clamps_to_probed_set(self):
+        eng = _engine(pool=24)
+        eng.build_ivf(n_clusters=8, bucket=4, seed=1)
+        iv, ii = eng.query_ivf(QUERIES, k=50, nprobe=2)
+        assert iv.shape == (len(QUERIES), 8)  # nprobe * bucket
+
+    def test_invalid_slots_marked_minus_one(self):
+        # force tiny uneven clusters so probed sets carry padding
+        eng = _engine(pool=40)
+        eng.build_ivf(n_clusters=12, seed=4)
+        iv, ii = eng.query_ivf(QUERIES, k=12, nprobe=1)
+        iv, ii = np.asarray(iv), np.asarray(ii)
+        assert ((ii == -1) == np.isneginf(iv)).all()
+        assert (ii >= -1).all() and (ii < eng.pool_size).all()
+
+    def test_spill_keeps_every_candidate_indexed(self):
+        eng = _engine(pool=64)
+        ivf = eng.build_ivf(n_clusters=4, bucket=20, seed=0)
+        bm = np.asarray(ivf.bucket_map)
+        got = sorted(bm[bm >= 0].tolist())
+        assert got == list(range(64))  # all candidates, exactly once
+
+
+class TestCoarseShortlist:
+    """query_coarse: flat dense coarse matmul -> exact kernel on the
+    top-shortlist.  Same exactness contract at shortlist == pool."""
+
+    def test_full_shortlist_matches_brute_force(self):
+        eng = _engine(pool=96)
+        ivf = eng.build_ivf(n_clusters=6, seed=1)
+        bv, bi = eng.query(QUERIES, k=7)
+        cv, ci = ivf.query_coarse(QUERIES, k=7, shortlist=96)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(bv),
+                                   rtol=1e-5)
+
+    def test_shortlist_scores_are_true_kernel_scores(self):
+        eng = _engine(pool=96)
+        ivf = eng.build_ivf(n_clusters=6, seed=1)
+        cv, ci = ivf.query_coarse(QUERIES, k=5, shortlist=16)
+        bv_all, bi_all = eng.query(QUERIES, k=96)
+        full = {}
+        for q, (vs, isx) in enumerate(zip(np.asarray(bv_all),
+                                          np.asarray(bi_all))):
+            full.update({(q, int(i)): v for i, v in zip(isx, vs)})
+        for q, (vs, isx) in enumerate(zip(np.asarray(cv),
+                                          np.asarray(ci))):
+            for i, v in zip(isx, vs):
+                np.testing.assert_allclose(v, full[(q, int(i))],
+                                           rtol=1e-5)
+
+    def test_coarse_beats_or_ties_ivf_at_equal_budget(self):
+        eng = _engine(pool=200)
+        ivf = eng.build_ivf(n_clusters=10, seed=2)
+        budget = 2 * ivf.bucket  # what nprobe=2 probes
+        r_ivf = ivf_recall(eng, QUERIES, k=10, nprobe=2)
+        r_coarse = ivf_recall(eng, QUERIES, k=10, method="coarse",
+                              shortlist=budget)
+        assert r_coarse >= r_ivf
+
+    def test_recall_1_at_full_shortlist(self):
+        eng = _engine(pool=128)
+        eng.build_ivf(n_clusters=8)
+        assert ivf_recall(eng, QUERIES, k=10, method="coarse",
+                          shortlist=128) == 1.0
+
+
+class TestValidation:
+    def test_quantized_pool_rejected(self):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, pool_dtype="int8", interpret=True)
+        eng.build_index(rng.integers(0, CFG.vocab_size,
+                                     (64, CFG.answer_len)))
+        with pytest.raises(ValueError, match="token-major"):
+            IVFIndex(eng)
+
+    def test_unbuilt_engine_rejected(self):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        with pytest.raises(ValueError, match="build_index"):
+            IVFIndex(eng)
+        with pytest.raises(RuntimeError, match="build_ivf"):
+            _engine().query_ivf(QUERIES)
+
+    def test_rebuild_invalidates_ivf(self):
+        eng = _engine()
+        eng.build_ivf(n_clusters=4)
+        eng.build_index(rng.integers(0, CFG.vocab_size,
+                                     (32, CFG.answer_len)))
+        assert eng.ivf is None
+
+    def test_bucket_too_small_raises(self):
+        eng = _engine(pool=64)
+        with pytest.raises(ValueError, match="cannot hold"):
+            eng.build_ivf(n_clusters=4, bucket=2)
