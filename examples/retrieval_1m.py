@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mesh", action="store_true",
                     help="shard the pool over all local devices")
+    ap.add_argument("--ivf-clusters", type=int, default=0,
+                    help="also time the IVF approximate path with this "
+                         "many clusters (switches the pool to bf16)")
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--coarse-shortlist", type=int, default=0,
+                    help="also time the flat coarse-shortlist path "
+                         "with this shortlist size")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +59,11 @@ def main():
 
     cand_ids = rng.integers(0, args.vocab, (args.pool, cfg.answer_len),
                             dtype=np.int32)
-    engine = QueryEngine(params, cfg, mesh=mesh, pool_dtype="int8")
+    pool_dtype = "int8"
+    if args.ivf_clusters or args.coarse_shortlist:
+        import jax.numpy as _jnp
+        pool_dtype = _jnp.bfloat16  # IVF v1 gathers float pools
+    engine = QueryEngine(params, cfg, mesh=mesh, pool_dtype=pool_dtype)
     t0 = time.perf_counter()
     engine.build_index(cand_ids)
     print(f"indexed {args.pool:,} candidates in "
@@ -72,6 +83,34 @@ def main():
           f"{pairs / dt / 1e6:.1f}M pairs/s ({dt * 1e3:.1f} ms)")
     print("top-k of query 0:", list(zip(np.asarray(idx[0]).tolist(),
                                         np.round(np.asarray(vals[0]), 3))))
+
+    if args.ivf_clusters or args.coarse_shortlist:
+        # approximate single-query latency path (serve/ivf.py): coarse
+        # stage routes, the exact kernel scores only the probed set
+        from mms_answer_selection_tpu.serve import ivf_recall
+        t0 = time.perf_counter()
+        ivf = engine.build_ivf(n_clusters=args.ivf_clusters or 1024)
+        print(f"ivf built in {time.perf_counter() - t0:.1f}s "
+              f"(bucket={ivf.bucket}, spilled={ivf.spilled})")
+        one_q = q_ids[:1]
+        modes = []
+        if args.ivf_clusters:
+            modes.append(("ivf", {"nprobe": args.nprobe}))
+        if args.coarse_shortlist:
+            modes.append(("coarse", {"shortlist": args.coarse_shortlist}))
+        for name, kw in modes:
+            qfn = (engine.query_ivf if name == "ivf"
+                   else ivf.query_coarse)
+            v, _ = qfn(one_q, k=args.k, **kw)      # compile
+            _ = float(v[0, 0])
+            t0 = time.perf_counter()
+            v, _ = qfn(one_q, k=args.k, **kw)
+            _ = float(v[0, 0])
+            ms = (time.perf_counter() - t0) * 1e3
+            r = ivf_recall(engine, q_ids[:16], k=args.k, method=name,
+                           **kw)
+            print(f"{name} 1-query p50 ~{ms:.1f} ms, recall@{args.k} "
+                  f"(16q) = {r:.3f}  [{kw}]")
 
 
 if __name__ == "__main__":
