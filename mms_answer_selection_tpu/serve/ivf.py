@@ -95,7 +95,7 @@ class IVFIndex:
 
     def __init__(self, engine, *, n_clusters: int = 256,
                  bucket: int | None = None, kmeans_iters: int = 10,
-                 seed: int = 0):
+                 seed: int = 0, coarse_tokens: int = 1):
         if engine.pool_size == 0:
             raise ValueError("engine has no index; call build_index first")
         if engine.quant is not None:
@@ -115,6 +115,9 @@ class IVFIndex:
                              "from-tokens pools keep no ids")
         self.engine = engine
         self.n_clusters = min(n_clusters, engine.pool_size)
+        self.coarse_tokens = int(coarse_tokens)
+        if self.coarse_tokens < 1:
+            raise ValueError("coarse_tokens must be >= 1")
         self._build(bucket, kmeans_iters, seed)
         self._jit = None
 
@@ -133,6 +136,53 @@ class IVFIndex:
         step = 65536
         for a in range(0, c, step):
             out[a: a + step] = np.asarray(mean_fn(
+                jnp.asarray(ids[a: a + step])))
+        return out
+
+    def _token_centroids(self, t: int, iters: int = 5) -> np.ndarray:
+        """(C, T, D) f32: each candidate's W2 token embeddings compressed
+        to T centroids by a BATCHED per-candidate Lloyd (vectorized over
+        the whole chunk — one einsum per iteration, no per-candidate
+        loops).  With T >= the candidate's distinct-token count the
+        centroids ARE its token set and the coarse MaxSim is exact."""
+        eng = self.engine
+        ids = eng.cand_token_ids
+        c, w2 = ids.shape
+        d = eng.cfg.embed_dim
+
+        @jax.jit
+        def chunk_fn(i):
+            tok = embed_lookup(eng.params["embed"], i).astype(jnp.float32)
+            b = tok.shape[0]
+            # farthest-point init: covers every distinct token when the
+            # candidate has <= T of them (duplicate picks then repeat an
+            # existing token, which never changes a MaxSim) — so the
+            # T-fits-all exactness guarantee survives Lloyd's refinement
+            cents = [tok[:, 0]]
+            mind = jnp.sum((tok - tok[:, :1]) ** 2, -1)      # (B, W2)
+            for _ in range(t - 1):
+                nxt = jnp.argmax(mind, -1)
+                cn = jnp.take_along_axis(
+                    tok, jnp.broadcast_to(nxt[:, None, None], (b, 1, d)),
+                    axis=1)[:, 0]
+                cents.append(cn)
+                mind = jnp.minimum(
+                    mind, jnp.sum((tok - cn[:, None]) ** 2, -1))
+            cent = jnp.stack(cents, axis=1)                  # (B, T, D)
+            for _ in range(iters):
+                d2 = jnp.sum((tok[:, :, None] - cent[:, None]) ** 2, -1)
+                hot = jax.nn.one_hot(jnp.argmin(d2, -1), t)  # (B, W2, T)
+                sums = jnp.einsum("bwt,bwd->btd", hot, tok)
+                cnt = jnp.sum(hot, axis=1)                   # (B, T)
+                cent = jnp.where((cnt > 0)[..., None],
+                                 sums / jnp.maximum(cnt, 1.0)[..., None],
+                                 cent)
+            return cent
+
+        out = np.empty((c, t, d), np.float32)
+        step = 16384
+        for a in range(0, c, step):
+            out[a: a + step] = np.asarray(chunk_fn(
                 jnp.asarray(ids[a: a + step])))
         return out
 
@@ -179,6 +229,26 @@ class IVFIndex:
         # table is 100 MB)
         self.coarse = jnp.asarray(vecs, jnp.bfloat16)
         self._coarse_jit = None
+        # multi-vector coarse: a kernel-scoreable MINI POOL of T token
+        # centroids per candidate preserves the score's max structure
+        # (T=1 stays on the cheap dense-matmul path).  Rows pad to the
+        # kernel's 128-candidate tile, padding masked.
+        self.coarse_pool = None
+        if self.coarse_tokens > 1:
+            from ..ops.sim_cross_pallas import (mask_out_candidates,
+                                                pack_candidate_pool)
+            cents = self._token_centroids(self.coarse_tokens)
+            c = cents.shape[0]
+            c_pad = -(-c // 128) * 128
+            if c_pad != c:
+                cents = np.concatenate(
+                    [cents, np.zeros((c_pad - c,) + cents.shape[1:],
+                                     cents.dtype)])
+            mini = pack_candidate_pool(jnp.asarray(cents),
+                                       dtype=eng.pool_dtype)
+            if c_pad != c:
+                mini = mask_out_candidates(mini, c)
+            self.coarse_pool = mini
 
     # --------------------------------------------------------------- query
     def _pool_flat(self):
@@ -253,6 +323,7 @@ class IVFIndex:
         pool_dtype = eng.pool_dtype
         interpret = eng.interpret
         coarse = self.coarse
+        coarse_pool = self.coarse_pool
         s_pad = -(-shortlist // 128) * 128  # kernel candidate-tile align
 
         def fn(query_ids, pool_flat):
@@ -261,8 +332,15 @@ class IVFIndex:
             else:
                 q_tokens = embed_lookup(embed_params, query_ids)
             qw = project_queries(q_tokens, w, dtype=pool_dtype)
-            u = jnp.sum(qw.astype(jnp.float32), axis=1)
-            cs = u[:, : coarse.shape[1]] @ coarse.T.astype(jnp.float32)
+            if coarse_pool is not None:
+                # multi-vector coarse: the exact kernel over the T-token
+                # mini pool (same max structure, W2P/T_pad less work)
+                cs = bilinear_maxsim_scores(qw, coarse_pool,
+                                            interpret=interpret)
+            else:
+                u = jnp.sum(qw.astype(jnp.float32), axis=1)
+                cs = u[:, : coarse.shape[1]] @ coarse.T.astype(
+                    jnp.float32)
             _, sl = jax.lax.top_k(cs, shortlist)         # (Nq, S)
 
             def per_query(args):

@@ -467,15 +467,20 @@ class QueryEngine:
 
     # ------------------------------------------------- approximate retrieval
     def build_ivf(self, n_clusters: int = 256, *, bucket: int | None = None,
-                  kmeans_iters: int = 10, seed: int = 0):
+                  kmeans_iters: int = 10, seed: int = 0,
+                  coarse_tokens: int = 1):
         """Build a two-level IVF index over the packed pool (serve/ivf.py):
         k-means buckets over the candidates' coarse token-mean vectors;
         `query_ivf` probes only the top clusters with the exact kernel.
+        coarse_tokens > 1 compresses each candidate to that many token
+        centroids and scores the flat coarse stage with the exact kernel
+        over the mini pool (better recall, ~W2/T of brute-force work).
         For latency-sensitive single queries on large pools — brute-force
         `query` stays the throughput path for query batches."""
         from .ivf import IVFIndex
         self.ivf = IVFIndex(self, n_clusters=n_clusters, bucket=bucket,
-                            kmeans_iters=kmeans_iters, seed=seed)
+                            kmeans_iters=kmeans_iters, seed=seed,
+                            coarse_tokens=coarse_tokens)
         return self.ivf
 
     def query_ivf(self, query_ids, k: int = 10, *, nprobe: int = 8):

@@ -186,6 +186,56 @@ class TestCoarseShortlist:
                           shortlist=128) == 1.0
 
 
+class TestMultiVectorCoarse:
+    """coarse_tokens > 1: per-candidate token k-means -> a mini pool the
+    exact kernel scores as the coarse stage (max structure preserved)."""
+
+    def test_exact_when_tokens_fit_in_centroids(self):
+        # candidates drawn from <= 4 distinct token ids: 4 centroids
+        # reproduce the token set, so coarse MaxSim == exact MaxSim and
+        # the shortlist ranking is already the true ranking
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=np.shape(params["sim"]["w"])).astype(
+                np.float32) * 0.3)
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        base = rng.integers(0, CFG.vocab_size, (96, 4))
+        cand = np.take_along_axis(
+            base, rng.integers(0, 4, (96, CFG.answer_len)), axis=1)
+        eng.build_index(cand)
+        ivf = eng.build_ivf(n_clusters=6, coarse_tokens=4, seed=0)
+        assert ivf.coarse_pool is not None
+        r = ivf_recall(eng, QUERIES, k=5, method="coarse", shortlist=20)
+        assert r == 1.0
+
+    def test_multivector_recall_beats_mean(self):
+        eng = _engine(pool=256)
+        r1 = []
+        rT = []
+        for seed in range(3):
+            eng.build_ivf(n_clusters=8, seed=seed, coarse_tokens=1)
+            r1.append(ivf_recall(eng, QUERIES, k=10, method="coarse",
+                                 shortlist=32))
+            eng.build_ivf(n_clusters=8, seed=seed, coarse_tokens=4)
+            rT.append(ivf_recall(eng, QUERIES, k=10, method="coarse",
+                                 shortlist=32))
+        assert np.mean(rT) >= np.mean(r1)
+
+    def test_exactness_contract_still_holds(self):
+        eng = _engine(pool=96)
+        ivf = eng.build_ivf(n_clusters=6, coarse_tokens=3, seed=1)
+        bv, _ = eng.query(QUERIES, k=7)
+        cv, _ = ivf.query_coarse(QUERIES, k=7, shortlist=96)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(bv),
+                                   rtol=1e-5)
+
+    def test_coarse_tokens_validation(self):
+        eng = _engine(pool=32)
+        with pytest.raises(ValueError, match="coarse_tokens"):
+            eng.build_ivf(n_clusters=4, coarse_tokens=0)
+
+
 class TestValidation:
     def test_quantized_pool_rejected(self):
         params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
