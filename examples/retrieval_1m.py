@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--coarse-shortlist", type=int, default=0,
                     help="also time the flat coarse-shortlist path "
                          "with this shortlist size")
+    ap.add_argument("--coarse-tokens", type=int, default=8,
+                    help="token centroids per candidate for the coarse "
+                         "stage (1 = cheap mean-vector matmul; 8 = "
+                         "mini-pool kernel, near-exact recall)")
     args = ap.parse_args()
 
     import jax
@@ -89,9 +93,11 @@ def main():
         # stage routes, the exact kernel scores only the probed set
         from mms_answer_selection_tpu.serve import ivf_recall
         t0 = time.perf_counter()
-        ivf = engine.build_ivf(n_clusters=args.ivf_clusters or 1024)
+        ivf = engine.build_ivf(n_clusters=args.ivf_clusters or 1024,
+                               coarse_tokens=args.coarse_tokens)
         print(f"ivf built in {time.perf_counter() - t0:.1f}s "
-              f"(bucket={ivf.bucket}, spilled={ivf.spilled})")
+              f"(bucket={ivf.bucket}, spilled={ivf.spilled}, "
+              f"T={args.coarse_tokens})")
         one_q = q_ids[:1]
         modes = []
         if args.ivf_clusters:

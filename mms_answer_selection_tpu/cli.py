@@ -313,6 +313,10 @@ def cmd_serve(args):
     engine = QueryEngine(bundle["params"], model_cfg,
                          pool_dtype=jnp.bfloat16 if pd == "bf16" else pd)
     engine.build_index(split["answer"])
+    if getattr(args, "ivf_clusters", 0):
+        # approximate serve path (serve/ivf.py): needs a float pool
+        engine.build_ivf(n_clusters=args.ivf_clusters,
+                         coarse_tokens=args.coarse_tokens)
     if getattr(args, "listen", None) is not None:
         # persistent HTTP retrieval service (serve/server.py) over the
         # built index; raw-text queries tokenize with the prepped vocab
@@ -1331,6 +1335,13 @@ def main(argv=None):
                    help="coalesce concurrent requests that share "
                         "(k, rerank) into one device dispatch, waiting "
                         "up to this long for peers (0 = off)")
+    p.add_argument("--ivf-clusters", type=int, default=0,
+                   help="build an IVF index over the pool so requests "
+                        "can send 'shortlist' for the approximate "
+                        "coarse-probe path (needs --pool-dtype bf16)")
+    p.add_argument("--coarse-tokens", type=int, default=8,
+                   help="token centroids per candidate for the IVF "
+                        "coarse stage (1 = mean vector)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert",

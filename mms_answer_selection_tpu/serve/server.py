@@ -13,11 +13,14 @@ Endpoints (all JSON):
   GET  /healthz  liveness + pool facts
   GET  /stats    rolling latency percentiles + counters
   POST /query    {"tokens": [[int,...],...]} or {"text": ["...",...]},
-                 optional "k" (default 10) and "rerank" (shortlist size;
-                 0 = single-phase).  Scalar forms ("text": "...", one
-                 token row) are accepted and auto-batched.  Returns
-                 {"results": [{"topk": [[candidate_index, score],...]},
-                 ...], "latency_ms": ...}.
+                 optional "k" (default 10), "rerank" (exact-model
+                 rescoring shortlist; 0 = single-phase) and "shortlist"
+                 (approximate coarse probe via the engine's IVF index;
+                 mutually exclusive with rerank).  Scalar forms
+                 ("text": "...", one token row) are accepted and
+                 auto-batched.  Returns {"results": [{"topk":
+                 [[candidate_index, score],...]}, ...],
+                 "latency_ms": ...}.
 
 Raw-text queries are tokenized exactly like the data pipeline
 (lowercase whitespace split, OOV -> unknown_idx, center-pad to the
@@ -274,6 +277,7 @@ class QAServer:
                 "pool_dtype": eng.quant or str(np.dtype(eng.pool_dtype)),
                 "q_len": self.q_len, "text_queries": self.vocab is not None,
                 "batch_window_ms": self.batch_window_ms,
+                "ivf": eng.ivf is not None,
                 **self.stats.snapshot()}
 
     def start(self):
@@ -332,12 +336,22 @@ class QAServer:
         try:
             k = int(req.get("k", self.default_k))
             rerank = int(req.get("rerank", 0))
+            shortlist = int(req.get("shortlist", 0))
         except (TypeError, ValueError) as e:
-            raise _BadRequest(f"'k'/'rerank' must be integers: {e}") from e
+            raise _BadRequest(f"'k'/'rerank'/'shortlist' must be "
+                              f"integers: {e}") from e
         if k < 1:
             raise _BadRequest(f"k must be >= 1, got {k}")
         if rerank < 0:
             raise _BadRequest(f"rerank must be >= 0, got {rerank}")
+        if shortlist < 0:
+            raise _BadRequest(f"shortlist must be >= 0, got {shortlist}")
+        if shortlist and rerank:
+            raise _BadRequest("'shortlist' (approximate coarse probe) "
+                              "and 'rerank' are separate modes; send one")
+        if shortlist and self.engine.ivf is None:
+            raise _BadRequest("server's engine has no IVF index; start "
+                              "with build_ivf (qa serve --ivf-clusters)")
         if "text" in req:
             texts = req["text"]
             if isinstance(texts, str):
@@ -364,10 +378,11 @@ class QAServer:
             raise _BadRequest("rerank needs model state; server "
                               "started without it")
         t0 = time.perf_counter()
+        key = (k, rerank, shortlist)
         if self._batcher is not None:
-            vals, idx = self._batcher.submit((k, rerank), q)
+            vals, idx = self._batcher.submit(key, q)
         else:
-            vals, idx = self._dispatch_group((k, rerank), q)
+            vals, idx = self._dispatch_group(key, q)
         ms = (time.perf_counter() - t0) * 1e3
         self.stats.record(ms, len(q))
         return {
@@ -380,12 +395,12 @@ class QAServer:
 
     def _dispatch_group(self, key, q) -> tuple:
         """One device dispatch for ``q`` under dispatch key ``(k,
-        rerank)``.  Rows are padded up to the next power-of-two bucket
-        (all-pad_idx queries, sliced off afterwards) so the jitted
-        query program compiles once per bucket instead of once per
-        distinct concurrent batch size -- through the tunnel a fresh
-        compile costs 30-60 s, dwarfing the wasted pad-row FLOPs."""
-        k, rerank = key
+        rerank, shortlist)``.  Rows are padded up to the next
+        power-of-two bucket (all-pad_idx queries, sliced off afterwards)
+        so the jitted query program compiles once per bucket instead of
+        once per distinct concurrent batch size -- through the tunnel a
+        fresh compile costs 30-60 s, dwarfing the wasted pad-row FLOPs."""
+        k, rerank, shortlist = key
         n = len(q)
         n_pad = n
         if self.pad_buckets and n < self.max_batch:
@@ -401,6 +416,9 @@ class QAServer:
             if rerank:
                 vals, idx = self.engine.query_rerank(
                     self.state, q, k=k, shortlist=rerank)
+            elif shortlist:
+                vals, idx = self.engine.ivf.query_coarse(
+                    q, k=k, shortlist=shortlist)
             else:
                 vals, idx = self.engine.query(q, k=k)
             vals = np.asarray(vals)  # host fetch fences the device work

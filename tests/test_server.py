@@ -277,6 +277,66 @@ class TestErrorBranches:
         assert code == 200
 
 
+class TestApproximateMode:
+    """POST /query {"shortlist": N}: the coarse-probe path over the
+    engine's IVF index (serve/ivf.py), server-side plumbing."""
+
+    @pytest.fixture(scope="class")
+    def ivf_served(self):
+        params, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=params["sim"]["w"].shape).astype(np.float32)
+            * 0.2)
+        cand_ids = rng.integers(0, CFG.vocab_size, (48, CFG.answer_len))
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        eng.build_index(cand_ids)
+        eng.build_ivf(n_clusters=4, coarse_tokens=3)
+        srv = QAServer(eng, state=state, port=0).start()
+        yield srv, eng
+        srv.close()
+
+    def _url(self, srv):
+        return f"http://{srv.host}:{srv.port}"
+
+    def test_full_shortlist_matches_brute_force(self, ivf_served):
+        srv, eng = ivf_served
+        row = list(range(CFG.question_len))
+        code, out = _post(self._url(srv) + "/query",
+                          {"tokens": row, "k": 5, "shortlist": 48})
+        assert code == 200
+        bv, bi = eng.query(srv._pad_tokens([row]), k=5)
+        got_v = [p[1] for p in out["results"][0]["topk"]]
+        np.testing.assert_allclose(got_v, np.asarray(bv)[0], rtol=1e-5)
+
+    def test_healthz_reports_ivf(self, ivf_served):
+        srv, _ = ivf_served
+        _, h = _get(self._url(srv) + "/healthz")
+        assert h["ivf"] is True
+
+    def test_shortlist_plus_rerank_400(self, ivf_served):
+        srv, _ = ivf_served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query",
+                  {"tokens": [1, 2], "shortlist": 8, "rerank": 8})
+        assert ei.value.code == 400
+
+    def test_shortlist_without_ivf_400(self, served):
+        srv, _, _ = served  # module fixture: engine has no IVF
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{srv.host}:{srv.port}/query",
+                  {"tokens": [1, 2], "shortlist": 8})
+        assert ei.value.code == 400
+        assert "IVF" in json.loads(ei.value.read())["error"]
+
+    def test_negative_shortlist_400(self, ivf_served):
+        srv, _ = ivf_served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(self._url(srv) + "/query",
+                  {"tokens": [1, 2], "shortlist": -1})
+        assert ei.value.code == 400
+
+
 class TestMicroBatching:
     """Concurrent-request coalescing (serve/server.py _MicroBatcher)
     and power-of-two bucket padding -- rebuild-only serving features;
