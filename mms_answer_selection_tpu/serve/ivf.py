@@ -35,10 +35,13 @@ scored; only the candidate ORDER through the gather differs, and the
 same top-k tie rule applies to identical score sets).  Smaller nprobe
 trades recall for latency; ``ivf_recall`` measures the trade.
 
-v1 scope: single-device engines with an unquantized (bf16/f32) pool,
-flat or scan-chunk storage.  int8 token-major pools interleave rows
-(layout="tokmaj") so a per-candidate gather needs layout-aware
-indexing — rerank via ``query_rerank`` on an IVF shortlist instead.
+Scope: single-device engines, flat or scan-chunk storage, float
+(bf16/f32) and int8 pools.  int8 pools keep the serving token-major
+layout; the probed gather rebuilds candidate-major rows from the
+layout's linear index (``a*unit*w2p + (G*w2p + t)*g + j``) and scores
+with the candmaj int8 kernel — probed scores equal int8 brute force.
+int4 packs two candidates per byte and cannot be row-gathered; meshed
+pools use the sharded brute-force path.
 """
 
 from __future__ import annotations
@@ -98,11 +101,11 @@ class IVFIndex:
                  seed: int = 0, coarse_tokens: int = 1):
         if engine.pool_size == 0:
             raise ValueError("engine has no index; call build_index first")
-        if engine.quant is not None:
+        if engine.quant not in (None, "int8"):
             raise ValueError(
-                "IVF v1 gathers per-candidate pool rows; the int8/int4 "
-                "token-major layouts interleave rows — build the engine "
-                "with a float pool_dtype (bf16/f32) for IVF")
+                "IVF supports float (bf16/f32) and int8 pools; int4 "
+                "packs two candidates per byte, which a per-candidate "
+                "gather cannot slice")
         if engine.mesh is not None:
             raise ValueError("IVF v1 is single-device; meshed pools use "
                              "the sharded brute-force path")
@@ -244,8 +247,9 @@ class IVFIndex:
                 cents = np.concatenate(
                     [cents, np.zeros((c_pad - c,) + cents.shape[1:],
                                      cents.dtype)])
-            mini = pack_candidate_pool(jnp.asarray(cents),
-                                       dtype=eng.pool_dtype)
+            mini = pack_candidate_pool(
+                jnp.asarray(cents),
+                dtype=eng.pool_dtype or jnp.bfloat16)
             if c_pad != c:
                 mini = mask_out_candidates(mini, c)
             self.coarse_pool = mini
@@ -258,21 +262,104 @@ class IVFIndex:
         pools, _ = eng.chunks
         return pools.reshape((-1,) + pools.shape[2:])
 
-    def _build_query_fn(self, k: int, nprobe: int):
+    def _aux_flat(self):
+        eng = self.engine
+        if eng.pool is not None:
+            return eng.aux
+        _, auxs = eng.chunks
+        return auxs.reshape((-1,) + auxs.shape[2:])
+
+    def _exact_parts(self):
+        """(project, gather, score) closures for the probed exact stage,
+        specialized by pool dtype.
+
+        * float pools store candidate-major rows: gather is one fancy
+          index.
+        * int8 pools use the serving token-major layout
+          (pack_candidate_pool_int8): candidate i's token t lives at
+          flat row ``a*unit*w2p + (G*w2p + t)*g + j`` with
+          a = i // unit (chunk), l = i % unit, G = l // g, j = l % g —
+          the gather rebuilds a candidate-major int8 sub-pool (plus its
+          (S, 2) aux rows) and scores it with the candmaj int8 kernel,
+          so probed scores match brute-force `query` exactly (same
+          per-candidate quantization)."""
         eng = self.engine
         w = eng.params["sim"]["w"]
-        embed_params = eng.params["embed"]
-        pool_dtype = eng.pool_dtype
         interpret = eng.interpret
+        if eng.quant is None:
+            pool_flat = self._pool_flat()
+
+            def project(q_tokens):
+                return project_queries(q_tokens, w, dtype=eng.pool_dtype)
+
+            def gather(idx):
+                return pool_flat[idx]
+
+            def score(proj_i, sub):
+                return bilinear_maxsim_scores(proj_i[None], sub,
+                                              q_block=8,
+                                              interpret=interpret)[0]
+
+            return project, gather, score
+
+        from ..ops.sim_cross_pallas import (C_SUB_INT8,
+                                            bilinear_maxsim_scores_int8,
+                                            project_queries_int8)
+        pool3 = self._pool_flat()                 # (Cp, W2P, Dp) tokmaj
+        aux_flat = self._aux_flat()               # (Cp, 2)
+        cp, w2p, dp = pool3.shape
+        pool2 = pool3.reshape(cp * w2p, dp)
+        unit = eng.chunk_size if eng.chunks is not None else cp
+        g = min(C_SUB_INT8, unit)
+        t_off = jnp.arange(w2p, dtype=jnp.int32) * g   # token stride
+
+        def project(q_tokens):
+            return project_queries_int8(q_tokens, w)   # (qw_i8, scales)
+
+        def gather(idx):
+            a, l = idx // unit, idx % unit
+            gi, j = l // g, l % g
+            base = (a * unit + gi * g) * w2p + j       # (S,)
+            lin = base[:, None] + t_off[None, :]       # (S, W2P)
+            return pool2[lin], aux_flat[idx]
+
+        def score(proj_i, sub):
+            qw_i, qs_i = proj_i
+            sub_pool, sub_aux = sub
+            s = sub_pool.shape[0]
+            c_block = 1024 if s % 1024 == 0 else 128
+            return bilinear_maxsim_scores_int8(
+                qw_i[None], qs_i[None], sub_pool, sub_aux,
+                layout="candmaj", q_block=8, c_block=c_block,
+                interpret=interpret)[0]
+
+        return project, gather, score
+
+    def _route_qw(self, q_tokens, proj):
+        """bf16 projected queries for the coarse/routing stage: the
+        float exact stage's own projection doubles as it; int8 engines
+        keep a separate bf16 projection (their exact stage projects to
+        int8)."""
+        eng = self.engine
+        if eng.quant is None:
+            return proj
+        w = eng.params["sim"]["w"]
+        return project_queries(q_tokens, w, dtype=jnp.bfloat16)
+
+    def _build_query_fn(self, k: int, nprobe: int):
+        eng = self.engine
+        embed_params = eng.params["embed"]
         bucket_map, valid = self.bucket_map, self.valid
         cent = jnp.asarray(self._cent_f32)
+        project, gather, score = self._exact_parts()
 
-        def fn(query_ids, pool_flat):
+        def fn(query_ids):
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
                 q_tokens = embed_lookup(embed_params, query_ids)
-            qw = project_queries(q_tokens, w, dtype=pool_dtype)
+            proj = project(q_tokens)
+            qw = self._route_qw(q_tokens, proj)
             # coarse: (sum_{m,i} q_i W_m) . mean_j a_j; qw's mask lane is
             # constant 1 per row but the centroid lanes beyond D are zero
             u = jnp.sum(qw.astype(jnp.float32), axis=1)  # (Nq, Dp)
@@ -285,22 +372,20 @@ class IVFIndex:
             pb_pad = -(-pb // 128) * 128
 
             def per_query(args):
-                qw_i, cl_i = args
+                proj_i, cl_i = args
                 idx = bucket_map[cl_i].reshape(-1)       # (P*B,)
                 ok = valid[cl_i].reshape(-1)
                 if pb_pad != pb:
                     idx = jnp.pad(idx, (0, pb_pad - pb),
                                   constant_values=-1)
                     ok = jnp.pad(ok, (0, pb_pad - pb))
-                sub = pool_flat[jnp.clip(idx, 0)]        # (PBp, W2P, Dp)
-                s = bilinear_maxsim_scores(qw_i[None], sub, q_block=8,
-                                           interpret=interpret)[0]
-                s = jnp.where(ok, s, -jnp.inf)
+                sub = gather(jnp.clip(idx, 0))
+                s = jnp.where(ok, score(proj_i, sub), -jnp.inf)
                 v, j = jax.lax.top_k(s, k)
                 # unprobed/padding slots come back as index -1, score -inf
                 return v, jnp.where(jnp.take(ok, j), jnp.take(idx, j), -1)
 
-            return jax.lax.map(per_query, (qw, cl))
+            return jax.lax.map(per_query, (proj, cl))
 
         return jax.jit(fn)
 
@@ -313,25 +398,25 @@ class IVFIndex:
         key = (k, nprobe)
         if self._jit is None or self._jit[0] != key:
             self._jit = (key, self._build_query_fn(k, nprobe))
-        return self._jit[1](jnp.asarray(query_ids), self._pool_flat())
+        return self._jit[1](jnp.asarray(query_ids))
 
     # ------------------------------------------------- flat coarse variant
     def _build_coarse_fn(self, k: int, shortlist: int):
         eng = self.engine
-        w = eng.params["sim"]["w"]
         embed_params = eng.params["embed"]
-        pool_dtype = eng.pool_dtype
         interpret = eng.interpret
         coarse = self.coarse
         coarse_pool = self.coarse_pool
         s_pad = -(-shortlist // 128) * 128  # kernel candidate-tile align
+        project, gather, score = self._exact_parts()
 
-        def fn(query_ids, pool_flat):
+        def fn(query_ids):
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
                 q_tokens = embed_lookup(embed_params, query_ids)
-            qw = project_queries(q_tokens, w, dtype=pool_dtype)
+            proj = project(q_tokens)
+            qw = self._route_qw(q_tokens, proj)
             if coarse_pool is not None:
                 # multi-vector coarse: the exact kernel over the T-token
                 # mini pool (same max structure, W2P/T_pad less work)
@@ -344,20 +429,18 @@ class IVFIndex:
             _, sl = jax.lax.top_k(cs, shortlist)         # (Nq, S)
 
             def per_query(args):
-                qw_i, sl_i = args
+                proj_i, sl_i = args
                 idx = sl_i
                 ok = jnp.ones_like(idx, dtype=bool)
                 if s_pad != shortlist:
                     idx = jnp.pad(idx, (0, s_pad - shortlist))
                     ok = jnp.pad(ok, (0, s_pad - shortlist))
-                sub = pool_flat[idx]
-                s = bilinear_maxsim_scores(qw_i[None], sub, q_block=8,
-                                           interpret=interpret)[0]
-                s = jnp.where(ok, s, -jnp.inf)
+                sub = gather(idx)
+                s = jnp.where(ok, score(proj_i, sub), -jnp.inf)
                 v, j = jax.lax.top_k(s, k)
                 return v, jnp.take(idx, j)
 
-            return jax.lax.map(per_query, (qw, sl))
+            return jax.lax.map(per_query, (proj, sl))
 
         return jax.jit(fn)
 
@@ -374,8 +457,7 @@ class IVFIndex:
         key = (k, shortlist)
         if self._coarse_jit is None or self._coarse_jit[0] != key:
             self._coarse_jit = (key, self._build_coarse_fn(k, shortlist))
-        return self._coarse_jit[1](jnp.asarray(query_ids),
-                                   self._pool_flat())
+        return self._coarse_jit[1](jnp.asarray(query_ids))
 
 
 def ivf_recall(engine, query_ids, *, k: int = 10, nprobe: int = 8,

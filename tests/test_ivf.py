@@ -236,13 +236,56 @@ class TestMultiVectorCoarse:
             eng.build_ivf(n_clusters=4, coarse_tokens=0)
 
 
-class TestValidation:
-    def test_quantized_pool_rejected(self):
+class TestInt8Pool:
+    """IVF over the PRODUCTION int8 token-major pool: the gather
+    rebuilds candidate-major rows from the tokmaj layout
+    (pack_candidate_pool_int8) and scores with the candmaj int8 kernel,
+    so probed scores equal int8 brute force exactly."""
+
+    def _int8_engine(self, pool=96, **kw):
         params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
-        eng = QueryEngine(params, CFG, pool_dtype="int8", interpret=True)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=np.shape(params["sim"]["w"])).astype(
+                np.float32) * 0.3)
+        eng = QueryEngine(params, CFG, pool_dtype="int8", interpret=True,
+                          **kw)
+        eng.build_index(rng.integers(0, CFG.vocab_size,
+                                     (pool, CFG.answer_len)))
+        return eng
+
+    def test_probe_all_matches_int8_brute_force(self):
+        eng = self._int8_engine()
+        ivf = eng.build_ivf(n_clusters=6, seed=3)
+        bv, bi = eng.query(QUERIES, k=7)
+        iv, ii = eng.query_ivf(QUERIES, k=7, nprobe=6)
+        np.testing.assert_allclose(np.asarray(iv), np.asarray(bv),
+                                   rtol=1e-4)
+        cv, ci = ivf.query_coarse(QUERIES, k=7, shortlist=96)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(bv),
+                                   rtol=1e-4)
+
+    def test_chunked_int8_gather(self):
+        eng = self._int8_engine(pool=2048, chunk_size=1024)
+        assert eng.chunks is not None
+        ivf = eng.build_ivf(n_clusters=8, seed=0, coarse_tokens=3)
+        bv, _ = eng.query(QUERIES, k=5)
+        cv, _ = ivf.query_coarse(QUERIES, k=5, shortlist=2048)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(bv),
+                                   rtol=1e-4)
+
+    def test_multivector_mini_pool_is_bf16(self):
+        eng = self._int8_engine()
+        ivf = eng.build_ivf(n_clusters=4, coarse_tokens=3)
+        assert ivf.coarse_pool.dtype == jnp.bfloat16
+
+
+class TestValidation:
+    def test_int4_pool_rejected(self):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        eng = QueryEngine(params, CFG, pool_dtype="int4", interpret=True)
         eng.build_index(rng.integers(0, CFG.vocab_size,
                                      (64, CFG.answer_len)))
-        with pytest.raises(ValueError, match="token-major"):
+        with pytest.raises(ValueError, match="int4"):
             IVFIndex(eng)
 
     def test_unbuilt_engine_rejected(self):
