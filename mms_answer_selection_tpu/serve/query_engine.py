@@ -273,6 +273,144 @@ class QueryEngine:
         self.ivf = None  # a rebuilt pool invalidates any IVF over it
         return self
 
+    # ------------------------------------------------------------ persistence
+    def _params_fingerprint(self) -> str:
+        """Digest of the arrays the index bakes in (embed table + metric
+        W): a pool packed under one set of weights silently mis-scores
+        under another, so load_index refuses a mismatch."""
+        import hashlib
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(
+            np.asarray(self.params["embed"]["w"], np.float32)).tobytes())
+        h.update(np.ascontiguousarray(
+            np.asarray(self.params["sim"]["w"], np.float32)).tobytes())
+        return h.hexdigest()
+
+    def save_index(self, path: str):
+        """Persist the built (packed/quantized) pool — and the IVF index
+        if one exists — so a serving process restarts warm instead of
+        re-embedding and re-clustering the whole pool.  The reference
+        has no index to save (its serve path recomputes everything per
+        run, do_trec_qa_clean.py:617-652); model weights there persist
+        via .caffemodel, and this is the analogous artifact for the
+        rebuild's serving state."""
+        if self.pool_size == 0:
+            raise ValueError("nothing to save; build_index first")
+        if self.mesh is not None:
+            raise ValueError("save_index is single-device; meshed pools "
+                             "re-shard at build time")
+        if isinstance(self.chunks, list):
+            raise ValueError("save_index needs scan_chunks=True storage")
+        data = {
+            "version": np.int64(1),
+            "fingerprint": np.frombuffer(
+                self._params_fingerprint().encode(), np.uint8),
+            "pool_size": np.int64(self.pool_size),
+            "padded_size": np.int64(self._padded_size),
+            "chunk_size": np.int64(self.chunk_size),
+            "quant": np.frombuffer((self.quant or "").encode(), np.uint8),
+            "pool_dtype": np.frombuffer(
+                ("" if self.pool_dtype is None
+                 else np.dtype(self.pool_dtype).name).encode(), np.uint8),
+        }
+        if self.cand_token_ids is not None:
+            data["cand_token_ids"] = self.cand_token_ids
+        if self.chunks is not None:
+            pools, auxs = self.chunks
+            data["chunk_pools"] = np.asarray(pools)
+            if auxs is not None:
+                data["chunk_auxs"] = np.asarray(auxs)
+        else:
+            data["pool"] = np.asarray(self.pool)
+            if self.aux is not None:
+                data["aux"] = np.asarray(self.aux)
+        if self.ivf is not None:
+            iv = self.ivf
+            data.update(
+                ivf_bucket_map=np.asarray(iv.bucket_map),
+                ivf_centroids=iv._cent_f32,
+                ivf_coarse=np.asarray(iv.coarse, np.float32),
+                ivf_meta=np.asarray([iv.n_clusters, iv.bucket,
+                                     iv.spilled, iv.coarse_tokens],
+                                    np.int64))
+            if iv.coarse_pool is not None:
+                data["ivf_coarse_pool"] = np.asarray(iv.coarse_pool,
+                                                     np.float32)
+        # np.load restores ml_dtypes.bfloat16 as a void dtype ("V2");
+        # store such arrays as uint16 bit patterns + the key list.
+        arrays = {k: np.asarray(v) for k, v in data.items()}
+        bf16_keys = [k for k, a in arrays.items() if a.dtype == jnp.bfloat16]
+        for k in bf16_keys:
+            arrays[k] = arrays[k].view(np.uint16)
+        arrays["bf16_keys"] = np.frombuffer(
+            ",".join(bf16_keys).encode(), np.uint8)
+        np.savez(path, **arrays)
+
+    def load_index(self, path: str):
+        """Restore a save_index artifact into this engine (same config
+        and SAME params — verified by fingerprint)."""
+        z_raw = np.load(path, allow_pickle=False)
+        bf16_names = set(bytes(z_raw["bf16_keys"]).decode().split(",")) \
+            if "bf16_keys" in z_raw else set()
+
+        class _Z:  # view bf16 bit patterns back on access
+            def __contains__(self, k):
+                return k in z_raw
+            def __getitem__(self, k):
+                a = z_raw[k]
+                return a.view(jnp.bfloat16) if k in bf16_names else a
+        z = _Z()
+        fp = bytes(z["fingerprint"]).decode()
+        if fp != self._params_fingerprint():
+            raise ValueError(
+                "index was packed under different weights (embed/sim "
+                "fingerprint mismatch); rebuild with build_index")
+        quant = bytes(z["quant"]).decode() or None
+        pd = bytes(z["pool_dtype"]).decode()
+        if quant != self.quant or (
+                (self.pool_dtype is None) != (pd == "")) or (
+                pd and np.dtype(self.pool_dtype) != np.dtype(pd)):
+            raise ValueError(
+                f"index pool dtype ({quant or pd}) does not match this "
+                f"engine ({self.quant or self.pool_dtype})")
+        self.pool_size = int(z["pool_size"])
+        self._padded_size = int(z["padded_size"])
+        self.chunk_size = int(z["chunk_size"])
+        self.cand_token_ids = (z["cand_token_ids"]
+                               if "cand_token_ids" in z else None)
+        if "chunk_pools" in z:
+            pools = jnp.asarray(z["chunk_pools"])
+            auxs = (jnp.asarray(z["chunk_auxs"])
+                    if "chunk_auxs" in z else None)
+            self.chunks = (pools, auxs)
+            self.pool = self.aux = None
+        else:
+            self.pool = jnp.asarray(z["pool"])
+            self.aux = jnp.asarray(z["aux"]) if "aux" in z else None
+            self.chunks = None
+        self._query_jit = None
+        self.ivf = None
+        if "ivf_meta" in z:
+            from .ivf import IVFIndex
+            iv = IVFIndex.__new__(IVFIndex)
+            iv.engine = self
+            n_clusters, bucket, spilled, coarse_tokens = (
+                int(v) for v in z["ivf_meta"])
+            iv.n_clusters, iv.bucket = n_clusters, bucket
+            iv.spilled, iv.coarse_tokens = spilled, coarse_tokens
+            iv.bucket_map = jnp.asarray(z["ivf_bucket_map"])
+            iv.valid = iv.bucket_map >= 0
+            iv._cent_f32 = z["ivf_centroids"]
+            iv.coarse = jnp.asarray(z["ivf_coarse"], jnp.bfloat16)
+            iv.coarse_pool = (
+                jnp.asarray(z["ivf_coarse_pool"],
+                            self.pool_dtype or jnp.bfloat16)
+                if "ivf_coarse_pool" in z else None)
+            iv._jit = None
+            iv._coarse_jit = None
+            self.ivf = iv
+        return self
+
     # ------------------------------------------------------------------ query
     def _build_query_fn(self, k: int):
         cfg, mesh = self.cfg, self.mesh

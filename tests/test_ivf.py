@@ -279,6 +279,82 @@ class TestInt8Pool:
         assert ivf.coarse_pool.dtype == jnp.bfloat16
 
 
+class TestIndexPersistence:
+    """save_index/load_index: warm server restarts skip re-embedding
+    and re-clustering (rebuild-only — the reference recomputes its
+    serve state every run)."""
+
+    def test_bf16_roundtrip_with_ivf(self, tmp_path):
+        eng = _engine(pool=96)
+        eng.build_ivf(n_clusters=6, coarse_tokens=3, seed=1)
+        bv, bi = eng.query(QUERIES, k=5)
+        cv, ci = eng.ivf.query_coarse(QUERIES, k=5, shortlist=32)
+        path = str(tmp_path / "index.npz")
+        eng.save_index(path)
+
+        eng2 = QueryEngine(eng.params, CFG, pool_dtype=jnp.float32,
+                           interpret=True)
+        eng2.load_index(path)
+        assert eng2.pool_size == eng.pool_size
+        v2, i2 = eng2.query(QUERIES, k=5)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(bi))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(bv),
+                                   rtol=0)
+        assert eng2.ivf is not None
+        assert eng2.ivf.coarse_tokens == 3
+        v3, i3 = eng2.ivf.query_coarse(QUERIES, k=5, shortlist=32)
+        np.testing.assert_array_equal(np.asarray(i3), np.asarray(ci))
+        np.testing.assert_allclose(np.asarray(v3), np.asarray(cv),
+                                   rtol=0)
+
+    def test_int8_chunked_roundtrip(self, tmp_path):
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=np.shape(params["sim"]["w"])).astype(
+                np.float32) * 0.3)
+        eng = QueryEngine(params, CFG, pool_dtype="int8",
+                          interpret=True, chunk_size=1024)
+        eng.build_index(rng.integers(0, CFG.vocab_size,
+                                     (2048, CFG.answer_len)))
+        bv, bi = eng.query(QUERIES, k=5)
+        path = str(tmp_path / "i8.npz")
+        eng.save_index(path)
+        eng2 = QueryEngine(params, CFG, pool_dtype="int8",
+                           interpret=True)
+        eng2.load_index(path)
+        assert eng2.chunks is not None
+        v2, i2 = eng2.query(QUERIES, k=5)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(bi))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(bv),
+                                   rtol=0)
+
+    def test_fingerprint_mismatch_rejected(self, tmp_path):
+        eng = _engine(pool=32)
+        path = str(tmp_path / "x.npz")
+        eng.save_index(path)
+        params2 = jax.tree.map(lambda a: a, eng.params)
+        params2["sim"]["w"] = eng.params["sim"]["w"] + 1.0
+        eng2 = QueryEngine(params2, CFG, pool_dtype=jnp.float32,
+                           interpret=True)
+        with pytest.raises(ValueError, match="fingerprint"):
+            eng2.load_index(path)
+
+    def test_dtype_mismatch_rejected(self, tmp_path):
+        eng = _engine(pool=32)
+        path = str(tmp_path / "x.npz")
+        eng.save_index(path)
+        eng2 = QueryEngine(eng.params, CFG, pool_dtype="int8",
+                           interpret=True)
+        with pytest.raises(ValueError, match="dtype"):
+            eng2.load_index(path)
+
+    def test_unbuilt_save_rejected(self):
+        eng = QueryEngine(_engine(pool=32).params, CFG,
+                          pool_dtype=jnp.float32, interpret=True)
+        with pytest.raises(ValueError, match="build_index"):
+            eng.save_index("/tmp/never.npz")
+
+
 class TestValidation:
     def test_int4_pool_rejected(self):
         params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
