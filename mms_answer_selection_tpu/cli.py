@@ -312,11 +312,22 @@ def cmd_serve(args):
         or ("int8" if args.int8 else "bf16")
     engine = QueryEngine(bundle["params"], model_cfg,
                          pool_dtype=jnp.bfloat16 if pd == "bf16" else pd)
-    engine.build_index(split["answer"])
-    if getattr(args, "ivf_clusters", 0):
-        # approximate serve path (serve/ivf.py): needs a float pool
-        engine.build_ivf(n_clusters=args.ivf_clusters,
-                         coarse_tokens=args.coarse_tokens)
+    index_path = getattr(args, "index", None)
+    if index_path and os.path.exists(index_path):
+        # warm restart: skip re-embedding/re-clustering the pool
+        engine.load_index(index_path)
+        print(json.dumps({"index_loaded": index_path,
+                          "pool": engine.pool_size,
+                          "ivf": engine.ivf is not None}), flush=True)
+    else:
+        engine.build_index(split["answer"])
+        if getattr(args, "ivf_clusters", 0):
+            # approximate serve path (serve/ivf.py): needs a float pool
+            engine.build_ivf(n_clusters=args.ivf_clusters,
+                             coarse_tokens=args.coarse_tokens)
+        if index_path:
+            engine.save_index(index_path)
+            print(json.dumps({"index_saved": index_path}), flush=True)
     if getattr(args, "listen", None) is not None:
         # persistent HTTP retrieval service (serve/server.py) over the
         # built index; raw-text queries tokenize with the prepped vocab
@@ -1342,6 +1353,10 @@ def main(argv=None):
     p.add_argument("--coarse-tokens", type=int, default=8,
                    help="token centroids per candidate for the IVF "
                         "coarse stage (1 = mean vector)")
+    p.add_argument("--index", metavar="PATH",
+                   help="persisted index file (.npz): load it if it "
+                        "exists (warm restart, skips re-embedding and "
+                        "re-clustering), else build then save it there")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert",

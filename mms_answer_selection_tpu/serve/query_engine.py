@@ -222,13 +222,7 @@ class QueryEngine:
                 pools = jnp.stack([p for p, _ in rows])
                 auxs = jnp.stack([a for _, a in rows]) \
                     if rows[0][1] is not None else None
-                axes = self.mesh.axis_names if len(self.mesh.axis_names) > 1 \
-                    else self.mesh.axis_names[0]
-                spec = NamedSharding(self.mesh, P(None, axes))
-                pools = jax.device_put(pools, spec)
-                if auxs is not None:
-                    auxs = jax.device_put(auxs, spec)
-                self.chunks = (pools, auxs)
+                self.chunks = self._put_chunked(pools, auxs)
             else:
                 if self.scan_chunks:
                     # one (n_chunks, chunk, ...) buffer; query() scans it.
@@ -258,13 +252,7 @@ class QueryEngine:
         else:
             pool, aux = pack(candidates, c if c_pad != c else None)
             if self.mesh is not None:
-                axis = self.mesh.axis_names[-1] \
-                    if len(self.mesh.axis_names) == 1 else self.mesh.axis_names
-                spec = P(axis)
-                pool = jax.device_put(pool, NamedSharding(self.mesh, spec))
-                if aux is not None:
-                    aux = jax.device_put(aux,
-                                         NamedSharding(self.mesh, spec))
+                pool, aux = self._put_flat(pool, aux)
             self.chunks = None
             self.pool = pool
             self.aux = aux
@@ -274,6 +262,31 @@ class QueryEngine:
         return self
 
     # ------------------------------------------------------------ persistence
+    def _shards(self) -> int:
+        return 1 if self.mesh is None else int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+
+    def _put_chunked(self, pools, auxs):
+        """Shard a stacked (n_chunks, shards*chunk, ...) pool over the
+        mesh (axis 1 -> devices), mirroring _build's chunked layout."""
+        axes = self.mesh.axis_names if len(self.mesh.axis_names) > 1 \
+            else self.mesh.axis_names[0]
+        spec = NamedSharding(self.mesh, P(None, axes))
+        pools = jax.device_put(pools, spec)
+        if auxs is not None:
+            auxs = jax.device_put(auxs, spec)
+        return pools, auxs
+
+    def _put_flat(self, pool, aux):
+        """Shard an unchunked pool over the mesh (axis 0 -> devices)."""
+        axis = self.mesh.axis_names[-1] \
+            if len(self.mesh.axis_names) == 1 else self.mesh.axis_names
+        spec = NamedSharding(self.mesh, P(axis))
+        pool = jax.device_put(pool, spec)
+        if aux is not None:
+            aux = jax.device_put(aux, spec)
+        return pool, aux
+
     def _params_fingerprint(self) -> str:
         """Digest of the arrays the index bakes in (embed table + metric
         W): a pool packed under one set of weights silently mis-scores
@@ -296,13 +309,13 @@ class QueryEngine:
         rebuild's serving state."""
         if self.pool_size == 0:
             raise ValueError("nothing to save; build_index first")
-        if self.mesh is not None:
-            raise ValueError("save_index is single-device; meshed pools "
-                             "re-shard at build time")
         if isinstance(self.chunks, list):
             raise ValueError("save_index needs scan_chunks=True storage")
         data = {
             "version": np.int64(1),
+            # pool padding/layout is a function of the shard count, so a
+            # meshed index only reloads onto an equal-size mesh
+            "shards": np.int64(self._shards()),
             "fingerprint": np.frombuffer(
                 self._params_fingerprint().encode(), np.uint8),
             "pool_size": np.int64(self.pool_size),
@@ -373,6 +386,12 @@ class QueryEngine:
             raise ValueError(
                 f"index pool dtype ({quant or pd}) does not match this "
                 f"engine ({self.quant or self.pool_dtype})")
+        saved_shards = int(z["shards"]) if "shards" in z else 1
+        if saved_shards != self._shards():
+            raise ValueError(
+                f"index was packed for {saved_shards} shard(s); this "
+                f"engine's mesh has {self._shards()} — the pool padding "
+                "layout differs, rebuild with build_index")
         self.pool_size = int(z["pool_size"])
         self._padded_size = int(z["padded_size"])
         self.chunk_size = int(z["chunk_size"])
@@ -382,11 +401,16 @@ class QueryEngine:
             pools = jnp.asarray(z["chunk_pools"])
             auxs = (jnp.asarray(z["chunk_auxs"])
                     if "chunk_auxs" in z else None)
+            if self.mesh is not None:
+                pools, auxs = self._put_chunked(pools, auxs)
             self.chunks = (pools, auxs)
             self.pool = self.aux = None
         else:
-            self.pool = jnp.asarray(z["pool"])
-            self.aux = jnp.asarray(z["aux"]) if "aux" in z else None
+            pool = jnp.asarray(z["pool"])
+            aux = jnp.asarray(z["aux"]) if "aux" in z else None
+            if self.mesh is not None:
+                pool, aux = self._put_flat(pool, aux)
+            self.pool, self.aux = pool, aux
             self.chunks = None
         self._query_jit = None
         self.ivf = None

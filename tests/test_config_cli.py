@@ -174,6 +174,25 @@ class TestCLI:
         vs = [v for _, v in rr["topk"]]
         assert vs == sorted(vs, reverse=True)
 
+        # --index PATH: first run builds + saves, second run warm-loads
+        # (QueryEngine.save_index/load_index) and answers identically
+        capsys.readouterr()  # drop the --listen thread's banner
+        idx_path = str(root / "serve_index.npz")
+        main(["serve", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path), "--k", "3", "--n-queries", "2",
+              "--index", idx_path])
+        lines = capsys.readouterr().out.strip().split("\n")
+        assert json.loads(lines[0]).get("index_saved") == idx_path
+        cold = [json.loads(ln) for ln in lines[1:]]
+        main(["serve", "--data", str(out), "--exp", str(exp), "--config",
+              str(cfg_path), "--k", "3", "--n-queries", "2",
+              "--index", idx_path])
+        lines = capsys.readouterr().out.strip().split("\n")
+        hdr = json.loads(lines[0])
+        assert hdr.get("index_loaded") == idx_path and hdr["pool"] > 0
+        warm = [json.loads(ln) for ln in lines[1:]]
+        assert warm == cold
+
     def test_device_query(self, capsys):
         from mms_answer_selection_tpu.cli import main
         main(["device_query"])

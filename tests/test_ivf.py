@@ -354,6 +354,33 @@ class TestIndexPersistence:
         with pytest.raises(ValueError, match="build_index"):
             eng.save_index("/tmp/never.npz")
 
+    def test_meshed_roundtrip_same_topology(self, tmp_path):
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        eng = _engine(pool=64, mesh=mesh)
+        bv, bi = eng.query(QUERIES, k=5)
+        path = str(tmp_path / "mesh.npz")
+        eng.save_index(path)
+
+        eng2 = QueryEngine(eng.params, CFG, pool_dtype=jnp.float32,
+                           interpret=True, mesh=mesh)
+        eng2.load_index(path)
+        assert eng2.pool.sharding.mesh.shape == mesh.shape
+        v2, i2 = eng2.query(QUERIES, k=5)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(bi))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(bv), rtol=0)
+
+    def test_shard_count_mismatch_rejected(self, tmp_path):
+        from jax.sharding import Mesh
+        eng = _engine(pool=64)  # single-device layout
+        path = str(tmp_path / "flat.npz")
+        eng.save_index(path)
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        eng2 = QueryEngine(eng.params, CFG, pool_dtype=jnp.float32,
+                           interpret=True, mesh=mesh)
+        with pytest.raises(ValueError, match="shard"):
+            eng2.load_index(path)
+
 
 class TestValidation:
     def test_int4_pool_rejected(self):
