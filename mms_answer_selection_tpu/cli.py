@@ -1349,7 +1349,7 @@ def main(argv=None):
     p.add_argument("--ivf-clusters", type=int, default=0,
                    help="build an IVF index over the pool so requests "
                         "can send 'shortlist' for the approximate "
-                        "coarse-probe path (needs --pool-dtype bf16)")
+                        "coarse-probe path (float or int8 pools)")
     p.add_argument("--coarse-tokens", type=int, default=8,
                    help="token centroids per candidate for the IVF "
                         "coarse stage (1 = mean vector)")
