@@ -306,6 +306,13 @@ class TestIndexPersistence:
         np.testing.assert_array_equal(np.asarray(i3), np.asarray(ci))
         np.testing.assert_allclose(np.asarray(v3), np.asarray(cv),
                                    rtol=0)
+        # bucket-probe path (query_ivf) exercises bucket_map/valid/
+        # centroids — the other restored attribute set
+        pv, pi = eng.query_ivf(QUERIES, k=5, nprobe=6)
+        pv2, pi2 = eng2.query_ivf(QUERIES, k=5, nprobe=6)
+        np.testing.assert_array_equal(np.asarray(pi2), np.asarray(pi))
+        np.testing.assert_allclose(np.asarray(pv2), np.asarray(pv),
+                                   rtol=0)
 
     def test_int8_chunked_roundtrip(self, tmp_path):
         params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
