@@ -254,6 +254,13 @@ def mask_out_candidates(pool, start: int):
     return pool.at[start:, :, -1].set(NEG_INF)
 
 
+def mask_candidate_rows(pool, rows):
+    """Mark the given candidate rows as padding — arbitrary-row variant
+    of mask_out_candidates (tombstone deletes; float pools are always
+    candidate-major, so row i IS candidate i)."""
+    return pool.at[rows, :, -1].set(NEG_INF)
+
+
 def project_queries(q_tokens, w, *, dtype=jnp.bfloat16):
     """(Nq, W1, D) x (M, D, D) -> (Nq, M*W1, Dp): each query's tokens
     pre-multiplied by every metric matrix (amortized over the whole pool);
@@ -445,6 +452,15 @@ def mask_out_candidates_int8(aux, start: int):
     """Mark candidates [start:] as pool padding: scale 0 + -inf additive."""
     aux = aux.at[start:, 0].set(0.0)
     return aux.at[start:, 1].set(NEG_INF)
+
+
+def mask_candidate_rows_int8(aux, rows):
+    """Arbitrary-row variant of mask_out_candidates_int8 (tombstone
+    deletes).  aux stays candidate-major under every pool layout
+    (_apply_pool_layout touches only the pool), so this is correct for
+    tokmaj pools too."""
+    aux = aux.at[rows, 0].set(0.0)
+    return aux.at[rows, 1].set(NEG_INF)
 
 
 def project_queries_int8(q_tokens, w):
@@ -751,6 +767,7 @@ def project_queries_int4(q_tokens, w):
 
 # aux layout is shared with int8, so masking is too
 mask_out_candidates_int4 = mask_out_candidates_int8
+mask_candidate_rows_int4 = mask_candidate_rows_int8
 
 C_SUB_INT4 = 128  # tuned on v5e: 128 > 64 > 32 (int4 operands halve the
                   # VMEM per chunk, so the tile that OOM'd at int8 fits);

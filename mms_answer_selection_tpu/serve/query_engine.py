@@ -124,19 +124,23 @@ class QueryEngine:
         self._query_jit = None
         self.cand_token_ids = None  # set by build_index (rerank path)
         self.ivf = None  # set by build_ivf (approximate serve path)
+        self.deleted = np.zeros(0, np.int64)  # tombstoned global rows
 
     # ------------------------------------------------------------------ build
-    def build_index(self, candidate_ids):
+    def build_index(self, candidate_ids, *, reserve: int = 0):
         """candidate_ids: int (C, W2) token ids.  Embeds with the trained
         table and packs/shards the pool.  The ids are retained on the
         HOST (small: C x W2 int32) so `query_rerank` can hand
-        shortlisted candidates to the exact scorer."""
+        shortlisted candidates to the exact scorer.
+
+        reserve: pre-pad this many extra (masked) candidate slots so
+        later `add_candidates` calls fill capacity in place instead of
+        growing the chunk stack (each distinct chunk count compiles its
+        own scan program)."""
         candidate_ids = np.asarray(candidate_ids)
         self.cand_token_ids = candidate_ids
-        return self._build(
-            candidate_ids,
-            lambda chunk: embed_lookup(self.params["embed"],
-                                       jnp.asarray(chunk)))
+        return self._build(candidate_ids, self._embed_tokens,
+                           reserve=reserve)
 
     def build_index_from_tokens(self, candidate_tokens):
         """candidate_tokens: (C, T, D) PRECOMPUTED token embeddings -- e.g.
@@ -148,7 +152,10 @@ class QueryEngine:
         return self._build(candidate_tokens,
                            lambda chunk: jnp.asarray(chunk))
 
-    def _build(self, candidates, to_tokens):
+    def _embed_tokens(self, chunk):
+        return embed_lookup(self.params["embed"], jnp.asarray(chunk))
+
+    def _build(self, candidates, to_tokens, reserve: int = 0):
         # candidates stay a HOST array: per-chunk packing device_puts one
         # chunk-sized slice at a time, so a 1M-candidate f32 token pool
         # (16 GB) never materializes wholesale on the chip — the memory
@@ -169,29 +176,16 @@ class QueryEngine:
             # the mode's c_block -- round the user's chunk_size up
             self.chunk_size = -(-self.chunk_size // blk) * blk
         mult = shards * blk
-        chunked = c > self.chunk_size * shards
+        chunked = c + reserve > self.chunk_size * shards
         if chunked:
             mult = max(mult, shards * self.chunk_size)
-        c_pad = (c + mult - 1) // mult * mult
+        c_pad = (c + reserve + mult - 1) // mult * mult
         if c_pad != c:
             pad_rows = np.zeros((c_pad - c,) + candidates.shape[1:],
                                 candidates.dtype)
             candidates = np.concatenate([candidates, pad_rows], 0)
 
-        def pack(chunk, mask_from: int | None):
-            """tokenize + pack one chunk; mask_from masks candidates [i:]
-            of THIS chunk (pool-padding rows)."""
-            tokens = to_tokens(chunk)
-            if self.quant:
-                pack_q, _, _, mask_q = _QUANT[self.quant]
-                pool_c, aux_c = pack_q(tokens)
-                if mask_from is not None:
-                    aux_c = mask_q(aux_c, mask_from)
-                return pool_c, aux_c
-            pool_c = pack_candidate_pool(tokens, dtype=self.pool_dtype)
-            if mask_from is not None:
-                pool_c = mask_out_candidates(pool_c, mask_from)
-            return pool_c, None
+        pack = self._pack_closure(to_tokens)
 
         if chunked:
             # per-chunk embed+pack: a 1M-candidate pool never materializes
@@ -259,7 +253,187 @@ class QueryEngine:
         self.pool_size, self._padded_size = c, c_pad
         self._query_jit = None
         self.ivf = None  # a rebuilt pool invalidates any IVF over it
+        self.deleted = np.zeros(0, np.int64)
         return self
+
+    def _pack_closure(self, to_tokens):
+        def pack(chunk, mask_from: int | None):
+            """tokenize + pack one chunk; mask_from masks candidates [i:]
+            of THIS chunk (pool-padding rows)."""
+            tokens = to_tokens(chunk)
+            if self.quant:
+                pack_q, _, _, mask_q = _QUANT[self.quant]
+                pool_c, aux_c = pack_q(tokens)
+                if mask_from is not None:
+                    aux_c = mask_q(aux_c, mask_from)
+                return pool_c, aux_c
+            pool_c = pack_candidate_pool(tokens, dtype=self.pool_dtype)
+            if mask_from is not None:
+                pool_c = mask_out_candidates(pool_c, mask_from)
+            return pool_c, None
+        return pack
+
+    # ------------------------------------------------------- incremental
+    def add_candidates(self, candidate_ids):
+        """Append candidates to a BUILT ids-index without re-embedding
+        the existing pool: only the chunks that gain rows are repacked
+        (from the host-retained token ids), and the chunk stack grows
+        only when capacity — including ``build_index(reserve=...)``
+        headroom — runs out (each distinct chunk count compiles its own
+        scan program, so bulk adds beat row-at-a-time).  Single-device,
+        ids-built engines; meshed pools rebuild (growth shifts every
+        shard's contiguous global range).  Any IVF index is dropped (it
+        does not cover the new rows) — call build_ivf again after bulk
+        adds.  Returns the new rows' global indices.
+
+        The reference has no incremental story at all: its serve path
+        re-embeds the whole split every run (do_trec_qa_clean.py:
+        617-652)."""
+        if self.pool_size == 0:
+            raise ValueError("build_index first")
+        if self.mesh is not None:
+            raise ValueError("add_candidates is single-device; meshed "
+                             "pools rebuild with build_index")
+        if self.cand_token_ids is None:
+            raise ValueError("add_candidates needs an ids-built index "
+                             "(build_index, not build_index_from_tokens)")
+        if isinstance(self.chunks, list):
+            raise ValueError("add_candidates needs scan_chunks=True "
+                             "storage")
+        new_ids = np.asarray(candidate_ids)
+        if new_ids.ndim != 2 or \
+                new_ids.shape[1:] != self.cand_token_ids.shape[1:]:
+            raise ValueError(
+                f"candidate_ids must be (N, {self.cand_token_ids.shape[1]})"
+                f" token ids, got {new_ids.shape}")
+        old_c = self.pool_size
+        deleted = self.deleted  # _build (transition path) resets it
+        ids = np.concatenate([self.cand_token_ids, new_ids], 0)
+        c = ids.shape[0]
+        pack = self._pack_closure(self._embed_tokens)
+
+        def padded_to(n):
+            if n == c:
+                return ids
+            return np.concatenate(
+                [ids, np.zeros((n - c,) + ids.shape[1:], ids.dtype)], 0)
+
+        if self.chunks is None:
+            if c > self.chunk_size:
+                # crosses into chunked storage: one-time full rebuild
+                self._build(ids, self._embed_tokens)
+            else:
+                blk = C_BLOCK_BY_MODE.get(self.quant, C_BLOCK)
+                c_pad = max(self._padded_size, -(-c // blk) * blk)
+                self.pool, self.aux = pack(
+                    padded_to(c_pad), c if c_pad != c else None)
+                self._padded_size = c_pad
+        else:
+            pools, auxs = self.chunks
+            k = self.chunk_size
+            n_chunks = pools.shape[0]
+            c_pad = max(n_chunks * k, -(-c // k) * k)
+            padded = padded_to(c_pad)
+            setter = jax.jit(lambda buf, part, i: buf.at[i].set(part),
+                             donate_argnums=(0,))
+            extra = []
+            for i in range(old_c // k, c_pad // k):
+                g0 = i * k
+                mask_from = max(0, c - g0) if c < g0 + k else None
+                p_i, a_i = pack(padded[g0:g0 + k], mask_from)
+                if i < n_chunks:
+                    pools = setter(pools, p_i, i)
+                    if a_i is not None:
+                        auxs = setter(auxs, a_i, i)
+                else:
+                    extra.append((p_i, a_i))
+            if extra:
+                # growth step: transiently ~2x the grown chunks' HBM
+                pools = jnp.concatenate(
+                    [pools, jnp.stack([p for p, _ in extra])])
+                if extra[0][1] is not None:
+                    auxs = jnp.concatenate(
+                        [auxs, jnp.stack([a for _, a in extra])])
+                self._padded_size = c_pad
+            self.chunks = (pools, auxs)
+        self.cand_token_ids = ids
+        self.pool_size = c
+        self.ivf = None
+        self.deleted = deleted
+        # repacking from ids resurrects tombstoned rows — re-mask them
+        if len(deleted):
+            self._mask_rows(deleted)
+        return np.arange(old_c, c)
+
+    def remove_candidates(self, rows):
+        """Tombstone candidates: their scores become -inf on every path
+        (exact, chunked, meshed, IVF probe/coarse, rerank — deleted rows
+        can never shortlist), without touching any other row.  A pure
+        scatter into the float pool's mask lane / the quantized pool's
+        aux rows, so it needs no re-embedding and works on every built
+        storage.  Slots are NOT reclaimed: `add_candidates` appends at
+        the end; rebuild to compact.  n_live tracks the survivors."""
+        rows = np.unique(np.asarray(rows, np.int64).ravel())
+        if rows.size == 0:
+            return self
+        if self.pool_size == 0:
+            raise ValueError("build_index first")
+        if rows[0] < 0 or rows[-1] >= self.pool_size:
+            raise ValueError(f"row out of range [0, {self.pool_size})")
+        self._mask_rows(rows)
+        self.deleted = np.union1d(self.deleted, rows)
+        return self
+
+    @property
+    def n_live(self) -> int:
+        """Candidates that can still surface in top-k (pool_size minus
+        tombstones)."""
+        return self.pool_size - len(self.deleted)
+
+    def _mask_rows(self, rows):
+        """Scatter padding masks into the given GLOBAL candidate rows,
+        storage-aware (flat / stacked chunks / host-loop chunk list,
+        single-device or meshed)."""
+        from ..ops.sim_cross_pallas import (NEG_INF, mask_candidate_rows,
+                                            mask_candidate_rows_int8)
+        rows = np.asarray(rows, np.int64)
+
+        def mask_flat(pool, aux, r):
+            if self.quant:
+                return pool, mask_candidate_rows_int8(aux, jnp.asarray(r))
+            return mask_candidate_rows(pool, jnp.asarray(r)), aux
+
+        if self.chunks is None:
+            self.pool, self.aux = mask_flat(self.pool, self.aux, rows)
+            if self.mesh is not None:  # scatter can drop the sharding
+                self.pool, self.aux = self._put_flat(self.pool, self.aux)
+            return
+        k = self.chunk_size
+        # global row -> (chunk, column) in the stacked layout: shard s
+        # owns [s*per_shard, (s+1)*per_shard); its chunk i covers
+        # s*per_shard + i*k; the stacked column is s*k + within-chunk
+        per_shard = self._padded_size // self._shards()
+        s, within = rows // per_shard, rows % per_shard
+        ci, ri = within // k, s * k + within % k
+        if isinstance(self.chunks, list):
+            out = []
+            for i, (pool_i, aux_i) in enumerate(self.chunks):
+                r = ri[ci == i]
+                if r.size:
+                    pool_i, aux_i = mask_flat(pool_i, aux_i, r)
+                out.append((pool_i, aux_i))
+            self.chunks = out
+            return
+        pools, auxs = self.chunks
+        ci, ri = jnp.asarray(ci), jnp.asarray(ri)
+        if self.quant:
+            auxs = auxs.at[ci, ri, 0].set(0.0)
+            auxs = auxs.at[ci, ri, 1].set(NEG_INF)
+        else:
+            pools = pools.at[ci, ri, :, -1].set(NEG_INF)
+        if self.mesh is not None:  # scatter can drop the sharding
+            pools, auxs = self._put_chunked(pools, auxs)
+        self.chunks = (pools, auxs)
 
     # ------------------------------------------------------------ persistence
     def _shards(self) -> int:
@@ -326,6 +500,8 @@ class QueryEngine:
                 ("" if self.pool_dtype is None
                  else np.dtype(self.pool_dtype).name).encode(), np.uint8),
         }
+        if len(self.deleted):
+            data["deleted"] = self.deleted
         if self.cand_token_ids is not None:
             data["cand_token_ids"] = self.cand_token_ids
         if self.chunks is not None:
@@ -397,6 +573,8 @@ class QueryEngine:
         self.chunk_size = int(z["chunk_size"])
         self.cand_token_ids = (z["cand_token_ids"]
                                if "cand_token_ids" in z else None)
+        self.deleted = (np.asarray(z["deleted"], np.int64)
+                        if "deleted" in z else np.zeros(0, np.int64))
         if "chunk_pools" in z:
             pools = jnp.asarray(z["chunk_pools"])
             auxs = (jnp.asarray(z["chunk_auxs"])

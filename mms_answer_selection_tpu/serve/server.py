@@ -21,6 +21,12 @@ Endpoints (all JSON):
                  auto-batched.  Returns {"results": [{"topk":
                  [[candidate_index, score],...]}, ...],
                  "latency_ms": ...}.
+  POST /add     {"tokens": [[ids...],...]} or {"text": [...]} of
+                 CANDIDATE rows (answer length): appends to the live
+                 pool via engine.add_candidates (tail chunks repack;
+                 drops any IVF index).  Returns the new global indices.
+  POST /remove  {"rows": [int,...]}: tombstones candidates — they score
+                 -inf on every path and never surface again.
 
 Raw-text queries are tokenized exactly like the data pipeline
 (lowercase whitespace split, OOV -> unknown_idx, center-pad to the
@@ -246,7 +252,11 @@ class QAServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/query":
+                routes = {"/query": server.handle_query,
+                          "/add": server.handle_add,
+                          "/remove": server.handle_remove}
+                handler = routes.get(self.path)
+                if handler is None:
                     self._send(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -255,7 +265,7 @@ class QAServer:
                         req = json.loads(self.rfile.read(n) or b"{}")
                     except json.JSONDecodeError as e:
                         raise _BadRequest(f"invalid JSON: {e}") from e
-                    payload = server.handle_query(req)
+                    payload = handler(req)
                     self._send(200, payload)
                 except _BadRequest as e:
                     server.stats.record_error()
@@ -274,6 +284,7 @@ class QAServer:
     def health(self) -> dict:
         eng = self.engine
         return {"ok": True, "pool": int(eng.pool_size),
+                "n_live": int(eng.n_live),
                 "pool_dtype": eng.quant or str(np.dtype(eng.pool_dtype)),
                 "q_len": self.q_len, "text_queries": self.vocab is not None,
                 "batch_window_ms": self.batch_window_ms,
@@ -304,21 +315,24 @@ class QAServer:
             self._thread.join(timeout=5)
 
     # ------------------------------------------------------------ queries
-    def encode_texts(self, texts: list[str]) -> np.ndarray:
+    def encode_texts(self, texts: list[str],
+                     length: int | None = None) -> np.ndarray:
         if self.vocab is None:
             raise _BadRequest("server started without a vocabulary; "
                               "send 'tokens' instead of 'text'")
         from ..data.trec_qa import encode_tokens
+        length = length or self.q_len
         rows = [encode_tokens(t.lower().split(), self.vocab,
-                              self.unknown_idx, self.pad_idx, self.q_len)
+                              self.unknown_idx, self.pad_idx, length)
                 for t in texts]
         return np.asarray(rows, np.int32)
 
-    def _pad_tokens(self, rows) -> np.ndarray:
-        out = np.full((len(rows), self.q_len), self.pad_idx, np.int32)
+    def _pad_tokens(self, rows, length: int | None = None) -> np.ndarray:
+        length = length or self.q_len
+        out = np.full((len(rows), length), self.pad_idx, np.int32)
         for i, r in enumerate(rows):
             try:
-                ids = np.asarray(r, np.int32).ravel()[: self.q_len]
+                ids = np.asarray(r, np.int32).ravel()[:length]
             except (TypeError, ValueError) as e:
                 raise _BadRequest(f"row {i} of 'tokens' is not an id "
                                   f"list: {e}") from e
@@ -326,9 +340,70 @@ class QAServer:
                 raise _BadRequest(
                     f"token ids of row {i} outside [0, "
                     f"{self.engine.cfg.vocab_size})")
-            pad_b = max(0, (self.q_len - len(ids)) // 2)  # center, like prep
+            pad_b = max(0, (length - len(ids)) // 2)  # center, like prep
             out[i, pad_b: pad_b + len(ids)] = ids
         return out
+
+    def _candidate_rows(self, req: dict) -> np.ndarray:
+        """Parse 'text'/'tokens' as CANDIDATE (answer-length) rows."""
+        a_len = self.engine.cfg.answer_len
+        if "text" in req:
+            texts = req["text"]
+            if isinstance(texts, str):
+                texts = [texts]
+            if not texts or not all(isinstance(t, str) for t in texts):
+                raise _BadRequest("'text' must be a string or list of them")
+            return self.encode_texts(texts, length=a_len)
+        if "tokens" in req:
+            rows = req["tokens"]
+            if not isinstance(rows, list):
+                raise _BadRequest("'tokens' must be a list of ids or a "
+                                  "list of id lists")
+            if rows and isinstance(rows[0], (int, float)):
+                rows = [rows]
+            if not rows:
+                raise _BadRequest("'tokens' is empty")
+            return self._pad_tokens(rows, length=a_len)
+        raise _BadRequest("body needs 'text' or 'tokens'")
+
+    # -------------------------------------------------- live pool updates
+    def handle_add(self, req: dict) -> dict:
+        """POST /add — append candidates to the LIVE pool (engine
+        add_candidates: only the tail chunks repack; rebuild-only
+        capability, the reference re-embeds its whole split per run).
+        Any IVF index is dropped (it does not cover the new rows)."""
+        if not isinstance(req, dict):
+            raise _BadRequest("body must be a JSON object")
+        cand = self._candidate_rows(req)
+        had_ivf = self.engine.ivf is not None
+        with self._device_lock:
+            try:
+                new_rows = self.engine.add_candidates(cand)
+            except ValueError as e:
+                raise _BadRequest(str(e)) from e
+        return {"added": [int(i) for i in new_rows],
+                "pool": int(self.engine.pool_size),
+                "n_live": int(self.engine.n_live),
+                "ivf_dropped": bool(had_ivf)}
+
+    def handle_remove(self, req: dict) -> dict:
+        """POST /remove — tombstone candidate rows: {"rows": [int,...]}.
+        Removed rows score -inf on every path and can never surface."""
+        if not isinstance(req, dict):
+            raise _BadRequest("body must be a JSON object")
+        rows = req.get("rows")
+        if not isinstance(rows, list) or not rows or \
+                not all(isinstance(r, int) and not isinstance(r, bool)
+                        for r in rows):
+            raise _BadRequest("'rows' must be a non-empty list of ints")
+        with self._device_lock:
+            try:
+                self.engine.remove_candidates(rows)
+            except ValueError as e:
+                raise _BadRequest(str(e)) from e
+        return {"removed": len(set(rows)),
+                "pool": int(self.engine.pool_size),
+                "n_live": int(self.engine.n_live)}
 
     def handle_query(self, req: dict) -> dict:
         if not isinstance(req, dict):

@@ -499,3 +499,85 @@ class TestNoVocabNoState:
         code, out = _post(f"http://{bare.host}:{bare.port}/query",
                           {"tokens": [[1, 2, 3, 4]], "k": 3})
         assert code == 200 and len(out["results"][0]["topk"]) == 3
+
+
+class TestLiveUpdates:
+    """POST /add and /remove mutate the live pool (rebuild-only — the
+    reference re-embeds its whole split every run)."""
+
+    @pytest.fixture()
+    def fresh(self):
+        params, state = mms_qa_init(jax.random.PRNGKey(1), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=params["sim"]["w"].shape).astype(np.float32)
+            * 0.2)
+        cand_ids = rng.integers(0, CFG.vocab_size, (24, CFG.answer_len))
+        eng = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                          interpret=True)
+        eng.build_index(cand_ids)
+        srv = QAServer(eng, state=state, vocab_words=np.asarray(WORDS),
+                       port=0).start()
+        yield srv, eng
+        srv.close()
+
+    def test_add_then_query_sees_new_rows(self, fresh):
+        srv, eng = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        new = rng.integers(0, CFG.vocab_size,
+                           (4, CFG.answer_len)).astype(int)
+        code, out = _post(base + "/add", {"tokens": new.tolist()})
+        assert code == 200 and out["added"] == [24, 25, 26, 27]
+        assert out["pool"] == 28 and out["n_live"] == 28
+        code, h = _get(base + "/healthz")
+        assert h["pool"] == 28 and h["n_live"] == 28
+        # the duplicate of an existing row must tie its twin's score
+        code, q = _post(base + "/query",
+                        {"tokens": [list(range(CFG.question_len))],
+                         "k": 28})
+        idx = [int(i) for i, _ in q["results"][0]["topk"]]
+        assert set(idx) == set(range(28))
+
+    def test_add_text_rows(self, fresh):
+        srv, _ = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        code, out = _post(base + "/add", {"text": ["w1 w2 w3", "w4 w5"]})
+        assert code == 200 and out["added"] == [24, 25]
+
+    def test_remove_tombstones(self, fresh):
+        srv, eng = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        code, q0 = _post(base + "/query",
+                         {"tokens": [[1, 2, 3]], "k": 3})
+        dead = [int(i) for i, _ in q0["results"][0]["topk"]][:2]
+        code, out = _post(base + "/remove", {"rows": dead})
+        assert code == 200 and out["removed"] == 2
+        assert out["n_live"] == 22 and out["pool"] == 24
+        code, q1 = _post(base + "/query", {"tokens": [[1, 2, 3]], "k": 10})
+        got = {int(i) for i, _ in q1["results"][0]["topk"]}
+        assert not (got & set(dead))
+
+    def test_remove_bad_rows_400(self, fresh):
+        srv, _ = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        for body in ({"rows": []}, {"rows": "x"}, {"rows": [True]},
+                     {"rows": [99]}, {}):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base + "/remove", body)
+            assert ei.value.code == 400
+
+    def test_add_drops_ivf_and_reports_it(self, fresh):
+        srv, eng = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        eng.build_ivf(n_clusters=3)
+        code, out = _post(base + "/add", {"text": "w7 w8"})
+        assert out["ivf_dropped"] is True
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/query", {"tokens": [[1, 2]], "shortlist": 8})
+        assert ei.value.code == 400
+
+    def test_add_bad_shape_400(self, fresh):
+        srv, _ = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/add", {"tokens": [[999]]})
+        assert ei.value.code == 400
