@@ -390,6 +390,27 @@ class QueryEngine:
         tombstones)."""
         return self.pool_size - len(self.deleted)
 
+    def compact(self):
+        """Rebuild the pool from the live rows only, reclaiming
+        tombstoned slots (global indices SHIFT).  Returns an
+        (old_pool_size,) int64 map old->new index, -1 for deleted rows.
+        Ids-built engines only; meshed engines re-shard through the
+        same rebuild.  Any IVF index is dropped (the rebuild
+        invalidates it)."""
+        if self.pool_size == 0:
+            raise ValueError("build_index first")
+        if self.cand_token_ids is None:
+            raise ValueError("compact needs an ids-built index")
+        if self.n_live == 0:
+            raise ValueError("no live rows to compact to")
+        keep = np.setdiff1d(np.arange(self.pool_size), self.deleted)
+        mapping = np.full(self.pool_size, -1, np.int64)
+        mapping[keep] = np.arange(len(keep))
+        ids = np.asarray(self.cand_token_ids)[keep]
+        self._build(ids, self._embed_tokens)  # resets deleted + ivf
+        self.cand_token_ids = ids
+        return mapping
+
     def _mask_rows(self, rows):
         """Scatter padding masks into the given GLOBAL candidate rows,
         storage-aware (flat / stacked chunks / host-loop chunk list,

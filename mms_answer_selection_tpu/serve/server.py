@@ -254,7 +254,8 @@ class QAServer:
             def do_POST(self):
                 routes = {"/query": server.handle_query,
                           "/add": server.handle_add,
-                          "/remove": server.handle_remove}
+                          "/remove": server.handle_remove,
+                          "/compact": server.handle_compact}
                 handler = routes.get(self.path)
                 if handler is None:
                     self._send(404, {"error": f"no route {self.path}"})
@@ -404,6 +405,22 @@ class QAServer:
         return {"removed": len(set(rows)),
                 "pool": int(self.engine.pool_size),
                 "n_live": int(self.engine.n_live)}
+
+    def handle_compact(self, req: dict) -> dict:
+        """POST /compact — rebuild the pool from live rows, reclaiming
+        tombstoned slots.  CANDIDATE INDICES SHIFT: clients holding old
+        indices must re-query (the response carries only counts; the
+        full old->new map is engine.compact()'s return value for
+        in-process callers)."""
+        with self._device_lock:
+            try:
+                mapping = self.engine.compact()
+            except ValueError as e:
+                raise _BadRequest(str(e)) from e
+        return {"pool": int(self.engine.pool_size),
+                "reclaimed": int((mapping < 0).sum()),
+                "indices_shifted": bool((mapping
+                                         != np.arange(len(mapping))).any())}
 
     def handle_query(self, req: dict) -> dict:
         if not isinstance(req, dict):

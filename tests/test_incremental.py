@@ -247,3 +247,55 @@ class TestRemove:
         eng2.add_candidates(_ids(8, seed=30))
         assert not (set(np.asarray(eng2.query(QUERIES, k=10)[1])
                         .ravel().tolist()) & set(dead))
+
+
+class TestCompact:
+    def test_compact_reclaims_and_remaps(self):
+        ids = _ids(64, seed=40)
+        eng = _engine().build_index(ids)
+        _, i0 = eng.query(QUERIES, k=64)
+        dead = sorted({int(np.asarray(i0)[0, j]) for j in range(3)})
+        eng.remove_candidates(dead)
+        v_before, i_before = eng.query(QUERIES, k=8)
+        mapping = eng.compact()
+        assert eng.pool_size == 61 and eng.n_live == 61
+        assert len(eng.deleted) == 0
+        assert all(mapping[d] == -1 for d in dead)
+        # survivors keep their scores under the new indices
+        v_after, i_after = eng.query(QUERIES, k=8)
+        np.testing.assert_allclose(np.asarray(v_after),
+                                   np.asarray(v_before), rtol=0)
+        np.testing.assert_array_equal(
+            np.asarray(i_after),
+            mapping[np.asarray(i_before)])
+
+    def test_compact_equals_fresh_build(self):
+        ids = _ids(300, seed=41)
+        eng = _engine(chunk_size=128).build_index(ids)
+        eng.remove_candidates([0, 150, 299])
+        eng.compact()
+        keep = np.setdiff1d(np.arange(300), [0, 150, 299])
+        fresh = _engine(chunk_size=128).build_index(ids[keep])
+        _assert_same_answers(eng, fresh)
+
+    def test_compact_without_tombstones_is_identity(self):
+        eng = _engine().build_index(_ids(32, seed=42))
+        mapping = eng.compact()
+        assert list(mapping) == list(range(32))
+
+    def test_compact_all_dead_refuses(self):
+        eng = _engine().build_index(_ids(8, seed=43))
+        eng.remove_candidates(list(range(8)))
+        with pytest.raises(ValueError, match="live"):
+            eng.compact()
+
+    def test_meshed_compact(self):
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()), ("c",))
+        ids = _ids(64, seed=44)
+        eng = _engine(mesh=mesh).build_index(ids)
+        eng.remove_candidates([1, 2])
+        eng.compact()
+        fresh = _engine(mesh=mesh).build_index(
+            np.delete(ids, [1, 2], axis=0))
+        _assert_same_answers(eng, fresh)

@@ -581,3 +581,52 @@ class TestLiveUpdates:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base + "/add", {"tokens": [[999]]})
         assert ei.value.code == 400
+
+    def test_compact_endpoint(self, fresh):
+        srv, eng = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        _post(base + "/remove", {"rows": [0, 1]})
+        code, out = _post(base + "/compact", {})
+        assert code == 200 and out["pool"] == 22
+        assert out["reclaimed"] == 2 and out["indices_shifted"] is True
+        code, h = _get(base + "/healthz")
+        assert h["pool"] == 22 and h["n_live"] == 22
+
+    def test_concurrent_queries_and_updates(self, fresh):
+        # queries race adds/removes; the device lock serializes them —
+        # every response must be 200 and the final pool consistent
+        import threading
+        srv, eng = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        errs = []
+
+        def client(n):
+            try:
+                for _ in range(6):
+                    code, _ = _post(base + "/query",
+                                    {"tokens": [[1, 2, 3]], "k": 3})
+                    assert code == 200
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def mutator():
+            try:
+                for i in range(3):
+                    code, _ = _post(
+                        base + "/add",
+                        {"tokens": [[int(i) % 30, 2, 3, 4]]})
+                    assert code == 200
+                    code, _ = _post(base + "/remove", {"rows": [i]})
+                    assert code == 200
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)] + [threading.Thread(target=mutator)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs, errs
+        code, h = _get(base + "/healthz")
+        assert h["pool"] == 27 and h["n_live"] == 24
