@@ -362,6 +362,28 @@ def cmd_serve(args):
                                        np.asarray(vals[qi]))]}))
 
 
+# ------------------------------------------------------------------- export
+def cmd_export(args):
+    """Freeze the inference program + weights into ONE deployable
+    StableHLO artifact (deploy.py) — the reference's analog is the
+    frozen .caffemodel + deploy-prototxt pair C++ caffe consumes
+    (tools/caffe.cpp:229-296); here the artifact replays anywhere jax
+    runs, with no dependency on this package's model code."""
+    from .deploy import save_scorer
+    from .training.checkpoint import latest_checkpoint, load_checkpoint
+
+    splits, meta, vocab = _load_prepped(args.data)
+    model_cfg, _ = _experiment_configs(args, meta)
+    path = args.ckpt or latest_checkpoint(args.exp, prefix="best")
+    if path is None:
+        sys.exit("no checkpoint found")
+    bundle, _ = load_checkpoint(path)
+    header = save_scorer(args.out, bundle["params"], bundle["state"],
+                         model_cfg, batch=args.batch,
+                         platforms=tuple(args.platforms.split(",")))
+    print(json.dumps({"out": args.out, **header}))
+
+
 # ------------------------------------------------------------------ convert
 def cmd_convert(args):
     """Weight-format conversion, both directions:
@@ -1358,6 +1380,23 @@ def main(argv=None):
                         "exists (warm restart, skips re-embedding and "
                         "re-clustering), else build then save it there")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("export",
+                       help="freeze inference program + weights into "
+                            "one StableHLO deployment artifact")
+    p.add_argument("--data", required=True)
+    p.add_argument("--exp", required=True)
+    p.add_argument("--ckpt")
+    p.add_argument("--config")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=None,
+                   help="pin the batch dimension (default: symbolic — "
+                        "one program, any request size)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets baked into "
+                        "the artifact")
+    p.add_argument("--max-iter", type=int, default=40001)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("convert",
                        help="weights <-> reference .caffemodel.h5")

@@ -554,7 +554,13 @@ class QueryEngine:
             arrays[k] = arrays[k].view(np.uint16)
         arrays["bf16_keys"] = np.frombuffer(
             ",".join(bf16_keys).encode(), np.uint8)
-        np.savez(path, **arrays)
+        # atomic: a crash mid-write must not leave a truncated index a
+        # warm restart would then try to load
+        import os
+        tmp = path + ".tmp"
+        np.savez(tmp, **arrays)
+        # np.savez appends .npz to paths without it
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
 
     def load_index(self, path: str):
         """Restore a save_index artifact into this engine (same config

@@ -193,6 +193,22 @@ class TestCLI:
         warm = [json.loads(ln) for ln in lines[1:]]
         assert warm == cold
 
+        # qa export: freeze the deployable StableHLO artifact and
+        # replay it without the model code (deploy.py)
+        art = str(root / "model.mmsx")
+        main(["export", "--data", str(out), "--exp", str(exp),
+              "--config", str(cfg_path), "--out", art,
+              "--platforms", "cpu"])
+        hx = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        assert hx["out"] == art and hx["question_len"] == 12
+        from mms_answer_selection_tpu.deploy import load_scorer
+        sc = load_scorer(art)
+        probs = sc.score(
+            np.zeros((2, hx["question_len"]), np.int32),
+            np.zeros((2, hx["answer_len"]), np.int32),
+            np.zeros((2, hx["overlap_features"]), np.float32))
+        assert probs.shape == (2,) and np.isfinite(probs).all()
+
     def test_device_query(self, capsys):
         from mms_answer_selection_tpu.cli import main
         main(["device_query"])
