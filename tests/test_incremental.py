@@ -299,3 +299,57 @@ class TestCompact:
         fresh = _engine(mesh=mesh).build_index(
             np.delete(ids, [1, 2], axis=0))
         _assert_same_answers(eng, fresh)
+
+
+class TestRandomizedModelBased:
+    """Random interleavings of add/remove/compact checked against a
+    plain host-side model of the pool (live id list): after every
+    sequence, the engine's full ranking equals a fresh build over the
+    live rows, with indices remapped through the model's bookkeeping."""
+
+    @pytest.mark.parametrize("seed", [101, 202, 303])
+    def test_random_ops_match_model(self, seed):
+        r = np.random.default_rng(seed)
+        ids = _ids(64, seed=seed)
+        eng = _engine(chunk_size=128).build_index(ids)
+        # host model: rows ever added (in engine order) + live flags
+        all_ids = [row for row in ids]
+        live = [True] * len(all_ids)
+
+        for _ in range(8):
+            op = r.choice(["add", "remove", "compact"])
+            if op == "add":
+                n = int(r.integers(1, 20))
+                new = _ids(n, seed=int(r.integers(1 << 30)))
+                eng.add_candidates(new)
+                all_ids.extend(row for row in new)
+                live.extend([True] * n)
+            elif op == "remove":
+                candidates = [i for i, ok in enumerate(live) if ok]
+                if len(candidates) <= 4:
+                    continue
+                kill = r.choice(candidates,
+                                size=int(r.integers(1, 4)), replace=False)
+                eng.remove_candidates([int(x) for x in kill])
+                for x in kill:
+                    live[int(x)] = False
+            else:
+                if sum(live) == 0:
+                    continue
+                eng.compact()
+                all_ids = [row for row, ok in zip(all_ids, live) if ok]
+                live = [True] * len(all_ids)
+            assert eng.pool_size == len(all_ids)
+            assert eng.n_live == sum(live)
+
+        # final equivalence: engine ranking == fresh build on live rows
+        keep = [i for i, ok in enumerate(live) if ok]
+        fresh = _engine(chunk_size=128).build_index(
+            np.asarray([all_ids[i] for i in keep]))
+        k = min(8, len(keep))
+        v1, i1 = eng.query(QUERIES, k=k)
+        v2, i2 = fresh.query(QUERIES, k=k)
+        remap = {old: new for new, old in enumerate(keep)}
+        got = np.vectorize(remap.get)(np.asarray(i1))
+        np.testing.assert_array_equal(got, np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=0)
