@@ -540,6 +540,79 @@ def cmd_time(args):
         print(json.dumps(out))
         return
 
+    if args.serve_pool:
+        # serve-suite lifecycle timing on a synthetic pool: build /
+        # save / load / query p50 / add / remove / compact — the
+        # serving analog of `caffe time` (tools/caffe.cpp:301-387
+        # times training nets; the reference has no serve lifecycle
+        # to time at all)
+        import os as _os
+        import tempfile
+        import time as _time
+
+        from .serve import QueryEngine
+
+        cfg = dataclasses.replace(V4, vocab_size=20000)
+        params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        n = args.serve_pool
+        cand = rng.integers(0, cfg.vocab_size, (n, cfg.answer_len))
+        pd = args.pool_dtype or "int8"
+        jpd = jnp.bfloat16 if pd == "bf16" else pd
+
+        # jitted scalar read: the completion fence (block_until_ready
+        # returns early for queued compute through the axon tunnel)
+        scalar = jax.jit(lambda a: a.astype(jnp.float32).ravel()[0])
+
+        def fence(eng):
+            if eng.chunks is not None and not isinstance(eng.chunks,
+                                                         list):
+                arrs = eng.chunks
+            else:
+                arrs = (eng.pool, eng.aux)
+            for a in arrs:
+                if a is not None:
+                    float(scalar(a))
+
+        def wall(fn, eng=None):
+            t0 = _time.perf_counter()
+            r = fn()
+            if eng is not None:
+                fence(eng)
+            return r, (_time.perf_counter() - t0) * 1e3
+
+        eng = QueryEngine(params, cfg, pool_dtype=jpd)
+        _, build_ms = wall(lambda: eng.build_index(cand), eng)
+        out = {"pool": n, "pool_dtype": pd,
+               "build_index_ms": round(build_ms, 1)}
+        with tempfile.TemporaryDirectory() as td:
+            pth = _os.path.join(td, "index.npz")
+            _, save_ms = wall(lambda: eng.save_index(pth))
+            eng2 = QueryEngine(params, cfg, pool_dtype=jpd)
+            _, load_ms = wall(lambda: eng2.load_index(pth), eng2)
+            out["save_index_ms"] = round(save_ms, 1)
+            out["load_index_ms"] = round(load_ms, 1)
+            del eng2
+        for nq in (1, 32):
+            q = rng.integers(0, cfg.vocab_size, (nq, cfg.question_len))
+            q = jnp.asarray(q, jnp.int32)
+            run = lambda: np.asarray(eng.query(q, k=10)[0])  # noqa: E731
+            run()  # compile + warm (the host fetch fences it)
+            times = sorted(wall(run)[1] for _ in range(args.iters))
+            out[f"query_{nq}q_p50_ms"] = round(times[len(times) // 2], 2)
+        n_add = min(1024, n)
+        add_rows = rng.integers(0, cfg.vocab_size, (n_add, cfg.answer_len))
+        _, add_ms = wall(lambda: eng.add_candidates(add_rows), eng)
+        out[f"add_{n_add}_ms"] = round(add_ms, 1)
+        n_rm = min(100, n)
+        _, rm_ms = wall(
+            lambda: eng.remove_candidates(list(range(n_rm))), eng)
+        out[f"remove_{n_rm}_ms"] = round(rm_ms, 1)
+        _, compact_ms = wall(lambda: eng.compact(), eng)
+        out["compact_ms"] = round(compact_ms, 1)
+        print(json.dumps(out))
+        return
+
     cfg = dataclasses.replace(V4, vocab_size=20000)
     params, state = mms_qa_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -1421,6 +1494,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--fused-steps", type=int, default=1,
                    help="also time the K-steps-per-dispatch scan path")
+    p.add_argument("--serve-pool", type=int, default=0, metavar="N",
+                   help="instead: time the serve lifecycle on an "
+                        "N-candidate synthetic pool (build/save/load/"
+                        "query p50/add/remove/compact)")
+    p.add_argument("--pool-dtype", choices=["bf16", "int8", "int4"],
+                   help="pool precision for --serve-pool (default int8)")
     p.add_argument("--xprof", metavar="DIR",
                    help="also capture a jax-profiler (xprof) trace to DIR")
     p.set_defaults(fn=cmd_time)

@@ -320,3 +320,16 @@ class TestSaliencyCLI:
         assert ".npz" in out
         with np.load(tmp_path / "exp" / "saliency.npz") as z:
             assert z["question_saliency"].shape == (4, 12)
+
+
+class TestTimeServe:
+    def test_serve_lifecycle_timing(self, capsys):
+        from mms_answer_selection_tpu.cli import main
+        main(["time", "--serve-pool", "256", "--pool-dtype", "bf16",
+              "--iters", "2"])
+        out = json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+        for key in ("build_index_ms", "save_index_ms", "load_index_ms",
+                    "query_1q_p50_ms", "query_32q_p50_ms", "add_256_ms",
+                    "remove_100_ms", "compact_ms"):
+            assert key in out and out[key] >= 0
+        assert out["pool"] == 256 and out["pool_dtype"] == "bf16"
