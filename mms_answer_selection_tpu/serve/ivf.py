@@ -196,10 +196,19 @@ class IVFIndex:
                                seed=seed)
         self.n_clusters = int(cent.shape[0])
         assign = np.asarray(assign)
-        counts = np.bincount(assign, minlength=self.n_clusters)
-        b = int(counts.max()) if bucket is None else int(bucket)
+        # tombstoned rows never enter a bucket and get a -inf additive
+        # coarse mask: they'd only waste probe/shortlist slots (the
+        # exact stage already scores them -inf)
+        deleted = np.asarray(eng.deleted, np.int64)
+        live = np.ones(eng.pool_size, bool)
+        if deleted.size:
+            live[deleted] = False
+        counts = np.bincount(assign[live], minlength=self.n_clusters)
+        b = int(max(counts.max(), 1)) if bucket is None else int(bucket)
         b = max(b, 1)
         order = np.argsort(assign, kind="stable")
+        if deleted.size:
+            order = order[live[order]]
         bucket_map = np.full((self.n_clusters, b), -1, np.int32)
         loads = np.zeros(self.n_clusters, np.int64)
         spilled = []
@@ -231,6 +240,11 @@ class IVFIndex:
         # flat coarse table for query_coarse (bf16 halves HBM: a 1M x 50d
         # table is 100 MB)
         self.coarse = jnp.asarray(vecs, jnp.bfloat16)
+        self.live_neg = None
+        if deleted.size:
+            ln = np.zeros(eng.pool_size, np.float32)
+            ln[deleted] = -np.inf
+            self.live_neg = jnp.asarray(ln)
         self._coarse_jit = None
         # multi-vector coarse: a kernel-scoreable MINI POOL of T token
         # centroids per candidate preserves the score's max structure
@@ -252,6 +266,9 @@ class IVFIndex:
                 dtype=eng.pool_dtype or jnp.bfloat16)
             if c_pad != c:
                 mini = mask_out_candidates(mini, c)
+            if deleted.size:
+                from ..ops.sim_cross_pallas import mask_candidate_rows
+                mini = mask_candidate_rows(mini, jnp.asarray(deleted))
             self.coarse_pool = mini
 
     # --------------------------------------------------------------- query
@@ -407,6 +424,7 @@ class IVFIndex:
         interpret = eng.interpret
         coarse = self.coarse
         coarse_pool = self.coarse_pool
+        live_neg = self.live_neg  # (C,) 0/-inf tombstone mask, or None
         s_pad = -(-shortlist // 128) * 128  # kernel candidate-tile align
         project, gather, score = self._exact_parts()
 
@@ -426,6 +444,8 @@ class IVFIndex:
                 u = jnp.sum(qw.astype(jnp.float32), axis=1)
                 cs = u[:, : coarse.shape[1]] @ coarse.T.astype(
                     jnp.float32)
+                if live_neg is not None:
+                    cs = cs + live_neg  # tombstones never shortlist
             _, sl = jax.lax.top_k(cs, shortlist)         # (Nq, S)
 
             def per_query(args):

@@ -382,6 +382,13 @@ class QueryEngine:
             raise ValueError(f"row out of range [0, {self.pool_size})")
         self._mask_rows(rows)
         self.deleted = np.union1d(self.deleted, rows)
+        if self.ivf is not None:
+            # the IVF's cached query closures captured the PRE-mask pool
+            # arrays; drop them so the next probe re-captures (the
+            # bucket/coarse routing may still shortlist the dead rows —
+            # wasted slots, never wrong results)
+            self.ivf._jit = None
+            self.ivf._coarse_jit = None
         return self
 
     @property
@@ -635,6 +642,11 @@ class QueryEngine:
                 jnp.asarray(z["ivf_coarse_pool"],
                             self.pool_dtype or jnp.bfloat16)
                 if "ivf_coarse_pool" in z else None)
+            iv.live_neg = None
+            if len(self.deleted):
+                ln = np.zeros(self.pool_size, np.float32)
+                ln[self.deleted] = -np.inf
+                iv.live_neg = jnp.asarray(ln)
             iv._jit = None
             iv._coarse_jit = None
             self.ivf = iv

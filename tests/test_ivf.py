@@ -418,3 +418,62 @@ class TestValidation:
         eng = _engine(pool=64)
         with pytest.raises(ValueError, match="cannot hold"):
             eng.build_ivf(n_clusters=4, bucket=2)
+
+
+class TestTombstones:
+    """Interaction of live deletes (QueryEngine.remove_candidates) with
+    the IVF index — both orders."""
+
+    def test_remove_after_cached_query_refreshes_closures(self):
+        # the probed exact stage captures the pool arrays in its jitted
+        # closure; a remove AFTER a query must invalidate that cache or
+        # the tombstone is invisible to the IVF path (regression)
+        eng = _engine(pool=96)
+        eng.build_ivf(n_clusters=6, coarse_tokens=3, seed=1)
+        _, i0 = eng.query_ivf(QUERIES, k=4, nprobe=6)      # caches _jit
+        _, c0 = eng.ivf.query_coarse(QUERIES, k=4, shortlist=48)
+        dead = sorted({int(np.asarray(i0)[q, 0])
+                       for q in range(QUERIES.shape[0])})
+        eng.remove_candidates(dead)
+        _, i1 = eng.query_ivf(QUERIES, k=4, nprobe=6)
+        assert not (set(np.asarray(i1).ravel().tolist()) & set(dead))
+        _, c1 = eng.ivf.query_coarse(QUERIES, k=4, shortlist=48)
+        assert not (set(np.asarray(c1).ravel().tolist()) & set(dead))
+
+    def test_build_after_remove_excludes_tombstones(self):
+        eng = _engine(pool=96)
+        _, i0 = eng.query(QUERIES, k=4)
+        dead = sorted({int(np.asarray(i0)[q, 0])
+                       for q in range(QUERIES.shape[0])})
+        eng.remove_candidates(dead)
+        ivf = eng.build_ivf(n_clusters=6, seed=1)
+        # tombstones never enter a bucket
+        in_buckets = set(np.asarray(ivf.bucket_map).ravel().tolist())
+        assert not (in_buckets & set(dead))
+        # and the flat coarse routing masks them out entirely
+        assert ivf.live_neg is not None
+        _, ci = ivf.query_coarse(QUERIES, k=4, shortlist=16)
+        assert not (set(np.asarray(ci).ravel().tolist()) & set(dead))
+
+    def test_build_after_remove_matches_live_brute_force(self):
+        eng = _engine(pool=96)
+        eng.remove_candidates([3, 40, 77])
+        eng.build_ivf(n_clusters=6, seed=2)
+        bv, bi = eng.query(QUERIES, k=5)           # brute force, masked
+        pv, pi = eng.query_ivf(QUERIES, k=5, nprobe=6)  # probe all
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(bi))
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(bv),
+                                   rtol=0)
+
+    def test_persisted_tombstones_mask_coarse_routing(self, tmp_path):
+        eng = _engine(pool=96)
+        eng.remove_candidates([5, 6])
+        eng.build_ivf(n_clusters=6, seed=3)
+        path = str(tmp_path / "ts.npz")
+        eng.save_index(path)
+        eng2 = QueryEngine(eng.params, CFG, pool_dtype=jnp.float32,
+                           interpret=True)
+        eng2.load_index(path)
+        assert eng2.ivf.live_neg is not None
+        _, ci = eng2.ivf.query_coarse(QUERIES, k=4, shortlist=16)
+        assert not (set(np.asarray(ci).ravel().tolist()) & {5, 6})
