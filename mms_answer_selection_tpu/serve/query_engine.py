@@ -888,7 +888,12 @@ class QueryEngine:
             raise ValueError(
                 "query_rerank needs build_index(candidate_ids); a "
                 "from-tokens pool keeps no candidate ids to rescore")
-        shortlist = min(shortlist, self.pool_size)
+        if self.n_live == 0:
+            raise ValueError("no live candidates to rerank")
+        # clamp to LIVE rows: beyond n_live the phase-1 shortlist ties
+        # into the -inf region (tombstones + pool padding) — rescoring
+        # those with the exact model would resurrect deleted candidates
+        shortlist = min(shortlist, self.n_live)
         k = min(k, shortlist)
         _, idx = self.query(query_ids, k=shortlist)
         idx = np.asarray(idx)                       # (Nq, S) host gather

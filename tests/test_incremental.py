@@ -353,3 +353,27 @@ class TestRandomizedModelBased:
         got = np.vectorize(remap.get)(np.asarray(i1))
         np.testing.assert_array_equal(got, np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=0)
+
+
+class TestRerankTombstones:
+    def test_rerank_never_resurrects_deleted(self):
+        # shortlist > n_live used to tie into the -inf region and hand
+        # tombstoned rows to the exact rescorer, which gave them real
+        # probabilities again (regression)
+        eng = _engine().build_index(_ids(24, seed=50))
+        _, i0 = eng.query(QUERIES, k=4)
+        dead = sorted({int(np.asarray(i0)[q, 0])
+                       for q in range(QUERIES.shape[0])})
+        eng.remove_candidates(dead)
+        _, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        vals, idx = eng.query_rerank(state, QUERIES, k=6, shortlist=64)
+        got = set(np.asarray(idx).ravel().tolist())
+        assert not (got & set(dead))
+        assert max(got) < 24  # never a pool-padding index either
+
+    def test_rerank_all_dead_refuses(self):
+        eng = _engine().build_index(_ids(8, seed=51))
+        eng.remove_candidates(list(range(8)))
+        _, state = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        with pytest.raises(ValueError, match="live"):
+            eng.query_rerank(state, QUERIES, k=2, shortlist=4)
