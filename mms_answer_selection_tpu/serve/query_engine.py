@@ -812,12 +812,13 @@ class QueryEngine:
     def query(self, query_ids, k: int = 10):
         """query_ids: int (Nq, W1).  Returns (scores (Nq, k'), indices
         (Nq, k')) of the top-k candidates under the learned metric, with
-        k' = min(k, pool_size): a pool smaller than k returns fewer
-        results rather than padding entries."""
+        k' = min(k, n_live): a (live) pool smaller than k returns fewer
+        results rather than padding or tombstone entries."""
         if self.pool is None and self.chunks is None:
             raise RuntimeError("build_index first")
+        k = min(k, self.n_live)  # tombstones never pad out the top-k
         if self.chunks is not None:
-            k_eff = min(k, self.pool_size, self.chunk_size)
+            k_eff = min(k, self.chunk_size)
             if self.scan_chunks or self.mesh is not None:
                 # a meshed chunked pool is always scored by the in-
                 # shard_map scan (the host chunk loop cannot shard)

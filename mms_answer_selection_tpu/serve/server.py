@@ -478,8 +478,13 @@ class QAServer:
         ms = (time.perf_counter() - t0) * 1e3
         self.stats.record(ms, len(q))
         return {
+            # sentinel slots (index -1, -inf, or the kernels' -1e30
+            # additive mask) mean "fewer than k live candidates in the
+            # probed set" — drop them rather than emit -Infinity (strict
+            # JSON parsers reject it) or mask-magnitude scores
             "results": [
-                {"topk": [[int(i), float(v)] for i, v in zip(ri, rv)]}
+                {"topk": [[int(i), float(v)] for i, v in zip(ri, rv)
+                          if i >= 0 and v > -1e29]}
                 for ri, rv in zip(idx, vals)],
             "latency_ms": round(ms, 3),
             "k": k,

@@ -630,3 +630,21 @@ class TestLiveUpdates:
         assert not errs, errs
         code, h = _get(base + "/healthz")
         assert h["pool"] == 27 and h["n_live"] == 24
+
+    def test_overlong_k_never_emits_minus_infinity(self, fresh):
+        # k > live pool ties into the -inf region; the JSON answer must
+        # drop those sentinel slots (strict parsers reject -Infinity)
+        srv, eng = fresh
+        base = f"http://{srv.host}:{srv.port}"
+        _post(base + "/remove", {"rows": [0, 1, 2]})
+        req = urllib.request.Request(
+            base + "/query",
+            data=json.dumps({"tokens": [[1, 2, 3]], "k": 200}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            raw = r.read().decode()
+        assert "Infinity" not in raw
+        out = json.loads(raw)
+        topk = out["results"][0]["topk"]
+        assert len(topk) == 21  # the 21 live candidates, nothing else
+        assert all(i >= 0 for i, _ in topk)
