@@ -335,6 +335,32 @@ class TestIndexPersistence:
         np.testing.assert_allclose(np.asarray(v2), np.asarray(bv),
                                    rtol=0)
 
+    def test_int8_ivf_roundtrip(self, tmp_path):
+        # the restored int8 IVF must rebuild its token-major gather
+        # closures over the loaded pool (the other _exact_parts branch)
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=np.shape(params["sim"]["w"])).astype(
+                np.float32) * 0.3)
+        eng = QueryEngine(params, CFG, pool_dtype="int8", interpret=True)
+        eng.build_index(rng.integers(0, CFG.vocab_size,
+                                     (256, CFG.answer_len)))
+        eng.build_ivf(n_clusters=5, coarse_tokens=2, seed=2)
+        pv, pi = eng.query_ivf(QUERIES, k=4, nprobe=5)
+        cv, ci = eng.ivf.query_coarse(QUERIES, k=4, shortlist=64)
+        path = str(tmp_path / "i8ivf.npz")
+        eng.save_index(path)
+        eng2 = QueryEngine(params, CFG, pool_dtype="int8", interpret=True)
+        eng2.load_index(path)
+        pv2, pi2 = eng2.query_ivf(QUERIES, k=4, nprobe=5)
+        np.testing.assert_array_equal(np.asarray(pi2), np.asarray(pi))
+        np.testing.assert_allclose(np.asarray(pv2), np.asarray(pv),
+                                   rtol=0)
+        cv2, ci2 = eng2.ivf.query_coarse(QUERIES, k=4, shortlist=64)
+        np.testing.assert_array_equal(np.asarray(ci2), np.asarray(ci))
+        np.testing.assert_allclose(np.asarray(cv2), np.asarray(cv),
+                                   rtol=0)
+
     def test_fingerprint_mismatch_rejected(self, tmp_path):
         eng = _engine(pool=32)
         path = str(tmp_path / "x.npz")
