@@ -284,6 +284,86 @@ def run_rerank_bench(pool_size: int, *, shortlist: int = 50, k: int = 10,
     return out
 
 
+def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
+                  iters: int = 10):
+    """Approximate-retrieval headline (VERDICT round-4 item 4): recall@10
+    and single-query p50 for (a) IVF cluster routing over an nprobe sweep
+    and (b) the flat coarse stage with T=8 token centroids, both against
+    the SAME int8 engine's brute-force top-10 (isolating approximation
+    loss from quantization loss, which the fidelity suite measures).  The
+    reference has no counterpart — its serve path is brute force only
+    (tools/caffe.cpp:229-296) — so these are the rebuild's own numbers.
+
+    The pool is TOPIC-STRUCTURED (each candidate draws tokens from one of
+    512 vocabulary slices, queries likewise): IVF's contract presumes
+    clusterable data — a uniform-random pool has no cluster structure for
+    ANY router to find, which is the regime the flat coarse stage (and
+    brute force) covers."""
+    import gc
+
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.models.mms_qa import MMSQAConfig
+    from mms_answer_selection_tpu.serve.ivf import ivf_recall
+
+    d, w1, w2, m, vocab = 50, 40, 40, 4, 50000
+    n_topics = 512
+    cfg = MMSQAConfig(vocab_size=vocab, embed_dim=d, question_len=w1,
+                      answer_len=w2, sim_measures=m)
+    rng = np.random.default_rng(11)
+    embed_table = jnp.asarray(
+        rng.normal(size=(vocab, d)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
+    slice_w = vocab // n_topics
+    c_topic = rng.integers(0, n_topics, pool_size)
+    cand_ids = (c_topic[:, None] * slice_w
+                + rng.integers(0, slice_w, (pool_size, w2))).astype(np.int32)
+    q_topic = rng.integers(0, n_topics, n_fid_queries)
+    fid_q = (q_topic[:, None] * slice_w
+             + rng.integers(0, slice_w, (n_fid_queries, w1))).astype(np.int32)
+    one_q = fid_q[:1]
+    eng = _make_engine("int8", cand_ids, embed_table, w, cfg)
+
+    def p50(fn):
+        np.asarray(fn()[0])           # compile + warm
+        np.asarray(fn()[0])
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(fn()[0])       # small host fetch = fence
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts) * 1e3)
+
+    out = {"pool": eng.pool_size, "k": k,
+           "brute_p50_ms_1q": p50(lambda: eng.query(one_q, k=k))}
+    n_clusters = 1024 if pool_size > 500_000 else 256
+    ivf = eng.build_ivf(n_clusters, coarse_tokens=1)
+    out["n_clusters"] = ivf.n_clusters
+    out["bucket"] = ivf.bucket
+    sweep = {}
+    for nprobe in (8, 16, 32):
+        sweep[f"nprobe_{nprobe}"] = {
+            "recall10": ivf_recall(eng, fid_q, k=k, nprobe=nprobe),
+            "p50_ms_1q": p50(lambda: eng.query_ivf(one_q, k=k,
+                                                   nprobe=nprobe)),
+            "probed_frac": min(1.0, nprobe * ivf.bucket / eng.pool_size),
+        }
+    out["ivf"] = sweep
+    # flat coarse with T=8 token centroids per candidate (multi-vector
+    # coarse stage: preserves the MaxSim structure, ~W2/T of the work)
+    eng.build_ivf(n_clusters, coarse_tokens=8)
+    out["coarse_t8"] = {
+        "recall10": ivf_recall(eng, fid_q, k=k, method="coarse",
+                               shortlist=1024),
+        "p50_ms_1q": p50(lambda: eng.ivf.query_coarse(one_q, k=k,
+                                                      shortlist=1024)),
+        "shortlist": 1024,
+        "probed_frac": min(1.0, 1024 / eng.pool_size),
+    }
+    del eng
+    gc.collect()
+    return out
+
+
 def run_train_bench(batch: int, iters: int, fused_k: int = 0):
     """Secondary: full v4 training steps/sec (fwd+bwd+AdaDelta).
 
@@ -446,6 +526,10 @@ def main():
                     "build_seconds": s1m["build_seconds"],
                 },
                 "rerank_262k": run_rerank_bench(262144),
+                # approximate-retrieval headline: recall/latency trade
+                # at both flagship pool sizes (VERDICT r4 item 4)
+                "ivf_262k": run_ivf_bench(262144),
+                "ivf_1m": run_ivf_bench(s1m["pool"]),
             }
         print(json.dumps({
             "metric": "learned_metric_pairs_scored_per_sec_per_chip",

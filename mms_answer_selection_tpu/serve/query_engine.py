@@ -122,6 +122,9 @@ class QueryEngine:
         self.pool_size = 0
         self._padded_size = 0
         self._query_jit = None
+        self._rerank_jit = None
+        self._cand_tok_dev = None  # device copy of cand_token_ids (fused
+        #                            rerank gathers shortlists on-chip)
         self.cand_token_ids = None  # set by build_index (rerank path)
         self.ivf = None  # set by build_ivf (approximate serve path)
         self.deleted = np.zeros(0, np.int64)  # tombstoned global rows
@@ -252,6 +255,8 @@ class QueryEngine:
             self.aux = aux
         self.pool_size, self._padded_size = c, c_pad
         self._query_jit = None
+        self._rerank_jit = None
+        self._cand_tok_dev = None
         self.ivf = None  # a rebuilt pool invalidates any IVF over it
         self.deleted = np.zeros(0, np.int64)
         return self
@@ -357,6 +362,7 @@ class QueryEngine:
                 self._padded_size = c_pad
             self.chunks = (pools, auxs)
         self.cand_token_ids = ids
+        self._cand_tok_dev = None  # grew: the fused rerank re-uploads
         self.pool_size = c
         self.ivf = None
         self.deleted = deleted
@@ -625,6 +631,8 @@ class QueryEngine:
             self.pool, self.aux = pool, aux
             self.chunks = None
         self._query_jit = None
+        self._rerank_jit = None
+        self._cand_tok_dev = None
         self.ivf = None
         if "ivf_meta" in z:
             from .ivf import IVFIndex
@@ -872,13 +880,47 @@ class QueryEngine:
         return self.ivf.query(query_ids, k=k, nprobe=nprobe)
 
     # ------------------------------------------------------- exact rescoring
+    def _build_rerank_fn(self, k: int, shortlist: int):
+        """ONE jitted retrieve-then-rerank program: quantized shortlist
+        top-S -> on-device gather of the shortlist's candidate token rows
+        -> exact interaction-model rescore (mms_qa_apply) -> final top-k.
+        The shortlist indices never visit the host, so a remote-TPU serve
+        pays a single dispatch instead of 2+ (shortlist, host id gather,
+        rescore, re-sort) — the VERDICT round-4 rerank-latency item."""
+        chunked_scan = self.chunks is not None and (
+            self.scan_chunks or self.mesh is not None)
+        phase1 = (self._build_scan_query_fn(shortlist) if chunked_scan
+                  else self._build_query_fn(shortlist))
+        params, cfg = self.params, self.cfg
+
+        def fused(state, query_ids, pool_a, pool_b, cand_tok,
+                  overlap_feat):
+            _, idx = phase1(query_ids, pool_a, pool_b)   # (Nq, S)
+            nq, s = idx.shape
+            cand = jnp.take(cand_tok, idx.reshape(-1), axis=0)
+            q_rep = jnp.repeat(query_ids, s, axis=0)     # (Nq*S, W1)
+            of = (jnp.zeros((nq * s, cfg.overlap_features), jnp.float32)
+                  if overlap_feat is None
+                  else jnp.repeat(overlap_feat, s, axis=0))
+            batch = {"question": q_rep, "answer": cand,
+                     "overlap_feat": of}
+            out, _ = mms_qa_apply(params, state, batch, cfg, train=False)
+            probs = out["prob"][:, 1].reshape(nq, s)
+            vals, order = jax.lax.top_k(probs, k)
+            return vals, jnp.take_along_axis(idx, order, axis=1)
+
+        return jax.jit(fused)
+
     def query_rerank(self, state, query_ids, k: int = 10, *,
                      shortlist: int = 50, overlap_feat=None):
         """Two-phase retrieve-then-rerank in one call: the (quantized)
         kernel shortlists ``shortlist`` candidates per query, the FULL
-        interaction model rescores exactly those pairs (`score_pairs` —
-        the `caffe test` path), and the top-k by exact P(correct) comes
-        back as (probs (Nq, k), candidate indices (Nq, k)).
+        interaction model rescores exactly those pairs (the `caffe test`
+        path), and the top-k by exact P(correct) comes back as
+        (probs (Nq, k), candidate indices (Nq, k)).  Both phases and the
+        candidate-id gather run inside ONE jitted dispatch (see
+        `_build_rerank_fn`); only host-loop chunked pools
+        (scan_chunks=False, no mesh) keep the per-phase dispatches.
 
         This is the serving recipe the quantization-fidelity numbers in
         docs/PERF.md assume: int8 shortlist recall is measured, the
@@ -895,7 +937,29 @@ class QueryEngine:
         # into the -inf region (tombstones + pool padding) — rescoring
         # those with the exact model would resurrect deleted candidates
         shortlist = min(shortlist, self.n_live)
+        if self.chunks is not None:
+            shortlist = min(shortlist, self.chunk_size)
         k = min(k, shortlist)
+        if self.chunks is not None and not (self.scan_chunks
+                                            or self.mesh is not None):
+            return self._rerank_two_phase(state, query_ids, k,
+                                          shortlist, overlap_feat)
+        key = (k, shortlist)
+        if self._rerank_jit is None or self._rerank_jit[0] != key:
+            self._rerank_jit = (key, self._build_rerank_fn(k, shortlist))
+        if self._cand_tok_dev is None:
+            self._cand_tok_dev = jnp.asarray(self.cand_token_ids)
+        pool_a, pool_b = (self.chunks if self.chunks is not None
+                          else (self.pool, self.aux))
+        of = None if overlap_feat is None else jnp.asarray(overlap_feat)
+        return self._rerank_jit[1](state, jnp.asarray(query_ids),
+                                   pool_a, pool_b, self._cand_tok_dev, of)
+
+    def _rerank_two_phase(self, state, query_ids, k, shortlist,
+                          overlap_feat):
+        """Host-loop fallback (scan_chunks=False, unmeshed): the chunk
+        loop already pays a dispatch per chunk, so the host id gather
+        costs nothing extra here."""
         _, idx = self.query(query_ids, k=shortlist)
         idx = np.asarray(idx)                       # (Nq, S) host gather
         nq, s = idx.shape
