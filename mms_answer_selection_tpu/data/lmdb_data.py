@@ -17,7 +17,7 @@ from ..utils.io import datum_label, datum_to_array
 from ..utils.lmdb_io import LmdbReader
 from .pair_image import transform
 
-__all__ = ["LmdbDatumDataset"]
+__all__ = ["LmdbDatumDataset", "LevelDbDatumDataset", "open_datum_dataset"]
 
 
 class LmdbDatumDataset:
@@ -28,10 +28,12 @@ class LmdbDatumDataset:
     (data_layer.cpp:41-48 — de-syncs data-parallel solvers).
     """
 
+    _READER = LmdbReader
+
     def __init__(self, source: str, batch_size: int, *, scale: float = 1.0,
                  mean=None, crop_size: int = 0, mirror: bool = False,
                  train: bool = True, rand_skip: int = 0, seed: int = 0):
-        reader = LmdbReader(source)
+        reader = self._READER(source)
         # values held as raw Datum bytes (decoded per batch): one pass,
         # key order — the reference cursor's exact visit order
         self._rows = [bytes(v) for _k, v in reader.items()]
@@ -65,3 +67,29 @@ class LmdbDatumDataset:
             self._pos = (self._pos + 1) % len(self._rows)
         return {"data": np.stack(imgs),
                 "label": np.asarray(labels, np.int32)}
+
+
+class LevelDbDatumDataset(LmdbDatumDataset):
+    """The same Data-layer feed over a LevelDB directory
+    (db_leveldb.cpp:23; pure-Python reader `utils.leveldb_io`).  Row
+    visit order is bytewise key order — identical to the LevelDB
+    cursor's SeekToFirst/Next walk."""
+
+    from ..utils.leveldb_io import LevelDbReader as _READER  # noqa: N814
+
+
+def open_datum_dataset(source: str, batch_size: int, **kw):
+    """Backend sniffing like db.cpp:41 GetDB, but from the artifact
+    itself: an LMDB environment has a data.mdb (or IS an .mdb file), a
+    LevelDB directory has a CURRENT file."""
+    import os
+
+    is_lmdb = os.path.exists(
+        source if source.endswith(".mdb")
+        else os.path.join(source, "data.mdb"))
+    if is_lmdb:
+        return LmdbDatumDataset(source, batch_size, **kw)
+    if os.path.exists(os.path.join(source, "CURRENT")):
+        return LevelDbDatumDataset(source, batch_size, **kw)
+    raise ValueError(f"{source!r} is neither an LMDB environment "
+                     f"(data.mdb) nor a LevelDB directory (CURRENT)")

@@ -85,8 +85,11 @@ class QueryEngine:
                  chunk_size: int = 131072, scan_chunks: bool = True):
         """pool_dtype: jnp dtype for the packed pool, or a quantized-path
         string: "int8" (half the HBM -- a 1M-candidate pool fits one v5e
-        chip -- at ~1% score error) or "int4" (quarter the HBM, 2x the
-        int8 MXU rate, ~3-8% score error).  Rerank with score_pairs when
+        chip -- at ~1% score error; the serving default) or "int4"
+        (quarter the HBM -- CAPACITY-ONLY: no v5e MXU speedup and ~0.6
+        top-10 agreement vs bf16 at every scale granularity measured;
+        always serve int4 behind query_rerank, never as the final
+        ranking stage).  Rerank with query_rerank/score_pairs when
         exactness matters.
 
         chunk_size: pools whose PER-SHARD size exceeds this are scored in

@@ -257,7 +257,7 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
                 yield {tops[0]: b["data"], tops[1]: b["label"]}
         return _Feed(gen(), tops)
     if t == "Data":
-        from ..data.lmdb_data import LmdbDatumDataset
+        from ..data.lmdb_data import open_datum_dataset
 
         p = _one(node_cfg.get("data_param"), {}) or {}
         tf = _one(node_cfg.get("transform_param"), {}) or {}
@@ -267,16 +267,20 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
         if not os.path.isabs(source):
             cand = os.path.join(base_dir, source)
             source = cand if os.path.exists(cand) else source
-        backend = str(_one(p.get("backend"), "LEVELDB")).upper()
+        # backend declarations may be names or wire enum ints
+        # (caffe.proto DataParameter.DB: LEVELDB=0, LMDB=1); the actual
+        # reader is sniffed from the artifact (data.mdb vs CURRENT) like
+        # db.cpp:41 GetDB — both paths are native here
+        # (utils/lmdb_io.py, utils/leveldb_io.py)
         has_mdb = os.path.exists(
             source if source.endswith(".mdb")
             else os.path.join(source, "data.mdb"))
-        if backend != "LMDB" and not has_mdb:
+        has_current = os.path.exists(os.path.join(source, "CURRENT"))
+        if not has_mdb and not has_current:
             raise ValueError(
-                f"Data layer {name!r}: backend {backend} is not "
-                f"readable here — only LMDB environments are "
-                f"(db_lmdb.cpp path; convert LevelDB artifacts with the "
-                f"reference's convert tool first)")
+                f"Data layer {name!r}: {source!r} is neither an LMDB "
+                f"environment (data.mdb) nor a LevelDB directory "
+                f"(CURRENT)")
         mean = None
         mv = _as_list(tf.get("mean_value"))
         mf = _one(tf.get("mean_file"), _one(p.get("mean_file")))
@@ -293,7 +297,7 @@ def _build_feed(node_cfg: dict, phase: str, seed: int, base_dir: str,
                 cand = os.path.join(base_dir, mf)
                 mf = cand if os.path.exists(cand) else mf
             mean = load_mean_hwc(mf)
-        ds = LmdbDatumDataset(
+        ds = open_datum_dataset(
             source, int(_one(p.get("batch_size"), 1)),
             scale=float(_one(tf.get("scale"), _one(p.get("scale"), 1.0))),
             mean=mean,

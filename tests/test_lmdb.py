@@ -163,7 +163,9 @@ layer { name: "acc" type: "Accuracy" bottom: "fc" bottom: "label"
                 if rec["phase"] == "Train" and "acc" in rec]
         assert accs[-1] > 0.9, accs
 
-    def test_leveldb_backend_rejected(self, tmp_path):
+    def test_unrecognized_db_dir_rejected(self, tmp_path):
+        """A source that is neither LMDB nor LevelDB fails loudly (the
+        LEVELDB backend itself now reads natively — test_leveldb.py)."""
         from mms_answer_selection_tpu.training.graph_solver import \
             _build_feed
 
@@ -171,7 +173,7 @@ layer { name: "acc" type: "Accuracy" bottom: "fc" bottom: "label"
         cfg = {"name": "d", "type": "Data", "top": ["data", "label"],
                "data_param": {"source": str(tmp_path / "ldb"),
                               "batch_size": 2, "backend": "LEVELDB"}}
-        with pytest.raises(ValueError, match="LMDB"):
+        with pytest.raises(ValueError, match="neither"):
             _build_feed(cfg, "train", 0, ".", None)
 
 
