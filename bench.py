@@ -539,40 +539,54 @@ def main():
         if not args.quick:
             # serve-path evidence at BOTH flagship pool sizes (BASELINE.md
             # configs[3]): quantization top-k fidelity vs bf16-exact, and
-            # the 1M engine's throughput + 1-query p50
-            s262 = run_pool_suite(262144, measure_throughput=False)
-            s1m = run_pool_suite(1_000_000 // 262144 * 262144 + 262144)
-            extra = {
-                "topk10_agreement_vs_bf16": {
+            # the 1M engine's throughput + 1-query p50.  Each stage is
+            # fenced: a late-stage failure (e.g. a tunnel drop) records
+            # itself instead of erasing every earlier number.
+            def stage(name, fn):
+                try:
+                    extra[name] = fn()
+                except Exception as e:  # noqa: BLE001
+                    print(f"stage {name} failed: {e}", file=sys.stderr)
+                    extra[name] = {"error": f"{type(e).__name__}: "
+                                            f"{e}"[:200]}
+
+            pool_1m = 1_000_000 // 262144 * 262144 + 262144
+            stage("suite_262k", lambda: run_pool_suite(
+                262144, measure_throughput=False))
+            stage("suite_1m", lambda: run_pool_suite(pool_1m))
+            s262, s1m = extra.pop("suite_262k"), extra.pop("suite_1m")
+            if "error" not in s262 and "error" not in s1m:
+                extra["topk10_agreement_vs_bf16"] = {
                     "int8_262k": s262["top10_agreement_int8_vs_bf16"],
                     "int4_262k": s262["top10_agreement_int4_vs_bf16"],
                     "int8_1m": s1m["top10_agreement_int8_vs_bf16"],
                     "int4_1m": s1m["top10_agreement_int4_vs_bf16"],
-                },
+                }
                 # formal contract (VERDICT r4 item 5, measured in the
                 # round-5 scheme sweep): int4 is CAPACITY-ONLY — 2x pool
                 # per chip, no v5e MXU speedup, ~0.6 top-10 agreement
                 # ceiling across every scale granularity — serve it only
                 # behind query_rerank
-                "int4_contract": "capacity-only, rerank required",
-                "top10_in_top50_recall": {
+                extra["int4_contract"] = "capacity-only, rerank required"
+                extra["top10_in_top50_recall"] = {
                     "int8_262k": s262["top10_in_top50_recall_int8"],
                     "int4_262k": s262["top10_in_top50_recall_int4"],
                     "int8_1m": s1m["top10_in_top50_recall_int8"],
                     "int4_1m": s1m["top10_in_top50_recall_int4"],
-                },
-                "pool_1m": {
+                }
+                extra["pool_1m"] = {
                     "pool": s1m["pool"],
                     "int8_pairs_per_sec": s1m["int8_pairs_per_sec"],
                     "int8_p50_1q_ms": s1m["int8_p50_1q_ms"],
                     "build_seconds": s1m["build_seconds"],
-                },
-                "rerank_262k": run_rerank_bench(262144),
-                # approximate-retrieval headline: recall/latency trade
-                # at both flagship pool sizes (VERDICT r4 item 4)
-                "ivf_262k": run_ivf_bench(262144),
-                "ivf_1m": run_ivf_bench(s1m["pool"]),
-            }
+                }
+            else:
+                extra["suite_262k"], extra["suite_1m"] = s262, s1m
+            stage("rerank_262k", lambda: run_rerank_bench(262144))
+            # approximate-retrieval headline: recall/latency trade
+            # at both flagship pool sizes (VERDICT r4 item 4)
+            stage("ivf_262k", lambda: run_ivf_bench(262144))
+            stage("ivf_1m", lambda: run_ivf_bench(pool_1m))
         print(json.dumps({
             "metric": "learned_metric_pairs_scored_per_sec_per_chip",
             "value": pairs_per_sec,

@@ -238,8 +238,9 @@ class IVFIndex:
         self.bucket_map = jnp.asarray(bucket_map)
         self.valid = jnp.asarray(bucket_map >= 0)
         # flat coarse table for query_coarse (bf16 halves HBM: a 1M x 50d
-        # table is 100 MB)
-        self.coarse = jnp.asarray(vecs, jnp.bfloat16)
+        # table is 100 MB); convert on the HOST so the upload is a pure
+        # transfer, not a device-side convert program
+        self.coarse = jnp.asarray(np.asarray(vecs, np.dtype(jnp.bfloat16)))
         self.live_neg = None
         if deleted.size:
             ln = np.zeros(eng.pool_size, np.float32)
@@ -252,24 +253,25 @@ class IVFIndex:
         # kernel's 128-candidate tile, padding masked.
         self.coarse_pool = None
         if self.coarse_tokens > 1:
-            from ..ops.sim_cross_pallas import (mask_out_candidates,
-                                                pack_candidate_pool)
+            # the pack is pure padding + mask-lane writes, so build it in
+            # HOST numpy and upload once: a single jitted pack over a 1M
+            # mini pool is a multi-GB-buffer program, which remote
+            # compile services reject (CLAUDE.md; broke the round-5
+            # bench's 1M IVF stage)
+            from ..ops.sim_cross_pallas import LANE, NEG_INF, _round_up
             cents = self._token_centroids(self.coarse_tokens)
-            c = cents.shape[0]
+            c, t, d = cents.shape
             c_pad = -(-c // 128) * 128
-            if c_pad != c:
-                cents = np.concatenate(
-                    [cents, np.zeros((c_pad - c,) + cents.shape[1:],
-                                     cents.dtype)])
-            mini = pack_candidate_pool(
-                jnp.asarray(cents),
-                dtype=eng.pool_dtype or jnp.bfloat16)
-            if c_pad != c:
-                mini = mask_out_candidates(mini, c)
+            w2p = _round_up(t, 8)
+            dp = _round_up(d + 1, LANE)
+            np_dtype = np.dtype(eng.pool_dtype or jnp.bfloat16)
+            mini = np.zeros((c_pad, w2p, dp), np_dtype)
+            mini[:c, :t, :d] = cents.astype(np_dtype)
+            mini[:, t:, dp - 1] = NEG_INF    # token padding rows
+            mini[c:, :, dp - 1] = NEG_INF    # candidate padding
             if deleted.size:
-                from ..ops.sim_cross_pallas import mask_candidate_rows
-                mini = mask_candidate_rows(mini, jnp.asarray(deleted))
-            self.coarse_pool = mini
+                mini[deleted, :, dp - 1] = NEG_INF
+            self.coarse_pool = jnp.asarray(mini)
 
     # --------------------------------------------------------------- query
     def _pool_flat(self):
