@@ -1063,7 +1063,7 @@ def cmd_convert_imageset(args):
                          is_color=not args.gray)
         if shape is None:
             shape = arr.shape
-        elif arr.shape != shape and args.backend != "lmdb":
+        elif arr.shape != shape and args.backend == "hdf5":
             # --check_size is implicit: HDF5 rows must stack (Datums
             # may vary per-row, like the reference's LMDB)
             raise SystemExit(
@@ -1072,11 +1072,10 @@ def cmd_convert_imageset(args):
         imgs.append(arr)
         labels.append(label)
 
-    if args.backend == "lmdb":
+    if args.backend in ("lmdb", "leveldb"):
         # the reference's artifact: uint8 (C, H, W) Datums keyed
-        # "%08d_%path" (convert_imageset.cpp:140-156)
+        # "%08d_%path" (convert_imageset.cpp:140-156), in either DB
         from .utils.io import array_to_datum
-        from .utils.lmdb_io import write_lmdb
 
         entries = []
         for i, ((path, label), arr) in enumerate(zip(rows, imgs)):
@@ -1084,7 +1083,12 @@ def cmd_convert_imageset(args):
                                (2, 0, 1))
             entries.append((f"{i:08d}_{path}".encode(),
                             array_to_datum(chw, int(label))))
-        out = write_lmdb(args.out, entries)
+        if args.backend == "lmdb":
+            from .utils.lmdb_io import write_lmdb
+            out = write_lmdb(args.out, entries)
+        else:
+            from .utils.leveldb_io import write_leveldb
+            out = write_leveldb(args.out, entries, sst=True)
         print(f"Processed {len(rows)} files.")
         print(f"wrote {out}")
         return
@@ -1642,10 +1646,10 @@ def main(argv=None):
                    help="list file basename (data -> data.txt)")
     p.add_argument("--chunk-rows", type=int, default=100000)
     p.add_argument("--backend", default="hdf5",
-                   choices=["hdf5", "lmdb"],
+                   choices=["hdf5", "lmdb", "leveldb"],
                    help="hdf5 (chunked HDF5 + list, the TPU-native "
-                        "artifact) or lmdb (uint8 Datums in an LMDB "
-                        "env, the reference's convert_imageset format "
+                        "artifact), lmdb, or leveldb (uint8 Datums in "
+                        "the reference's convert_imageset DB formats "
                         "— readable by Data layers both here and in "
                         "the reference)")
     p.set_defaults(fn=cmd_convert_imageset)

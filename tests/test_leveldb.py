@@ -199,3 +199,35 @@ layer { name: "acc" type: "Accuracy" bottom: "fc" bottom: "label"
         accs = [rec["acc"] for rec in gs.history
                 if rec["phase"] == "Train" and "acc" in rec]
         assert accs[-1] > 0.9, accs
+
+
+class TestConvertImagesetLeveldb:
+    def test_backend_leveldb_roundtrip(self, tmp_path, capsys):
+        """`qa convert_imageset --backend leveldb` writes the
+        reference's OTHER artifact format (convert_imageset.cpp with
+        FLAGS_backend=leveldb) as a level-0 table DB."""
+        from mms_answer_selection_tpu.cli import main
+        from mms_answer_selection_tpu.utils.io import (datum_label,
+                                                       datum_to_array)
+
+        rng = np.random.default_rng(0)
+        ims, lines = [], []
+        for i in range(6):
+            im = rng.integers(0, 256, (5, 4, 3)).astype(np.float32)
+            ims.append(im)
+            np.save(tmp_path / f"im{i}.npy", im)
+            lines.append(f"im{i}.npy {i % 3}")
+        (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+        main(["convert_imageset", str(tmp_path),
+              str(tmp_path / "list.txt"), str(tmp_path / "db"),
+              "--backend", "leveldb"])
+        assert "Processed 6 files." in capsys.readouterr().out
+
+        r = LevelDbReader(str(tmp_path / "db"))
+        assert len(r) == 6
+        assert next(r.keys()) == b"00000000_im0.npy"
+        first = next(r.values())
+        assert datum_label(first) == 0
+        np.testing.assert_array_equal(
+            datum_to_array(first),
+            np.transpose(ims[0].astype(np.uint8), (2, 0, 1)))
