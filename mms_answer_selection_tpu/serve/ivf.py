@@ -75,8 +75,12 @@ def _kmeans(vecs, k, *, iters: int = 10, seed: int = 0,
         d2 = jnp.sum(cent * cent, axis=1)[None, :] - 2.0 * (xc @ cent.T)
         return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
+    # vecs enters as an ARGUMENT, never a closure: a closed-over device
+    # array lowers as an HLO constant, and a 1M x D constant program is
+    # exactly the multi-GB payload that breaks remote compile helpers
+    # (CLAUDE.md; observed in the round-5 bench's ivf stages)
     @jax.jit
-    def update(assign, cent):
+    def update(assign, cent, vecs):
         ones = jnp.ones((n,), jnp.float32)
         sums = jax.ops.segment_sum(vecs, assign, num_segments=k)
         cnts = jax.ops.segment_sum(ones, assign, num_segments=k)
@@ -88,7 +92,7 @@ def _kmeans(vecs, k, *, iters: int = 10, seed: int = 0,
         parts = [assign_chunk(vp[i: i + chunk], cent)
                  for i in range(0, n_pad, chunk)]
         assign = jnp.concatenate(parts)[:n]
-        cent = update(assign, cent)
+        cent = update(assign, cent, vecs)
     return cent, assign
 
 
@@ -121,6 +125,8 @@ class IVFIndex:
         self.coarse_tokens = int(coarse_tokens)
         if self.coarse_tokens < 1:
             raise ValueError("coarse_tokens must be >= 1")
+        self._flat_cache = None   # (pool_flat, aux_flat) device views
+        self._cent_dev = None     # centroids on device (passed as jit arg)
         self._build(bucket, kmeans_iters, seed)
         self._jit = None
 
@@ -274,23 +280,36 @@ class IVFIndex:
             self.coarse_pool = jnp.asarray(mini)
 
     # --------------------------------------------------------------- query
+    def _flat(self):
+        """Cached (pool_flat, aux_flat) device views of the engine's
+        storage, handed to the query programs as ARGUMENTS each call.
+        The engine invalidates this cache when it mutates the pool
+        (remove_candidates), so a stale pre-mask view can never serve."""
+        if self._flat_cache is None:
+            eng = self.engine
+            if eng.pool is not None:
+                self._flat_cache = (eng.pool, eng.aux)
+            else:
+                pools, auxs = eng.chunks
+                self._flat_cache = (
+                    pools.reshape((-1,) + pools.shape[2:]),
+                    None if auxs is None
+                    else auxs.reshape((-1,) + auxs.shape[2:]))
+        return self._flat_cache
+
     def _pool_flat(self):
-        eng = self.engine
-        if eng.pool is not None:
-            return eng.pool
-        pools, _ = eng.chunks
-        return pools.reshape((-1,) + pools.shape[2:])
+        return self._flat()[0]
 
     def _aux_flat(self):
-        eng = self.engine
-        if eng.pool is not None:
-            return eng.aux
-        _, auxs = eng.chunks
-        return auxs.reshape((-1,) + auxs.shape[2:])
+        return self._flat()[1]
 
     def _exact_parts(self):
         """(project, gather, score) closures for the probed exact stage,
-        specialized by pool dtype.
+        specialized by pool dtype.  ``gather`` takes the flat pool (and
+        int8 aux) as ARGUMENTS: every large array must enter the jitted
+        query programs as a parameter, not a closure, or it lowers as an
+        HLO constant (multi-GB programs break remote compile helpers —
+        the round-5 bench's ivf stages did exactly that).
 
         * float pools store candidate-major rows: gather is one fancy
           index.
@@ -306,12 +325,10 @@ class IVFIndex:
         w = eng.params["sim"]["w"]
         interpret = eng.interpret
         if eng.quant is None:
-            pool_flat = self._pool_flat()
-
             def project(q_tokens):
                 return project_queries(q_tokens, w, dtype=eng.pool_dtype)
 
-            def gather(idx):
+            def gather(idx, pool_flat, aux_flat):
                 return pool_flat[idx]
 
             def score(proj_i, sub):
@@ -324,18 +341,18 @@ class IVFIndex:
         from ..ops.sim_cross_pallas import (C_SUB_INT8,
                                             bilinear_maxsim_scores_int8,
                                             project_queries_int8)
-        pool3 = self._pool_flat()                 # (Cp, W2P, Dp) tokmaj
-        aux_flat = self._aux_flat()               # (Cp, 2)
-        cp, w2p, dp = pool3.shape
-        pool2 = pool3.reshape(cp * w2p, dp)
+        # static layout metadata only — the arrays themselves are passed
+        # into the traced fns at call time
+        cp, w2p, dp = self._pool_flat().shape     # (Cp, W2P, Dp) tokmaj
         unit = eng.chunk_size if eng.chunks is not None else cp
         g = min(C_SUB_INT8, unit)
-        t_off = jnp.arange(w2p, dtype=jnp.int32) * g   # token stride
 
         def project(q_tokens):
             return project_queries_int8(q_tokens, w)   # (qw_i8, scales)
 
-        def gather(idx):
+        def gather(idx, pool_flat, aux_flat):
+            pool2 = pool_flat.reshape(cp * w2p, dp)
+            t_off = jnp.arange(w2p, dtype=jnp.int32) * g   # token stride
             a, l = idx // unit, idx % unit
             gi, j = l // g, l % g
             base = (a * unit + gi * g) * w2p + j       # (S,)
@@ -368,11 +385,10 @@ class IVFIndex:
     def _build_query_fn(self, k: int, nprobe: int):
         eng = self.engine
         embed_params = eng.params["embed"]
-        bucket_map, valid = self.bucket_map, self.valid
-        cent = jnp.asarray(self._cent_f32)
+        bucket_width = int(self.bucket_map.shape[1])
         project, gather, score = self._exact_parts()
 
-        def fn(query_ids):
+        def fn(query_ids, pool_flat, aux_flat, bucket_map, valid, cent):
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
@@ -385,7 +401,7 @@ class IVFIndex:
             cs = u[:, : cent.shape[1]] @ cent.T          # (Nq, K)
             _, cl = jax.lax.top_k(cs, nprobe)            # (Nq, P)
 
-            pb = nprobe * bucket_map.shape[1]
+            pb = nprobe * bucket_width
             # the kernel tiles the candidate axis in 128-row blocks: pad
             # the probed set with masked slots up to the next multiple
             pb_pad = -(-pb // 128) * 128
@@ -398,7 +414,7 @@ class IVFIndex:
                     idx = jnp.pad(idx, (0, pb_pad - pb),
                                   constant_values=-1)
                     ok = jnp.pad(ok, (0, pb_pad - pb))
-                sub = gather(jnp.clip(idx, 0))
+                sub = gather(jnp.clip(idx, 0), pool_flat, aux_flat)
                 s = jnp.where(ok, score(proj_i, sub), -jnp.inf)
                 v, j = jax.lax.top_k(s, k)
                 # unprobed/padding slots come back as index -1, score -inf
@@ -417,36 +433,41 @@ class IVFIndex:
         key = (k, nprobe)
         if self._jit is None or self._jit[0] != key:
             self._jit = (key, self._build_query_fn(k, nprobe))
-        return self._jit[1](jnp.asarray(query_ids))
+        if self._cent_dev is None:
+            self._cent_dev = jnp.asarray(self._cent_f32)
+        return self._jit[1](jnp.asarray(query_ids), self._pool_flat(),
+                            self._aux_flat(), self.bucket_map, self.valid,
+                            self._cent_dev)
 
     # ------------------------------------------------- flat coarse variant
     def _build_coarse_fn(self, k: int, shortlist: int):
         eng = self.engine
         embed_params = eng.params["embed"]
         interpret = eng.interpret
-        coarse = self.coarse
-        coarse_pool = self.coarse_pool
-        live_neg = self.live_neg  # (C,) 0/-inf tombstone mask, or None
+        # structural flags are STATIC (trace one branch); the arrays
+        # themselves enter as arguments — see _exact_parts' capture note
+        multi_vector = self.coarse_pool is not None
+        has_live_neg = self.live_neg is not None
         s_pad = -(-shortlist // 128) * 128  # kernel candidate-tile align
         project, gather, score = self._exact_parts()
 
-        def fn(query_ids):
+        def fn(query_ids, pool_flat, aux_flat, coarse_ref, live_neg):
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
                 q_tokens = embed_lookup(embed_params, query_ids)
             proj = project(q_tokens)
             qw = self._route_qw(q_tokens, proj)
-            if coarse_pool is not None:
+            if multi_vector:
                 # multi-vector coarse: the exact kernel over the T-token
                 # mini pool (same max structure, W2P/T_pad less work)
-                cs = bilinear_maxsim_scores(qw, coarse_pool,
+                cs = bilinear_maxsim_scores(qw, coarse_ref,
                                             interpret=interpret)
             else:
                 u = jnp.sum(qw.astype(jnp.float32), axis=1)
-                cs = u[:, : coarse.shape[1]] @ coarse.T.astype(
+                cs = u[:, : coarse_ref.shape[1]] @ coarse_ref.T.astype(
                     jnp.float32)
-                if live_neg is not None:
+                if has_live_neg:
                     cs = cs + live_neg  # tombstones never shortlist
             _, sl = jax.lax.top_k(cs, shortlist)         # (Nq, S)
 
@@ -457,7 +478,7 @@ class IVFIndex:
                 if s_pad != shortlist:
                     idx = jnp.pad(idx, (0, s_pad - shortlist))
                     ok = jnp.pad(ok, (0, s_pad - shortlist))
-                sub = gather(idx)
+                sub = gather(idx, pool_flat, aux_flat)
                 s = jnp.where(ok, score(proj_i, sub), -jnp.inf)
                 v, j = jax.lax.top_k(s, k)
                 return v, jnp.take(idx, j)
@@ -479,7 +500,11 @@ class IVFIndex:
         key = (k, shortlist)
         if self._coarse_jit is None or self._coarse_jit[0] != key:
             self._coarse_jit = (key, self._build_coarse_fn(k, shortlist))
-        return self._coarse_jit[1](jnp.asarray(query_ids))
+        pool_flat, aux_flat = self._flat()
+        coarse_ref = (self.coarse_pool if self.coarse_pool is not None
+                      else self.coarse)
+        return self._coarse_jit[1](jnp.asarray(query_ids), pool_flat,
+                                   aux_flat, coarse_ref, self.live_neg)
 
 
 def ivf_recall(engine, query_ids, *, k: int = 10, nprobe: int = 8,

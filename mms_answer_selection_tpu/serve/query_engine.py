@@ -392,10 +392,13 @@ class QueryEngine:
         self._mask_rows(rows)
         self.deleted = np.union1d(self.deleted, rows)
         if self.ivf is not None:
-            # the IVF's cached query closures captured the PRE-mask pool
-            # arrays; drop them so the next probe re-captures (the
-            # bucket/coarse routing may still shortlist the dead rows —
-            # wasted slots, never wrong results)
+            # the IVF hands pool views to its query programs as ARGUMENTS
+            # (never closures), but its cached flat view still points at
+            # the PRE-mask arrays — drop it, plus the jits whose traced
+            # live_neg structure may change (the bucket/coarse routing may
+            # still shortlist the dead rows — wasted slots, never wrong
+            # results)
+            self.ivf._flat_cache = None
             self.ivf._jit = None
             self.ivf._coarse_jit = None
         return self
@@ -660,6 +663,8 @@ class QueryEngine:
                 iv.live_neg = jnp.asarray(ln)
             iv._jit = None
             iv._coarse_jit = None
+            iv._flat_cache = None
+            iv._cent_dev = None
             self.ivf = iv
         return self
 

@@ -503,3 +503,47 @@ class TestTombstones:
         assert eng2.ivf.live_neg is not None
         _, ci = eng2.ivf.query_coarse(QUERIES, k=4, shortlist=16)
         assert not (set(np.asarray(ci).ravel().tolist()) & {5, 6})
+
+
+class TestNoCapturedPoolConstants:
+    """The IVF query programs must take every large array (pool, aux,
+    coarse tables, bucket map) as a jit ARGUMENT: a closed-over device
+    array lowers as an HLO constant, and multi-GB constant programs
+    break remote compile helpers (the round-5 bench's ivf_262k/ivf_1m
+    stages died exactly this way).  Lowered-text size is the guard: a
+    captured pool inlines dense<"0x..."> blobs and blows the program up
+    by the pool's byte size."""
+
+    def _lowered_len(self, eng, method):
+        q = jnp.asarray(QUERIES[:1])
+        if method == "ivf":
+            fn = eng.ivf._build_query_fn(4, 2)
+            if eng.ivf._cent_dev is None:
+                eng.ivf._cent_dev = jnp.asarray(eng.ivf._cent_f32)
+            args = (q, eng.ivf._pool_flat(), eng.ivf._aux_flat(),
+                    eng.ivf.bucket_map, eng.ivf.valid, eng.ivf._cent_dev)
+        else:
+            fn = eng.ivf._build_coarse_fn(4, 16)
+            coarse_ref = (eng.ivf.coarse_pool
+                          if eng.ivf.coarse_pool is not None
+                          else eng.ivf.coarse)
+            args = (q, eng.ivf._pool_flat(), eng.ivf._aux_flat(),
+                    coarse_ref, eng.ivf.live_neg)
+        return len(fn.lower(*args).as_text())
+
+    def test_query_programs_stay_small(self):
+        # 4096 f32 candidates ~ 4096*8*128*4 = 16 MB of pool bytes; a
+        # capture regression inflates the lowering >10x past the bound
+        eng = _engine(pool=4096)
+        eng.build_ivf(n_clusters=16, seed=0)
+        assert self._lowered_len(eng, "ivf") < 2_000_000
+        assert self._lowered_len(eng, "coarse") < 2_000_000
+        eng.build_ivf(n_clusters=16, seed=0, coarse_tokens=2)
+        assert self._lowered_len(eng, "coarse") < 2_000_000
+
+    def test_kmeans_update_takes_vecs_as_arg(self):
+        # the Lloyd update must not close over the (N, D) matrix either
+        import inspect
+        from mms_answer_selection_tpu.serve import ivf as ivf_mod
+        src = inspect.getsource(ivf_mod._kmeans)
+        assert "def update(assign, cent, vecs)" in src
