@@ -1347,6 +1347,17 @@ def cmd_device_query(args):
                           "process": d.process_index}))
 
 
+def cmd_matbridge(args):
+    """matcaffe bridge daemon: serves the MEX command surface
+    (matlab/+caffe/private/caffe_.cpp) over line-delimited JSON so the
+    shipped matlab/+caffe .m client can drive this framework without a
+    MEX build.  Blocks until a client sends {"cmd": "shutdown"}."""
+    from .matcaffe import serve_matcaffe
+    print(json.dumps({"matbridge": {"host": args.host, "port": args.port}}),
+          flush=True)
+    serve_matcaffe(args.host, args.port)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
@@ -1736,6 +1747,14 @@ def main(argv=None):
 
     p = sub.add_parser("device_query", help="list accelerator devices")
     p.set_defaults(fn=cmd_device_query)
+
+    p = sub.add_parser(
+        "matbridge",
+        help="serve the matcaffe command surface to the matlab/+caffe "
+             ".m client (line-delimited JSON over TCP)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8491)
+    p.set_defaults(fn=cmd_matbridge)
 
     args = ap.parse_args(argv)
     # persistent XLA compile cache: executables (incl. the fused-steps scan

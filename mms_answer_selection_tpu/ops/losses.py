@@ -22,12 +22,17 @@ def softmax_cross_entropy(logits, labels, *, ignore_label: int | None = None):
     FLT_MIN probability clamp.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    # -log(max(prob, FLT_MIN)) — softmax_loss_layer.cpp:107 caps the
-    # per-sample loss at ~87.34 when the correct class underflows
-    logp = jnp.maximum(
-        logp, jnp.log(jnp.float32(np.finfo(np.float32).tiny)))
     per = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
                                axis=-1)[:, 0]
+    # -log(max(prob, FLT_MIN)) — softmax_loss_layer.cpp:107 caps the
+    # per-sample FORWARD loss at ~87.34 when the correct class
+    # underflows, but the reference's backward stays the analytic
+    # prob - label (softmax_loss_layer.cpp:122-133) — so the cap is
+    # straight-through: differentiating the capped value directly would
+    # zero the gradient exactly where training most needs it (saturated
+    # logits)
+    cap = -jnp.log(jnp.float32(np.finfo(np.float32).tiny))
+    per = per - jax.lax.stop_gradient(per - jnp.minimum(per, cap))
     if ignore_label is not None:
         valid = (labels != ignore_label).astype(logits.dtype)
         return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
