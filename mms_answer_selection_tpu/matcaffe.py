@@ -556,7 +556,9 @@ class MatBridge:
         return [float(s) for s in reversed(shape)]
 
     def cmd_blob_reshape(self, h, mat_shape):
-        caffe_shape = tuple(int(s) for s in reversed(list(mat_shape)))
+        # matlab shape vectors arrive as 1 x N row matrices — flatten
+        flat = np.asarray(mat_shape).ravel()
+        caffe_shape = tuple(int(s) for s in reversed(flat.tolist()))
         self._blob(h).reshape(caffe_shape)
 
     def cmd_blob_get_data(self, h):

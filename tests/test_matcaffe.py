@@ -302,3 +302,18 @@ class TestWireProtocol:
         enc = encode_value(a)
         raw = np.frombuffer(b64.b64decode(enc["data"]), "<f4")
         np.testing.assert_array_equal(raw, a.ravel(order="F"))
+
+    def test_reshape_accepts_matlab_row_vector(self, net_file):
+        # the .m client sends shapes as 1 x N row matrices over the wire
+        srv, port = serve_matcaffe(port=0, background=True)
+        try:
+            cli = MatClient(port=port)
+            h = cli("get_net", net_file, "train")
+            attr = cli("net_get_attr", h)
+            hb = attr["hBlob_blobs"][attr["blob_names"].index("data")]
+            cli("blob_reshape", hb,
+                np.asarray([[6, 5, 4, 3, 2, 1]], np.float32))
+            assert cli("blob_get_shape", hb) == [6, 5, 4, 3, 2, 1]
+            cli.close()
+        finally:
+            srv.shutdown()
