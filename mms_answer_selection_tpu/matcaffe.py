@@ -472,12 +472,19 @@ class MatBridge:
 
     def cmd_solver_get_attr(self, h):
         solver = self._deref(h)
+        # idempotent: repeated attr queries must not re-run the
+        # blob-materializing init forwards or mint duplicate adapters
+        cached = getattr(solver, "_matcaffe_attr", None)
+        if cached is not None:
+            return cached
         gs = solver._gs
         net = _MatNet(solver.net, gs.net, is_view=True)
         tests = [_MatNet(v, gs.test_nets[i], is_view=True)
                  for i, v in enumerate(solver.test_nets)]
-        return {"hNet_net": self._register(net),
+        attr = {"hNet_net": self._register(net),
                 "hNet_test_nets": [self._register(t) for t in tests]}
+        solver._matcaffe_attr = attr
+        return attr
 
     def cmd_solver_get_iter(self, h):
         return float(self._deref(h).iter)
@@ -501,12 +508,15 @@ class MatBridge:
 
     def cmd_net_get_attr(self, h):
         mn = self._deref(h, _MatNet)
+        cached = getattr(mn, "_attr_cache", None)
+        if cached is not None:
+            return cached
         blob_names = mn.blob_names()
         layer_names = mn.layer_names()
         blob_pos = {b: i for i, b in enumerate(blob_names)}
         layers = [self._register(("layer", mn, nm)) for nm in layer_names]
         blobs = [self._register(mn.act_blob(b)) for b in blob_names]
-        return {
+        attr = {
             "hLayer_layers": layers,
             "hBlob_blobs": blobs,
             "input_blob_indices": [blob_pos[b] for b in mn.inputs()
@@ -516,6 +526,8 @@ class MatBridge:
             "layer_names": layer_names,
             "blob_names": blob_names,
         }
+        mn._attr_cache = attr
+        return attr
 
     def cmd_net_forward(self, h):
         self._deref(h, _MatNet).forward_prefilled()
