@@ -294,11 +294,20 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
     reference has no counterpart — its serve path is brute force only
     (tools/caffe.cpp:229-296) — so these are the rebuild's own numbers.
 
-    The pool is TOPIC-STRUCTURED (each candidate draws tokens from one of
-    512 vocabulary slices, queries likewise): IVF's contract presumes
-    clusterable data — a uniform-random pool has no cluster structure for
-    ANY router to find, which is the regime the flat coarse stage (and
-    brute force) covers."""
+    The pool is a TRAINED-MODEL PROXY.  IVF's contract presumes the
+    metric induces cluster structure; the other suites' pure-noise
+    (embeddings, W) pair deliberately has NONE — under a random bilinear
+    form, candidates sharing a query's topic score no higher than
+    strangers, the exact top-k is driven by per-candidate maxima of
+    i.i.d. noise, and recall ≈ probed fraction for ANY router (measured:
+    0.09 at 5% probed).  A trained model is the opposite regime: its
+    embeddings carry semantic cluster structure (GloVe neighborhoods)
+    and its learned W aligns the query/answer spaces (W starts at ZERO —
+    the caffe constant filler — and training grows exactly the aligned
+    component).  So this suite generates that regime explicitly: 512
+    latent topics, each vocabulary slice's embeddings = topic center +
+    token noise, W = identity-dominant + noise, candidates/queries draw
+    tokens from one topic each."""
     import gc
 
     import jax.numpy as jnp
@@ -310,10 +319,17 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
     cfg = MMSQAConfig(vocab_size=vocab, embed_dim=d, question_len=w1,
                       answer_len=w2, sim_measures=m)
     rng = np.random.default_rng(11)
-    embed_table = jnp.asarray(
-        rng.normal(size=(vocab, d)).astype(np.float32) * 0.3)
-    w = jnp.asarray(rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
     slice_w = vocab // n_topics
+    # trained-embedding proxy: e_v = 0.3*(0.6*center[topic(v)] + 0.8*g_v)
+    # (mix normalized so per-token scale matches the other suites' 0.3)
+    v_topic = np.minimum(np.arange(vocab) // slice_w, n_topics - 1)
+    centers = rng.normal(size=(n_topics, d)).astype(np.float32)
+    embed_table = jnp.asarray(0.3 * (
+        0.6 * centers[v_topic]
+        + 0.8 * rng.normal(size=(vocab, d)).astype(np.float32)))
+    # trained-metric proxy: identity-dominant per measure + noise
+    w = jnp.asarray(0.2 * np.eye(d, dtype=np.float32)[None]
+                    + rng.normal(size=(m, d, d)).astype(np.float32) * 0.05)
     c_topic = rng.integers(0, n_topics, pool_size)
     cand_ids = (c_topic[:, None] * slice_w
                 + rng.integers(0, slice_w, (pool_size, w2))).astype(np.int32)
@@ -335,7 +351,11 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
 
     out = {"pool": eng.pool_size, "k": k,
            "brute_p50_ms_1q": p50(lambda: eng.query(one_q, k=k))}
-    n_clusters = 1024 if pool_size > 500_000 else 256
+    # ~2 clusters per latent topic: cluster granularity should track the
+    # data's blob granularity, not the pool size (finer splits scatter a
+    # topic's top-10 across sub-clusters; coarser merges topics and
+    # bloats buckets)
+    n_clusters = 1024
     ivf = eng.build_ivf(n_clusters, coarse_tokens=1)
     out["n_clusters"] = ivf.n_clusters
     out["bucket"] = ivf.bucket
@@ -349,7 +369,11 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
         }
     out["ivf"] = sweep
     # flat coarse with T=8 token centroids per candidate (multi-vector
-    # coarse stage: preserves the MaxSim structure, ~W2/T of the work)
+    # coarse stage: preserves the MaxSim structure, ~W2/T of the work).
+    # Drop the T=1 index FIRST: its probed-gather executables and bucket
+    # tables must not coexist with the T=8 mini pool on a 1M-row chip
+    eng.ivf = None
+    gc.collect()
     eng.build_ivf(n_clusters, coarse_tokens=8)
     out["coarse_t8"] = {
         "recall10": ivf_recall(eng, fid_q, k=k, method="coarse",
@@ -546,7 +570,9 @@ def main():
                 try:
                     extra[name] = fn()
                 except Exception as e:  # noqa: BLE001
+                    import traceback
                     print(f"stage {name} failed: {e}", file=sys.stderr)
+                    traceback.print_exc()
                     extra[name] = {"error": f"{type(e).__name__}: "
                                             f"{e}"[:200]}
 
