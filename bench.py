@@ -306,8 +306,18 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
     the caffe constant filler — and training grows exactly the aligned
     component).  So this suite generates that regime explicitly: 512
     latent topics, each vocabulary slice's embeddings = topic center +
-    token noise, W = identity-dominant + noise, candidates/queries draw
-    tokens from one topic each."""
+    token noise, W = identity-dominant + noise, candidates draw tokens
+    from one topic each.
+
+    Queries MIX TWO topics (half the tokens from each).  Single-topic
+    queries route trivially once clusters align with topics — the first
+    full run measured recall@10 = 1.0 at EVERY sweep point, a flat
+    curve that says nothing about the recall/latency trade.  A
+    two-topic query's exact top-10 splits across two cluster
+    neighborhoods, so small nprobe genuinely misses — the sweep (which
+    starts at nprobe=1) then shows the knee a deployment would tune
+    against.  (Real questions mention several things; candidates —
+    answers — are the single-subject side.)"""
     import gc
 
     import jax.numpy as jnp
@@ -333,8 +343,10 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
     c_topic = rng.integers(0, n_topics, pool_size)
     cand_ids = (c_topic[:, None] * slice_w
                 + rng.integers(0, slice_w, (pool_size, w2))).astype(np.int32)
-    q_topic = rng.integers(0, n_topics, n_fid_queries)
-    fid_q = (q_topic[:, None] * slice_w
+    # two topics per query, interleaved half/half (see docstring)
+    q_topic = rng.integers(0, n_topics, (n_fid_queries, 2))
+    q_mix = q_topic[:, np.arange(w1) % 2]              # (Nq, W1) topic ids
+    fid_q = (q_mix * slice_w
              + rng.integers(0, slice_w, (n_fid_queries, w1))).astype(np.int32)
     one_q = fid_q[:1]
     eng = _make_engine("int8", cand_ids, embed_table, w, cfg)
@@ -349,40 +361,74 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts) * 1e3)
 
+    def fence(name, fn):
+        """Sub-stage fence: a late failure (1M coarse OOM, tunnel drop)
+        records itself in `out` instead of erasing the earlier
+        sub-stages' numbers."""
+        try:
+            out[name] = fn()
+            return True
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            print(f"ivf sub-stage {name} failed: {e}", file=sys.stderr)
+            traceback.print_exc()
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            return False
+
     out = {"pool": eng.pool_size, "k": k,
            "brute_p50_ms_1q": p50(lambda: eng.query(one_q, k=k))}
+    # the exact top-k ONCE for every recall measurement below (each
+    # brute pass scores the whole pool; at 1M that is the most
+    # expensive single dispatch in this suite)
+    brute_idx = np.asarray(eng.query(fid_q, k=k)[1])
     # ~2 clusters per latent topic: cluster granularity should track the
     # data's blob granularity, not the pool size (finer splits scatter a
     # topic's top-10 across sub-clusters; coarser merges topics and
     # bloats buckets)
     n_clusters = 1024
-    ivf = eng.build_ivf(n_clusters, coarse_tokens=1)
-    out["n_clusters"] = ivf.n_clusters
-    out["bucket"] = ivf.bucket
-    sweep = {}
-    for nprobe in (8, 16, 32):
-        sweep[f"nprobe_{nprobe}"] = {
-            "recall10": ivf_recall(eng, fid_q, k=k, nprobe=nprobe),
-            "p50_ms_1q": p50(lambda: eng.query_ivf(one_q, k=k,
-                                                   nprobe=nprobe)),
-            "probed_frac": min(1.0, nprobe * ivf.bucket / eng.pool_size),
+
+    def ivf_sweep():
+        ivf = eng.build_ivf(n_clusters, coarse_tokens=1)
+        out["n_clusters"] = ivf.n_clusters
+        out["bucket"] = ivf.bucket
+        sweep = {}
+        # recall across the full sweep (one 16-query dispatch each);
+        # p50 only at the serving-relevant points — every (nprobe, Nq)
+        # pair is its own compiled program, so the 1-query timing
+        # programs are rationed
+        for nprobe in (1, 2, 4, 8, 16, 32):
+            pt = {
+                "recall10": ivf_recall(eng, fid_q, k=k, nprobe=nprobe,
+                                       brute_idx=brute_idx),
+                "probed_frac": min(1.0,
+                                   nprobe * ivf.bucket / eng.pool_size),
+            }
+            if nprobe >= 8:
+                pt["p50_ms_1q"] = p50(lambda: eng.query_ivf(
+                    one_q, k=k, nprobe=nprobe))
+            sweep[f"nprobe_{nprobe}"] = pt
+        return sweep
+
+    def coarse_t8():
+        # flat coarse with T=8 token centroids per candidate
+        # (multi-vector coarse stage: preserves the MaxSim structure,
+        # ~W2/T of the work).  Drop the T=1 index FIRST: its
+        # probed-gather executables and bucket tables must not coexist
+        # with the T=8 mini pool on a 1M-row chip
+        eng.ivf = None
+        gc.collect()
+        eng.build_ivf(n_clusters, coarse_tokens=8)
+        return {
+            "recall10": ivf_recall(eng, fid_q, k=k, method="coarse",
+                                   shortlist=1024, brute_idx=brute_idx),
+            "p50_ms_1q": p50(lambda: eng.ivf.query_coarse(one_q, k=k,
+                                                          shortlist=1024)),
+            "shortlist": 1024,
+            "probed_frac": min(1.0, 1024 / eng.pool_size),
         }
-    out["ivf"] = sweep
-    # flat coarse with T=8 token centroids per candidate (multi-vector
-    # coarse stage: preserves the MaxSim structure, ~W2/T of the work).
-    # Drop the T=1 index FIRST: its probed-gather executables and bucket
-    # tables must not coexist with the T=8 mini pool on a 1M-row chip
-    eng.ivf = None
-    gc.collect()
-    eng.build_ivf(n_clusters, coarse_tokens=8)
-    out["coarse_t8"] = {
-        "recall10": ivf_recall(eng, fid_q, k=k, method="coarse",
-                               shortlist=1024),
-        "p50_ms_1q": p50(lambda: eng.ivf.query_coarse(one_q, k=k,
-                                                      shortlist=1024)),
-        "shortlist": 1024,
-        "probed_frac": min(1.0, 1024 / eng.pool_size),
-    }
+
+    fence("ivf", ivf_sweep)
+    fence("coarse_t8", coarse_t8)
     del eng
     gc.collect()
     return out

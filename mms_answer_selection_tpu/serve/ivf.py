@@ -326,20 +326,23 @@ class IVFIndex:
 
     # --------------------------------------------------------------- query
     def _flat(self):
-        """Cached (pool_flat, aux_flat) device views of the engine's
-        storage, handed to the query programs as ARGUMENTS each call.
-        The engine invalidates this cache when it mutates the pool
-        (remove_candidates), so a stale pre-mask view can never serve."""
+        """Cached (pool, aux) device views of the engine's RAW storage
+        — 3-D (Cp, W2P, Dp) for flat pools, 4-D (n_chunks, unit, W2P,
+        Dp) for scan-chunk stacks — handed to the query programs as
+        ARGUMENTS each call and flattened INSIDE the trace
+        (``_flatten_storage``).  A host-level ``reshape`` here would
+        materialize a second full copy of the pool (5.4 GB at 1M int8:
+        exactly the duplication that OOM'd the round-5 bench's 1M
+        coarse stage); the traced reshape is an XLA bitcast.  The
+        engine invalidates this cache when it mutates the pool
+        (remove_candidates), so a stale pre-mask view can never
+        serve."""
         if self._flat_cache is None:
             eng = self.engine
             if eng.pool is not None:
                 self._flat_cache = (eng.pool, eng.aux)
             else:
-                pools, auxs = eng.chunks
-                self._flat_cache = (
-                    pools.reshape((-1,) + pools.shape[2:]),
-                    None if auxs is None
-                    else auxs.reshape((-1,) + auxs.shape[2:]))
+                self._flat_cache = eng.chunks
         return self._flat_cache
 
     def _pool_flat(self):
@@ -347,6 +350,18 @@ class IVFIndex:
 
     def _aux_flat(self):
         return self._flat()[1]
+
+    @staticmethod
+    def _flatten_storage(pool, aux):
+        """Traced candidate-major flatten of the raw storage: 4-D
+        scan-chunk stacks collapse to (Cp, W2P, Dp) / (Cp, A).  Inside
+        jit this is a bitcast (contiguous row-major), so the flat view
+        costs no HBM; 3-D flat pools pass through untouched."""
+        if pool.ndim == 4:
+            pool = pool.reshape((-1,) + pool.shape[2:])
+            if aux is not None:
+                aux = aux.reshape((-1,) + aux.shape[2:])
+        return pool, aux
 
     def _exact_parts(self):
         """(project, gather, score) closures for the probed exact stage,
@@ -387,8 +402,11 @@ class IVFIndex:
                                             bilinear_maxsim_scores_int8,
                                             project_queries_int8)
         # static layout metadata only — the arrays themselves are passed
-        # into the traced fns at call time
-        cp, w2p, dp = self._pool_flat().shape     # (Cp, W2P, Dp) tokmaj
+        # into the traced fns at call time (4-D scan stacks flatten to
+        # candidate-major (Cp, W2P, Dp) inside the trace)
+        shape = self._pool_flat().shape           # tokmaj
+        cp, w2p, dp = (shape[0] * shape[1],) + shape[2:] \
+            if len(shape) == 4 else shape
         unit = eng.chunk_size if eng.chunks is not None else cp
         g = min(C_SUB_INT8, unit)
 
@@ -434,6 +452,8 @@ class IVFIndex:
         project, gather, score = self._exact_parts()
 
         def fn(query_ids, pool_flat, aux_flat, bucket_map, valid, cent):
+            pool_flat, aux_flat = self._flatten_storage(pool_flat,
+                                                        aux_flat)
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
@@ -497,6 +517,8 @@ class IVFIndex:
         project, gather, score = self._exact_parts()
 
         def fn(query_ids, pool_flat, aux_flat, coarse_ref, live_neg):
+            pool_flat, aux_flat = self._flatten_storage(pool_flat,
+                                                        aux_flat)
             if query_ids.ndim == 3:
                 q_tokens = query_ids
             else:
@@ -553,18 +575,24 @@ class IVFIndex:
 
 
 def ivf_recall(engine, query_ids, *, k: int = 10, nprobe: int = 8,
-               method: str = "ivf", shortlist: int = 1024):
+               method: str = "ivf", shortlist: int = 1024,
+               brute_idx=None):
     """Fraction of brute-force top-k candidates the approximate probe
     recovers (macro-averaged over queries) — the standard recall@k gauge
     for the latency/recall trade.  method: "ivf" (cluster-routed,
-    ``nprobe``) or "coarse" (flat shortlist, ``shortlist``)."""
-    bv, bi = engine.query(query_ids, k=k)
+    ``nprobe``) or "coarse" (flat shortlist, ``shortlist``).
+
+    ``brute_idx`` (Nq, k) lets callers sweeping nprobe/shortlist compute
+    the exact top-k ONCE instead of re-scoring the whole pool per sweep
+    point (a 1M-pool brute pass per call is the dominant cost)."""
+    if brute_idx is None:
+        _, brute_idx = engine.query(query_ids, k=k)
     if method == "coarse":
         iv, ii = engine.ivf.query_coarse(query_ids, k=k,
                                          shortlist=shortlist)
     else:
         iv, ii = engine.query_ivf(query_ids, k=k, nprobe=nprobe)
-    bi, ii = np.asarray(bi), np.asarray(ii)
+    bi, ii = np.asarray(brute_idx), np.asarray(ii)
     hits = [len(set(b.tolist()) & set(i[i >= 0].tolist())) / len(b)
             for b, i in zip(bi, ii)]
     return float(np.mean(hits))
