@@ -547,3 +547,49 @@ class TestNoCapturedPoolConstants:
         from mms_answer_selection_tpu.serve import ivf as ivf_mod
         src = inspect.getsource(ivf_mod._kmeans)
         assert "def update(assign, cent, vecs)" in src
+
+
+class TestNoDuplicatePoolCopy:
+    """The index's cached storage view must BE the engine's buffers, not
+    a host-level reshape of them: reshaping a scan-chunk stack outside
+    jit materializes a second full copy of the packed pool (5.4 GB at
+    1M int8 — the round-5 bench's coarse-stage OOM).  The 4-D stack is
+    flattened INSIDE the traced query programs, where the reshape is an
+    XLA bitcast."""
+
+    def test_flat_view_is_engine_storage(self):
+        eng = _engine(pool=256, chunk_size=128)
+        eng.build_ivf(n_clusters=4, seed=0)
+        assert eng.ivf._pool_flat() is eng.chunks[0]
+        assert eng.ivf._pool_flat().ndim == 4
+
+    def test_chunked_queries_match_flat_engine(self):
+        # same pool stored flat vs scan-chunked must retrieve the same
+        # candidates through both ivf routing and the coarse shortlist
+        ids = rng.integers(0, CFG.vocab_size, (256, CFG.answer_len))
+        params, _ = mms_qa_init(jax.random.PRNGKey(0), CFG)
+        params["sim"]["w"] = jnp.asarray(
+            rng.normal(size=np.shape(params["sim"]["w"]))
+            .astype(np.float32) * 0.3)
+
+        def build(**kw):
+            e = QueryEngine(params, CFG, pool_dtype=jnp.float32,
+                            interpret=True, **kw)
+            e.build_index(ids)
+            e.build_ivf(n_clusters=4, seed=0)
+            return e
+
+        flat, chunked = build(chunk_size=512), build(chunk_size=128)
+        assert flat.chunks is None and chunked.chunks is not None
+        for meth in ("ivf", "coarse"):
+            if meth == "ivf":
+                fv, fi = flat.query_ivf(QUERIES, k=4, nprobe=4)
+                cv, ci = chunked.query_ivf(QUERIES, k=4, nprobe=4)
+            else:
+                fv, fi = flat.ivf.query_coarse(QUERIES, k=4, shortlist=32)
+                cv, ci = chunked.ivf.query_coarse(QUERIES, k=4,
+                                                  shortlist=32)
+            np.testing.assert_allclose(np.asarray(fv), np.asarray(cv),
+                                       rtol=1e-5, atol=1e-5)
+            assert np.array_equal(np.sort(np.asarray(fi), axis=1),
+                                  np.sort(np.asarray(ci), axis=1))
