@@ -505,7 +505,8 @@ class IVFIndex:
                             self._cent_dev)
 
     # ------------------------------------------------- flat coarse variant
-    def _build_coarse_fn(self, k: int, shortlist: int):
+    def _build_coarse_fn(self, k: int, shortlist: int,
+                         approx_recall: float | None = None):
         eng = self.engine
         embed_params = eng.params["embed"]
         interpret = eng.interpret
@@ -514,6 +515,18 @@ class IVFIndex:
         multi_vector = self.coarse_pool is not None
         has_live_neg = self.live_neg is not None
         s_pad = -(-shortlist // 128) * 128  # kernel candidate-tile align
+        # shortlist selection: exact lax.top_k is a full SORT on TPU and
+        # at k=1024 over a 262k/1M-row score vector it dominated the whole
+        # coarse stage (the mini-pool scan itself is ~5x cheaper).  The
+        # coarse scores are already approximate — the exact kernel
+        # rescores the shortlist — so the TPU's hardware-tiled
+        # approx_max_k (recall_target per element, misses concentrate at
+        # the shortlist BOUNDARY where the true top-k never lives) is the
+        # right primitive.  Small shortlists and small pools keep exact
+        # top_k: approx needs room to tile (and the CPU backend falls
+        # back to a sort anyway).
+        use_approx = (approx_recall is not None and shortlist >= 256
+                      and eng.pool_size >= 8 * shortlist)
         project, gather, score = self._exact_parts()
 
         def fn(query_ids, pool_flat, aux_flat, coarse_ref, live_neg):
@@ -536,7 +549,11 @@ class IVFIndex:
                     jnp.float32)
                 if has_live_neg:
                     cs = cs + live_neg  # tombstones never shortlist
-            _, sl = jax.lax.top_k(cs, shortlist)         # (Nq, S)
+            if use_approx:
+                _, sl = jax.lax.approx_max_k(
+                    cs, shortlist, recall_target=float(approx_recall))
+            else:
+                _, sl = jax.lax.top_k(cs, shortlist)     # (Nq, S)
 
             def per_query(args):
                 proj_i, sl_i = args
@@ -555,18 +572,27 @@ class IVFIndex:
         return jax.jit(fn)
 
     def query_coarse(self, query_ids, k: int = 10, *,
-                     shortlist: int = 1024):
+                     shortlist: int = 1024,
+                     approx_recall: float | None = 0.95):
         """Flat two-stage retrieval: ONE dense coarse matmul over ALL
         candidates (cheap even at 1M: (Nq, D) x (D, C) rides the MXU),
         exact kernel only on the top-``shortlist``.  No cluster routing
         loss — strictly better recall than `query` at the same probed
         budget; use `query`'s IVF when even the coarse matmul is too
-        much (100M+ pools)."""
+        much (100M+ pools).
+
+        approx_recall: per-element recall target for the shortlist
+        selection via the TPU's hardware approx_max_k (engaged when
+        ``shortlist >= 256`` and the pool is >= 8x the shortlist; exact
+        ``lax.top_k`` otherwise).  None forces exact selection
+        everywhere.  Boundary misses are rescored away by the exact
+        stage; end recall@k is unaffected at the defaults."""
         shortlist = min(shortlist, self.engine.pool_size)
         k = min(k, shortlist)
-        key = (k, shortlist)
+        key = (k, shortlist, approx_recall)
         if self._coarse_jit is None or self._coarse_jit[0] != key:
-            self._coarse_jit = (key, self._build_coarse_fn(k, shortlist))
+            self._coarse_jit = (key, self._build_coarse_fn(
+                k, shortlist, approx_recall))
         pool_flat, aux_flat = self._flat()
         coarse_ref = (self.coarse_pool if self.coarse_pool is not None
                       else self.coarse)

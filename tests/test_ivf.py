@@ -186,6 +186,65 @@ class TestCoarseShortlist:
                           shortlist=128) == 1.0
 
 
+class TestApproxShortlist:
+    """Large-pool coarse shortlists select via the TPU's hardware-tiled
+    ``lax.approx_max_k`` instead of exact ``lax.top_k`` (a full SORT at
+    pool length on TPU — it dominated the on-chip coarse stage at
+    262k/1M).  Gate: shortlist >= 256 AND pool >= 8x shortlist AND
+    approx_recall is not None.  The exact kernel rescores the
+    shortlist, so per-element recall misses at the shortlist BOUNDARY
+    cannot move the final top-k at the defaults.  The CPU backend's
+    ApproxTopK fallback is exact, so the parity test here pins the
+    plumbing, not the TPU tiling (bench.py's coarse stage covers that
+    on-chip)."""
+
+    def _lower_text(self, eng, shortlist, approx_recall):
+        fn = eng.ivf._build_coarse_fn(4, shortlist, approx_recall)
+        coarse_ref = (eng.ivf.coarse_pool
+                      if eng.ivf.coarse_pool is not None
+                      else eng.ivf.coarse)
+        args = (jnp.asarray(QUERIES[:1]), eng.ivf._pool_flat(),
+                eng.ivf._aux_flat(), coarse_ref, eng.ivf.live_neg)
+        return fn.lower(*args).as_text()
+
+    def test_gate_engages_on_large_pool(self):
+        eng = _engine(pool=2048)
+        eng.build_ivf(n_clusters=8, seed=0)
+        assert "ApproxTopK" in self._lower_text(eng, 256, 0.95)
+
+    def test_gate_off_below_min_shortlist(self):
+        eng = _engine(pool=2048)
+        eng.build_ivf(n_clusters=8, seed=0)
+        assert "ApproxTopK" not in self._lower_text(eng, 128, 0.95)
+
+    def test_gate_off_small_pool(self):
+        eng = _engine(pool=512)  # < 8 * 256
+        eng.build_ivf(n_clusters=8, seed=0)
+        assert "ApproxTopK" not in self._lower_text(eng, 256, 0.95)
+
+    def test_none_forces_exact_selection(self):
+        eng = _engine(pool=2048)
+        eng.build_ivf(n_clusters=8, seed=0)
+        assert "ApproxTopK" not in self._lower_text(eng, 256, None)
+
+    def test_results_match_exact_path(self):
+        eng = _engine(pool=2048)
+        ivf = eng.build_ivf(n_clusters=8, seed=0)
+        av, ai = ivf.query_coarse(QUERIES, k=10, shortlist=256)
+        ev, ei = ivf.query_coarse(QUERIES, k=10, shortlist=256,
+                                  approx_recall=None)
+        np.testing.assert_allclose(np.asarray(av), np.asarray(ev),
+                                   rtol=1e-5)
+
+    def test_cache_key_includes_recall_target(self):
+        eng = _engine(pool=2048)
+        ivf = eng.build_ivf(n_clusters=8, seed=0)
+        ivf.query_coarse(QUERIES, k=4, shortlist=256)
+        key0 = ivf._coarse_jit[0]
+        ivf.query_coarse(QUERIES, k=4, shortlist=256, approx_recall=None)
+        assert ivf._coarse_jit[0] != key0
+
+
 class TestMultiVectorCoarse:
     """coarse_tokens > 1: per-candidate token k-means -> a mini pool the
     exact kernel scores as the coarse stage (max structure preserved)."""
