@@ -418,14 +418,27 @@ def run_ivf_bench(pool_size: int, *, k: int = 10, n_fid_queries: int = 16,
         eng.ivf = None
         gc.collect()
         eng.build_ivf(n_clusters, coarse_tokens=8)
-        return {
-            "recall10": ivf_recall(eng, fid_q, k=k, method="coarse",
-                                   shortlist=1024, brute_idx=brute_idx),
-            "p50_ms_1q": p50(lambda: eng.ivf.query_coarse(one_q, k=k,
-                                                          shortlist=1024)),
-            "shortlist": 1024,
-            "probed_frac": min(1.0, 1024 / eng.pool_size),
-        }
+        res = {}
+        # shortlist sweep: the fixed 1024 shortlist is the stage's
+        # documented 1M weakness (0.1% of the pool); the hardware
+        # approx_max_k selection (ivf.py query_coarse) keeps the
+        # larger shortlist's selection cost flat, so 4096 shows
+        # whether recall recovers once the probed fraction is held at
+        # the 262k level (~0.4%) — the exact-kernel rescore is the
+        # only part that scales with S
+        for shortlist in (1024, 4096):
+            res[f"s{shortlist}"] = {
+                "recall10": ivf_recall(eng, fid_q, k=k, method="coarse",
+                                       shortlist=shortlist,
+                                       brute_idx=brute_idx),
+                "p50_ms_1q": p50(lambda: eng.ivf.query_coarse(
+                    one_q, k=k, shortlist=shortlist)),
+                "probed_frac": min(1.0, shortlist / eng.pool_size),
+            }
+        # flat aliases keep the s1024 point where rounds 1-5 tables
+        # and the PERF.md pointers expect it
+        res.update(shortlist=1024, **res["s1024"])
+        return res
 
     fence("ivf", ivf_sweep)
     fence("coarse_t8", coarse_t8)
